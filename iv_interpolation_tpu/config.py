@@ -1,0 +1,242 @@
+"""Typed configuration tree with environment overlays.
+
+Mirrors the reference's layered config system (reference ``config.py:9-136``
+and ``config_production.py:10-258``) but with every knob actually wired —
+the reference declared ``frequency`` / ``max_gap_hours`` / ``extrapolate`` /
+``preserve_greeks`` and never read them (SURVEY.md §2.1.5); here each field
+is consumed by the engine it configures.
+
+Layering: defaults -> environment preset (``development`` / ``testing`` /
+``production``) -> explicit overrides -> env vars (``IVTPU_*``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class StorageConfig:
+    """Storage adapter selection.
+
+    Replaces the reference's three PostgreSQL manager variants
+    (``src/database/connection.py``, ``optimized_connection.py``,
+    ``user_optimized_connection.py``). The hot path never touches storage;
+    adapters only feed/drain device batches at the pipeline edges.
+    """
+
+    backend: str = "parquet"  # 'parquet' | 'memory' | 'postgres'
+    root: str = "./data"  # dataset root for the parquet backend
+    # Postgres adapter settings (used only when backend == 'postgres' and
+    # psycopg2 is importable; mirrors reference DatabaseConfig, config.py:10-26)
+    pg_host: str = "localhost"
+    pg_database: str = "trading_data"
+    pg_user: str = "postgres"
+    pg_password: str = ""
+    pg_port: int = 5432
+
+
+@dataclass
+class ProcessingConfig:
+    """Batching / sharding configuration.
+
+    The reference's ``max_workers`` process-pool knob (config.py:31) becomes
+    the device-mesh shape; ``symbols_per_batch`` becomes the padded device
+    batch; complexity bin-packing (optimized_batch_processor.py:123-164)
+    becomes static length-bucketing.
+    """
+
+    batch_size: int = 1024  # symbols (surfaces) per device step
+    bucket_sizes: tuple = (64, 256, 1024, 4096, 16384)  # padded series lengths
+    mesh_shape: Optional[tuple] = None  # None -> (num_devices,)
+    mesh_axis_names: tuple = ("data",)
+    donate_buffers: bool = True
+    dtype: str = "float32"  # device compute dtype ('float32'|'bfloat16')
+    parity_dtype: str = "float64"  # oracle/parity dtype (CPU x64 mode)
+    enable_logging: bool = True
+    log_level: str = "INFO"
+
+
+@dataclass
+class InterpolationConfig:
+    """Task-1 engine settings (reference InterpolationConfig, config.py:39-46).
+
+    Unlike the reference, every field is wired:
+      * ``frequency``      -> output grid step (core hardcoded '1min', core.py:45)
+      * ``method``         -> 'linear' | 'cubic' | 'nearest' | 'previous'
+      * ``max_gap_hours``  -> gaps wider than this are masked, not bridged
+      * ``min_data_points``-> symbols below this are skipped (core.py:26)
+      * ``extrapolate``    -> allow values outside the observed time range
+      * ``compute_greeks`` -> actually populate delta/gamma/theta/vega/rho
+        (the reference reserved schema columns, schema.py:36-41, and never
+        filled them)
+    """
+
+    frequency: str = "1min"
+    method: str = "linear"
+    max_gap_hours: int = 48
+    min_data_points: int = 10
+    extrapolate: bool = False
+    compute_greeks: bool = True
+    max_span_days: int = 30  # reference guardrail, core.py:37
+    max_timeline_points: int = 100_000  # reference guardrail, core.py:49
+
+
+@dataclass
+class CandleReconstructionConfig:
+    """Task-2 engine settings (reference config.py:49-55)."""
+
+    target_frequency: str = "5min"
+    source_frequency: str = "1min"
+    min_candles_required: int = 5  # incomplete-bucket filter, core.py:85-89
+    validate_ohlc: bool = True
+
+
+@dataclass
+class DataBridgeConfig:
+    """Synthetic-OHLCV bridge settings (reference config.py:58-75)."""
+
+    conversion_strategy: str = "spread_simulation"
+    # 'spread_simulation' | 'price_midpoint' | 'trend_following' | 'simple_spread'
+    enable_quality_checks: bool = True
+    seed: int = 0  # counter-based PRNG root key (replaces global np.random)
+    base_spread_percent: float = 0.002
+    volatility_factor: float = 1.5
+    min_spread_percent: float = 0.0005
+    max_spread_percent: float = 0.02
+    trend_strength: float = 0.6
+    base_volume: float = 50.0  # exponential volume imputation scale
+
+
+@dataclass
+class SurfaceConfig:
+    """Vol-surface engine settings (new capability; north star in BASELINE.md).
+
+    The reference only had per-column linear interpolation plus a dead
+    Black-Scholes module (greeks.py); this engine generalises it to full
+    smile/surface fitting.
+    """
+
+    smile_method: str = "cubic_spline"  # 'cubic_spline' | 'svi' | 'rbf'
+    n_strikes: int = 50
+    n_expiries: int = 30
+    grid_strikes: int = 50
+    grid_expiries: int = 30
+    # SVI batched Levenberg-Marquardt
+    lm_max_iters: int = 50
+    lm_lambda0: float = 1e-3
+    lm_tol: float = 1e-12
+    # RBF / thin-plate
+    rbf_smoothing: float = 1e-8
+    rbf_kernel: str = "thin_plate"  # 'thin_plate' | 'gaussian' | 'multiquadric'
+    # No-arbitrage handling
+    butterfly_penalty: float = 0.0
+    calendar_penalty: float = 0.0
+
+
+@dataclass
+class MonitoringConfig:
+    """Observability settings (reference monitoring/logging.py + performance_monitor.py)."""
+
+    log_dir: str = "./logs"
+    snapshot_dir: str = "./snapshots"
+    enable_snapshots: bool = True
+    refresh_interval_s: float = 5.0
+    memory_warn_pct: float = 80.0
+    memory_crit_pct: float = 90.0
+    low_throughput_surfaces_s: float = 100.0
+    enable_profiler: bool = False
+    profiler_dir: str = "./profiles"
+
+
+@dataclass
+class CheckpointConfig:
+    """Run-manifest checkpoint/resume (replaces the reference's progress
+    tables, schema.py:88-109, with a host-side jsonl manifest)."""
+
+    manifest_dir: str = "./runs"
+    checkpoint_interval: int = 100  # symbols between manifest flushes
+    max_retries: int = 3
+
+
+@dataclass
+class Config:
+    storage: StorageConfig = field(default_factory=StorageConfig)
+    processing: ProcessingConfig = field(default_factory=ProcessingConfig)
+    interpolation: InterpolationConfig = field(default_factory=InterpolationConfig)
+    candle_reconstruction: CandleReconstructionConfig = field(
+        default_factory=CandleReconstructionConfig
+    )
+    data_bridge: DataBridgeConfig = field(default_factory=DataBridgeConfig)
+    surface: SurfaceConfig = field(default_factory=SurfaceConfig)
+    monitoring: MonitoringConfig = field(default_factory=MonitoringConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    environment: str = "production"
+    debug: bool = False
+
+
+_ENV_PRESETS = {
+    # mirrors reference presets: workers 4/8/32, batch 10/25/100 (config.py:100-126)
+    "development": dict(batch_size=16, log_level="DEBUG", debug=True),
+    "testing": dict(batch_size=64, log_level="INFO", debug=False),
+    "production": dict(batch_size=1024, log_level="INFO", debug=False),
+}
+
+
+def get_config(environment: Optional[str] = None, **overrides) -> Config:
+    """Build a config for the given environment.
+
+    ``environment`` falls back to the ``ENVIRONMENT`` env var (the reference
+    honoured the same variable, config.py:97). ``overrides`` accepts
+    dotted-path keys, e.g. ``get_config(surface__n_strikes=64)``.
+    """
+    env = environment or os.getenv("ENVIRONMENT", "production")
+    if env not in _ENV_PRESETS:
+        raise ValueError(f"Unknown environment: {env!r}")
+    preset = _ENV_PRESETS[env]
+
+    cfg = Config(environment=env, debug=preset["debug"])
+    cfg.processing.batch_size = preset["batch_size"]
+    cfg.processing.log_level = preset["log_level"]
+
+    # Env-var overlay: IVTPU_<SECTION>__<FIELD>
+    for key, raw in os.environ.items():
+        if key.startswith("IVTPU_") and "__" in key:
+            section_name, field_name = key[len("IVTPU_"):].lower().split("__", 1)
+            _apply_override(cfg, section_name, field_name, raw)
+
+    # Explicit overrides: section__field=value
+    for key, value in overrides.items():
+        if "__" not in key:
+            raise ValueError(f"Override key must be section__field: {key!r}")
+        section_name, field_name = key.split("__", 1)
+        _apply_override(cfg, section_name, field_name, value)
+
+    return cfg
+
+
+def _apply_override(cfg: Config, section_name: str, field_name: str, value) -> None:
+    if not hasattr(cfg, section_name):
+        raise ValueError(f"Unknown config section: {section_name!r}")
+    section = getattr(cfg, section_name)
+    if not hasattr(section, field_name):
+        raise ValueError(f"Unknown field {field_name!r} in section {section_name!r}")
+    current = getattr(section, field_name)
+    if isinstance(value, str) and not isinstance(current, str):
+        # parse env-var strings into the field's declared type
+        if isinstance(current, bool):
+            value = value.lower() in ("1", "true", "yes", "on")
+        elif isinstance(current, int):
+            value = int(value)
+        elif isinstance(current, float):
+            value = float(value)
+        elif isinstance(current, tuple):
+            value = tuple(int(v) for v in value.split(","))
+    setattr(section, field_name, value)
+
+
+def config_to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,138 @@
+"""Masked timeline interpolation — the Task-1 compute core.
+
+TPU-native replacement for the reference's per-symbol pandas resampling
+(src/interpolation/core.py:16-81). The reference built a 1-minute
+``pd.date_range`` timeline, left-merged hourly observations onto it, ran
+``Series.interpolate`` per numeric column and ``ffill`` per categorical
+column. Here the timeline is a fixed-shape padded grid (static shapes for
+XLA; ragged symbols are length-bucketed), observations are scattered onto
+it, and filling is pure index arithmetic:
+
+  * ``prev_idx[i]`` = last valid slot <= i   (``lax.cummax``)
+  * ``next_idx[i]`` = first valid slot >= i  (reverse ``lax.cummin``)
+
+which makes linear/nearest/ffill interpolation a pair of gathers plus
+element-wise math — one fused XLA computation over the whole
+``(columns, timeline)`` block, vmappable over thousands of symbols.
+
+Pandas-parity semantics (tested in tests/test_interp.py):
+  * interior NaNs: linear by grid position (== linear in time on a uniform
+    minute grid, matching ``Series.interpolate(method='linear')``);
+  * leading NaNs stay NaN (pandas ``limit_direction='forward'`` default);
+  * trailing NaNs hold the last valid value;
+  * ``is_interpolated`` is True exactly on synthesized rows — the
+    *intended* semantics; the reference computed it after ffill so it was
+    always False (defect, SURVEY.md §2.1.2).
+
+The ``max_gap_minutes`` knob masks (leaves NaN) any grid point whose
+bracketing observations are further apart than the gap — the wiring the
+reference's ``max_gap_hours`` config promised but never had
+(SURVEY.md §2.1.5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _prev_next_valid(valid: jax.Array):
+    """Indices of previous/next valid slots along the last axis.
+
+    Returns (prev_idx, next_idx) where prev_idx[i] is the largest j<=i with
+    valid[j] (or -1), next_idx[i] the smallest j>=i with valid[j] (or L).
+    """
+    L = valid.shape[-1]
+    ax = valid.ndim - 1
+    iota = jnp.arange(L)
+    prev_idx = jax.lax.cummax(jnp.where(valid, iota, -1), axis=ax)
+    next_idx = jax.lax.cummin(jnp.where(valid, iota, L), axis=ax, reverse=True)
+    return prev_idx, next_idx
+
+
+@partial(jax.jit, static_argnames=("method", "max_gap_minutes"))
+def masked_interp(values: jax.Array, timeline_mask: jax.Array,
+                  method: str = "linear",
+                  max_gap_minutes: int = 0) -> jax.Array:
+    """Fill NaNs in ``values`` along the last (timeline) axis.
+
+    Args:
+      values: ``(..., L)`` float array; NaN marks missing samples.
+      timeline_mask: ``(..., L)`` bool; False marks padding beyond the
+        symbol's actual timeline (those slots stay NaN).
+      method: 'linear' | 'nearest' | 'ffill'.
+      max_gap_minutes: if > 0, grid points bracketed by observations more
+        than this many grid steps apart are left NaN instead of bridged.
+
+    Returns:
+      filled array, same shape; leading gaps stay NaN, trailing gaps hold
+      the last value (pandas parity).
+    """
+    L = values.shape[-1]
+    iota = jnp.arange(L)
+    valid = jnp.isfinite(values) & timeline_mask
+    prev_idx, next_idx = _prev_next_valid(valid)
+
+    has_prev = prev_idx >= 0
+    has_next = next_idx < L
+    prev_c = jnp.clip(prev_idx, 0, L - 1)
+    next_c = jnp.clip(next_idx, 0, L - 1)
+    zeros = jnp.where(valid, values, 0.0)
+    prev_val = jnp.take_along_axis(zeros, prev_c, axis=-1)
+    next_val = jnp.take_along_axis(zeros, next_c, axis=-1)
+
+    if method == "linear":
+        span = (next_idx - prev_idx).astype(values.dtype)
+        w = jnp.where(span > 0, (iota - prev_idx).astype(values.dtype) / jnp.where(span > 0, span, 1.0), 0.0)
+        interior = prev_val * (1.0 - w) + next_val * w
+        filled = jnp.where(has_next, interior, prev_val)  # trailing: hold last
+    elif method == "nearest":
+        dist_prev = iota - prev_idx
+        dist_next = next_idx - iota
+        take_next = has_next & (~has_prev | (dist_next < dist_prev))
+        filled = jnp.where(take_next, next_val, prev_val)
+    elif method == "ffill":
+        filled = prev_val
+    else:
+        raise ValueError(f"unknown interpolation method: {method!r}")
+
+    if max_gap_minutes > 0:
+        gap = next_idx - prev_idx
+        bridged = ~valid & has_prev & has_next
+        too_wide = bridged & (gap > max_gap_minutes)
+        filled = jnp.where(too_wide, jnp.nan, filled)
+
+    filled = jnp.where(has_prev & timeline_mask, filled, jnp.nan)
+    return jnp.where(valid, values, filled)
+
+
+@jax.jit
+def ffill(values: jax.Array, timeline_mask: jax.Array) -> jax.Array:
+    """Forward-fill along the last axis (categorical columns: the reference
+    applied ffill to symbol/strike/callput/... at core.py:64-68)."""
+    return masked_interp(values, timeline_mask, method="ffill")
+
+
+def scatter_observations(obs_pos: jax.Array, obs_vals: jax.Array,
+                         obs_valid: jax.Array, timeline_len: int) -> jax.Array:
+    """Scatter ragged observations onto a dense timeline grid.
+
+    Args:
+      obs_pos: ``(K,)`` int grid positions (minutes since timeline start);
+        out-of-range or invalid entries must have ``obs_valid`` False.
+      obs_vals: ``(..., K)`` values per observation.
+      obs_valid: ``(K,)`` bool.
+      timeline_len: static grid length L.
+
+    Returns:
+      ``(..., L)`` grid with NaN where no observation landed. Matches the
+      reference's exact-timestamp left-merge (core.py:54-55): observations
+      not aligned to the grid are dropped by the caller (position -1).
+    """
+    pos = jnp.where(obs_valid, obs_pos, timeline_len)  # park invalid at L
+    grid = jnp.full(obs_vals.shape[:-1] + (timeline_len + 1,), jnp.nan,
+                    dtype=obs_vals.dtype)
+    grid = grid.at[..., pos].set(jnp.where(obs_valid, obs_vals, jnp.nan))
+    return grid[..., :timeline_len]

@@ -1,0 +1,132 @@
+"""SVI smile calibration — batched 5-param fits via Levenberg-Marquardt.
+
+North-star capability (BASELINE.json config #3): "SVI calibration: 5-param
+per-expiry fits batched over 30 slices via vmapped LM solver". The
+reference had no smile model at all (linear time-interpolation only,
+src/interpolation/core.py:58-61); SVI is the industry-standard extension
+of its implied-vol handling.
+
+Raw SVI (Gatheral): total variance as a function of log-moneyness k,
+
+    w(k) = a + b * (rho * (k - m) + sqrt((k - m)^2 + sigma^2))
+
+with b >= 0, |rho| < 1, sigma > 0. Butterfly arbitrage is checked with
+Gatheral's g-function; calendar arbitrage with total-variance monotonicity
+across expiries (see ``surface.arbitrage``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from iv_interpolation_tpu.ops.lm import LMResult, levenberg_marquardt
+
+# parameter order: (a, b, rho, m, sigma)
+SVI_LOWER = jnp.array([-10.0, 1e-6, -0.9999, -10.0, 1e-6])
+SVI_UPPER = jnp.array([10.0, 100.0, 0.9999, 10.0, 100.0])
+
+
+def svi_total_variance(params: jax.Array, k: jax.Array) -> jax.Array:
+    """w(k) for raw-SVI ``params`` = (..., 5) against ``k`` = (..., n)."""
+    a, b, rho, m, sigma = (params[..., i:i + 1] for i in range(5))
+    km = k - m
+    return a + b * (rho * km + jnp.sqrt(km * km + sigma * sigma))
+
+
+def svi_init(k: jax.Array, w: jax.Array) -> jax.Array:
+    """Heuristic initial guess from the observed slice."""
+    w_min = jnp.min(w)
+    m0 = k[jnp.argmin(w)]
+    span = jnp.maximum(jnp.max(k) - jnp.min(k), 1e-3)
+    # slope of the wings ~ b(1 +/- rho)
+    b0 = jnp.maximum((jnp.max(w) - w_min) / span, 1e-3)
+    a0 = jnp.maximum(w_min * 0.9, 1e-6)
+    return jnp.array([a0, b0, 0.0, m0, 0.1 * span], w.dtype)
+
+
+def _svi_residual(params, k, w, weights, butterfly_penalty):
+    r = (svi_total_variance(params, k) - w) * weights
+    if butterfly_penalty > 0.0:
+        g = svi_g(params, k)
+        r = jnp.concatenate([r, butterfly_penalty * jnp.minimum(g, 0.0)])
+    return r
+
+
+@partial(jax.jit, static_argnames=("max_iters", "butterfly_penalty"))
+def fit_svi(k: jax.Array, w: jax.Array, weights: jax.Array | None = None,
+            params0: jax.Array | None = None, max_iters: int = 64,
+            butterfly_penalty: float = 0.0) -> LMResult:
+    """Fit one SVI slice: log-moneyness ``k`` -> total variance ``w``.
+
+    ``weights`` scales residuals (e.g. vega weights); ``butterfly_penalty``
+    adds hinge residuals on negative g(k) so fits stay arbitrage-free.
+    Batch with ``fit_svi_batched``.
+    """
+    if weights is None:
+        weights = jnp.ones_like(w)
+    if params0 is None:
+        params0 = svi_init(k, w)
+    return levenberg_marquardt(
+        partial(_svi_residual, butterfly_penalty=butterfly_penalty),
+        params0, k, w, weights,
+        max_iters=max_iters,
+        lower=SVI_LOWER.astype(w.dtype), upper=SVI_UPPER.astype(w.dtype),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iters", "butterfly_penalty"))
+def fit_svi_batched(k: jax.Array, w: jax.Array,
+                    weights: jax.Array | None = None,
+                    max_iters: int = 64,
+                    butterfly_penalty: float = 0.0) -> LMResult:
+    """Batched SVI calibration: ``k``, ``w`` of shape (..., n_strikes).
+
+    The whole batch (surfaces x expiries) runs as one vmapped LM — this is
+    the benchmark configuration "30 slices x thousands of surfaces"
+    (SURVEY.md §7.1).
+    """
+    if weights is None:
+        weights = jnp.ones_like(w)
+    batch_shape = w.shape[:-1]
+    kf = k.reshape((-1, k.shape[-1]))
+    wf = w.reshape((-1, w.shape[-1]))
+    wtf = weights.reshape((-1, w.shape[-1]))
+    p0 = jax.vmap(svi_init)(kf, wf)
+    fit = jax.vmap(
+        lambda p, kk, ww, wt: levenberg_marquardt(
+            partial(_svi_residual, butterfly_penalty=butterfly_penalty),
+            p, kk, ww, wt, max_iters=max_iters,
+            lower=SVI_LOWER.astype(w.dtype), upper=SVI_UPPER.astype(w.dtype),
+        )
+    )(p0, kf, wf, wtf)
+    reshape = lambda a: a.reshape(batch_shape + a.shape[1:])
+    return LMResult(*map(reshape, fit))
+
+
+def svi_g(params: jax.Array, k: jax.Array) -> jax.Array:
+    """Gatheral's butterfly-arbitrage function
+
+        g(k) = (1 - k w'/(2w))^2 - (w'^2/4)(1/w + 1/4) + w''/2 .
+
+    g(k) >= 0 for all k (with w > 0) <=> the slice is butterfly-arbitrage
+    free. Derivatives are closed-form for SVI.
+    """
+    a, b, rho, m, sigma = (params[..., i:i + 1] for i in range(5))
+    km = k - m
+    root = jnp.sqrt(km * km + sigma * sigma)
+    w = a + b * (rho * km + root)
+    w1 = b * (rho + km / root)
+    w2 = b * sigma * sigma / (root * root * root)
+    w = jnp.maximum(w, 1e-12)
+    t1 = (1.0 - k * w1 / (2.0 * w)) ** 2
+    t2 = (w1 * w1 / 4.0) * (1.0 / w + 0.25)
+    return t1 - t2 + w2 / 2.0
+
+
+def svi_is_butterfly_free(params: jax.Array, k_grid: jax.Array,
+                          tol: float = -1e-10) -> jax.Array:
+    """Check g(k) >= tol on a dense grid."""
+    return jnp.all(svi_g(params, k_grid) >= tol)

@@ -1,0 +1,121 @@
+"""Masked timeline interpolation parity vs pandas Series.interpolate.
+
+Oracle = the same pandas calls the reference made on its merged timeline
+(src/interpolation/core.py:58-68).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from iv_interpolation_tpu.ops.interp import (
+    ffill,
+    masked_interp,
+    scatter_observations,
+)
+
+
+def _random_gappy(rng, L, frac_missing=0.7, leading=0, trailing=0):
+    vals = rng.normal(size=L) + 5.0
+    mask = rng.uniform(size=L) < frac_missing
+    vals[mask] = np.nan
+    if leading:
+        vals[:leading] = np.nan
+    if trailing:
+        vals[-trailing:] = np.nan
+    # make sure at least one valid point exists
+    vals[L // 2] = 1.23
+    return vals
+
+
+@pytest.mark.parametrize("leading,trailing", [(0, 0), (5, 0), (0, 7), (3, 4)])
+def test_linear_matches_pandas(rng, leading, trailing):
+    L = 500
+    vals = _random_gappy(rng, L, leading=leading, trailing=trailing)
+    expected = pd.Series(vals).interpolate(method="linear").to_numpy()
+    got = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool)))
+    np.testing.assert_allclose(got, expected, atol=1e-12, equal_nan=True)
+
+
+def test_ffill_matches_pandas(rng):
+    L = 300
+    vals = _random_gappy(rng, L, leading=4)
+    expected = pd.Series(vals).ffill().to_numpy()
+    got = np.asarray(ffill(jnp.array(vals), jnp.ones(L, bool)))
+    np.testing.assert_allclose(got, expected, atol=0, equal_nan=True)
+
+
+def test_nearest_matches_pandas(rng):
+    L = 200
+    vals = _random_gappy(rng, L)
+    vals[0] = 2.0  # avoid leading-NaN semantics differences
+    vals[-1] = 3.0
+    expected = pd.Series(vals).interpolate(method="nearest").to_numpy()
+    got = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool),
+                                   method="nearest"))
+    np.testing.assert_allclose(got, expected, atol=0, equal_nan=True)
+
+
+def test_padding_stays_nan(rng):
+    L, valid_len = 64, 40
+    vals = _random_gappy(rng, L)
+    mask = np.arange(L) < valid_len
+    got = np.asarray(masked_interp(jnp.array(vals), jnp.array(mask)))
+    assert np.all(np.isnan(got[valid_len:]))
+
+
+def test_max_gap_masks_wide_bridges():
+    L = 100
+    vals = np.full(L, np.nan)
+    vals[0], vals[10], vals[90] = 1.0, 2.0, 10.0
+    got = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool),
+                                   max_gap_minutes=30))
+    # 0..10 gap = 10 <= 30: bridged
+    assert np.isfinite(got[5])
+    np.testing.assert_allclose(got[5], 1.5)
+    # 10..90 gap = 80 > 30: masked
+    assert np.all(np.isnan(got[11:90]))
+    assert got[90] == 10.0
+
+
+def test_batched_columns(rng):
+    C, L = 6, 400
+    vals = np.stack([_random_gappy(rng, L) for _ in range(C)])
+    got = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool)))
+    for c in range(C):
+        expected = pd.Series(vals[c]).interpolate(method="linear").to_numpy()
+        np.testing.assert_allclose(got[c], expected, atol=1e-12, equal_nan=True)
+
+
+def test_scatter_observations():
+    pos = jnp.array([0, 3, 7, -1])
+    vals = jnp.array([1.0, 2.0, 3.0, 99.0])
+    valid = jnp.array([True, True, True, False])
+    grid = np.asarray(scatter_observations(pos, vals, valid, 10))
+    assert grid[0] == 1.0 and grid[3] == 2.0 and grid[7] == 3.0
+    assert np.isnan(grid[[1, 2, 4, 5, 6, 8, 9]]).all()
+
+
+def test_scatter_then_interp_matches_pandas_merge(rng):
+    """End-to-end slice of the reference algorithm: hourly obs -> minute
+    grid -> linear interp, vs the pandas merge+interpolate the reference
+    used (core.py:42-61)."""
+    hours = 12
+    obs_minutes = np.arange(hours) * 60
+    obs_vals = rng.normal(size=hours) + 10.0
+    L = int(obs_minutes[-1]) + 1
+
+    # pandas oracle
+    timeline = pd.date_range("2023-03-20", periods=L, freq="1min")
+    obs_df = pd.DataFrame({
+        "date": pd.to_datetime("2023-03-20") + pd.to_timedelta(obs_minutes, unit="m"),
+        "iv": obs_vals,
+    })
+    merged = pd.DataFrame({"date": timeline}).merge(obs_df, on="date", how="left")
+    expected = merged["iv"].interpolate(method="linear").to_numpy()
+
+    grid = scatter_observations(jnp.array(obs_minutes), jnp.array(obs_vals),
+                                jnp.ones(hours, bool), L)
+    got = np.asarray(masked_interp(grid, jnp.ones(L, bool)))
+    np.testing.assert_allclose(got, expected, atol=1e-12)

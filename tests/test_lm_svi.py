@@ -1,0 +1,142 @@
+"""Levenberg-Marquardt and SVI calibration tests.
+
+LM is checked against scipy.optimize.least_squares solutions; SVI fits
+must recover known ground-truth parameters from clean slices and achieve
+small residuals on noisy ones (batched over surfaces x expiries).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import least_squares
+
+from iv_interpolation_tpu.ops.lm import (
+    levenberg_marquardt,
+    levenberg_marquardt_batched,
+)
+from iv_interpolation_tpu.ops.svi import (
+    fit_svi,
+    fit_svi_batched,
+    svi_g,
+    svi_init,
+    svi_is_butterfly_free,
+    svi_total_variance,
+)
+
+
+def test_lm_exponential_fit_matches_scipy(rng):
+    t = np.linspace(0, 3, 40)
+    true = np.array([2.5, 1.3, 0.4])
+    y = true[0] * np.exp(-true[1] * t) + true[2]
+
+    def resid_np(p):
+        return p[0] * np.exp(-p[1] * t) + p[2] - y
+
+    def resid_jx(p, t_, y_):
+        return p[0] * jnp.exp(-p[1] * t_) + p[2] - y_
+
+    p0 = np.array([1.0, 1.0, 0.0])
+    ref = least_squares(resid_np, p0, method="lm")
+    got = levenberg_marquardt(resid_jx, jnp.array(p0), jnp.array(t),
+                              jnp.array(y), max_iters=100)
+    np.testing.assert_allclose(np.asarray(got.params), ref.x, atol=1e-8)
+    assert float(got.cost) < 1e-16
+
+
+def test_lm_respects_bounds():
+    def resid(p, x):
+        return p - x  # optimum at p = x
+
+    target = jnp.array([5.0, -5.0])
+    got = levenberg_marquardt(resid, jnp.array([0.0, 0.0]), target,
+                              lower=jnp.array([-1.0, -1.0]),
+                              upper=jnp.array([1.0, 1.0]), max_iters=50)
+    np.testing.assert_allclose(np.asarray(got.params), [1.0, -1.0], atol=1e-10)
+
+
+def test_lm_batched(rng):
+    B = 16
+    t = np.linspace(0, 2, 30)
+    trues = rng.uniform(0.5, 2.0, (B, 3))
+    ys = trues[:, :1] * np.exp(-trues[:, 1:2] * t) + trues[:, 2:3]
+
+    def resid(p, t_, y_):
+        return p[0] * jnp.exp(-p[1] * t_) + p[2] - y_
+
+    p0 = jnp.ones((B, 3))
+    got = levenberg_marquardt_batched(
+        resid, p0, jnp.broadcast_to(jnp.array(t), (B, 30)), jnp.array(ys),
+        max_iters=100)
+    np.testing.assert_allclose(np.asarray(got.params), trues, atol=1e-6)
+
+
+TRUE_SVI = np.array([0.04, 0.4, -0.4, 0.05, 0.3])  # (a, b, rho, m, sigma)
+
+
+def test_svi_recovers_ground_truth():
+    k = jnp.linspace(-1.0, 1.0, 50)
+    w = svi_total_variance(jnp.array(TRUE_SVI), k)
+    fit = fit_svi(k, w, max_iters=200)
+    assert float(fit.cost) < 1e-16
+    np.testing.assert_allclose(np.asarray(fit.params), TRUE_SVI, atol=1e-4)
+
+
+def test_svi_noisy_fit_small_residual(rng):
+    k = jnp.linspace(-1.5, 1.5, 50)
+    w_clean = svi_total_variance(jnp.array(TRUE_SVI), k)
+    noise = 1e-4 * rng.normal(size=50)
+    fit = fit_svi(k, w_clean + jnp.array(noise), max_iters=200)
+    resid = svi_total_variance(fit.params, k) - w_clean
+    assert float(jnp.max(jnp.abs(resid))) < 1e-3
+
+
+def test_svi_batched_30_slices(rng):
+    B, E, n = 4, 30, 50
+    params = np.tile(TRUE_SVI, (B, E, 1))
+    params[..., 0] += rng.uniform(0, 0.02, (B, E))   # vary a
+    params[..., 3] += rng.uniform(-0.1, 0.1, (B, E))  # vary m
+    k = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, n), (B, E, n))
+    w = svi_total_variance(jnp.array(params), k)
+    fit = fit_svi_batched(k, w, max_iters=150)
+    assert fit.params.shape == (B, E, 5)
+    w_fit = svi_total_variance(fit.params, k)
+    np.testing.assert_allclose(np.asarray(w_fit), np.asarray(w), atol=1e-5)
+
+
+def test_svi_g_nonneg_for_sane_params():
+    k = jnp.linspace(-2, 2, 200)
+    assert bool(svi_is_butterfly_free(jnp.array(TRUE_SVI), k))
+
+
+def test_svi_g_detects_arbitrage():
+    # Extreme params that violate butterfly no-arbitrage
+    bad = jnp.array([-0.01, 2.0, 0.99, 0.0, 0.01])
+    k = jnp.linspace(-2, 2, 200)
+    assert not bool(svi_is_butterfly_free(bad, k))
+
+
+def test_svi_g_matches_finite_differences():
+    """g(k) uses closed-form w', w''; verify against autodiff."""
+    params = jnp.array(TRUE_SVI)
+    k = jnp.linspace(-1, 1, 21)
+    w_fn = lambda kk: svi_total_variance(params, kk[None]).squeeze()
+    w = jax.vmap(w_fn)(k)
+    w1 = jax.vmap(jax.grad(w_fn))(k)
+    w2 = jax.vmap(jax.grad(jax.grad(w_fn)))(k)
+    expected = (1 - k * w1 / (2 * w)) ** 2 - (w1**2 / 4) * (1 / w + 0.25) + w2 / 2
+    got = svi_g(params, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-10)
+
+
+def test_svi_butterfly_penalty_restores_no_arb(rng):
+    """Fit to arbitrageable data with penalty on: result must be
+    butterfly-free on the grid."""
+    k = jnp.linspace(-1.0, 1.0, 50)
+    bad = jnp.array([-0.005, 1.2, 0.95, 0.0, 0.05])
+    w_bad = jnp.maximum(svi_total_variance(bad, k), 1e-6)
+    g_free = svi_g(fit_svi(k, w_bad, max_iters=200).params, k)
+    assert float(jnp.min(g_free)) < -1.0  # unconstrained fit keeps the arb
+    fit = fit_svi(k, w_bad, max_iters=200, butterfly_penalty=100.0)
+    g = svi_g(fit.params, k)
+    # soft penalty: violation shrinks ~1/weight; 100x weight -> <=1e-3
+    assert float(jnp.min(g)) > -1e-3
