@@ -1,0 +1,171 @@
+"""Command-line interface.
+
+Preserves the reference's operator surface (main.py:459-499,
+production_main.py:302-331, complete_pipeline.py:838-862):
+
+  --task {interpolation,bridge,candles,both,pipeline,all}
+  --test            3-symbol smoke run (main.py:267-343)
+  --resume BATCH_ID re-enqueue pending/error symbols
+  --validate-only   environment/readiness checks
+  --estimate        processing-time estimate
+  --monitor         live progress dashboard
+  --generate-sample-candles / --generate-sample-tickers
+  --symbols N       limit symbol count
+  --env {development,testing,production}
+  --list-batches    enumerate prior runs (aspirational in the reference,
+                    setup.py:258 — real here)
+
+Also fixes the reference's broken ``--task candles`` route (missing
+``def run_task_2``, SURVEY.md §2.1.1) — candles is a first-class task.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="iv-tpu",
+        description="TPU-native IV interpolation & candle pipeline")
+    p.add_argument("--task",
+                   choices=["interpolation", "bridge", "candles", "both",
+                            "pipeline", "all", "surface"],
+                   default="all", help="pipeline stage(s) to run")
+    p.add_argument("--test", action="store_true",
+                   help="smoke run limited to 3 symbols")
+    p.add_argument("--resume", type=int, metavar="BATCH_ID",
+                   help="resume pending/error symbols of a prior batch")
+    p.add_argument("--validate-only", action="store_true",
+                   help="validate environment and data readiness, then exit")
+    p.add_argument("--estimate", action="store_true",
+                   help="estimate processing time, then exit")
+    p.add_argument("--monitor", action="store_true",
+                   help="live progress dashboard for the latest batch")
+    p.add_argument("--generate-sample-candles", action="store_true",
+                   help="write synthetic 1-min candles to storage")
+    p.add_argument("--generate-sample-tickers", action="store_true",
+                   help="write synthetic hourly tickers to storage")
+    p.add_argument("--symbols", type=int, default=None,
+                   help="limit number of symbols processed")
+    p.add_argument("--env", choices=["development", "testing", "production"],
+                   default=None, help="environment preset")
+    p.add_argument("--storage", choices=["parquet", "memory", "postgres"],
+                   default=None, help="storage backend override")
+    p.add_argument("--data-root", default=None,
+                   help="parquet dataset root (default ./data)")
+    p.add_argument("--list-batches", action="store_true",
+                   help="list prior run manifests")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable summaries")
+    return p
+
+
+def _emit(args, payload: dict, title: str) -> None:
+    if args.json:
+        print(json.dumps(payload, default=str))
+        return
+    print(f"\n=== {title} ===")
+    for k, v in payload.items():
+        print(f"  {k}: {v}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.env:
+        os.environ["ENVIRONMENT"] = args.env
+
+    from iv_interpolation_tpu.config import get_config
+    from iv_interpolation_tpu.monitoring.logging import setup_logging
+
+    config = get_config()
+    if args.storage:
+        config.storage.backend = args.storage
+    if args.data_root:
+        config.storage.root = args.data_root
+    setup_logging(config.monitoring.log_dir, config.processing.log_level)
+
+    from iv_interpolation_tpu.pipeline import PipelineRunner, RunManifest
+    from iv_interpolation_tpu.pipeline import storage as st
+
+    if args.list_batches:
+        batches = RunManifest.list_batches(config.checkpoint.manifest_dir)
+        if args.json:
+            print(json.dumps(batches, default=str))
+        else:
+            for b in batches:
+                print(f"  batch {b['batch_id']} [{b['task']}]: "
+                      f"{b['by_status']}")
+            if not batches:
+                print("  (no batches)")
+        return 0
+
+    runner = PipelineRunner(config)
+
+    if args.generate_sample_candles or args.generate_sample_tickers:
+        from iv_interpolation_tpu.pipeline.sample_data import (
+            generate_sample_candles, generate_sample_tickers)
+        n = args.symbols or 5
+        if args.generate_sample_tickers:
+            df = generate_sample_tickers(num_symbols=n)
+            rows = runner.store.write(st.TICKERS, df,
+                                      upsert_keys=["symbol", "date"])
+            _emit(args, {"table": st.TICKERS, "rows": rows,
+                         "symbols": n}, "sample tickers generated")
+        if args.generate_sample_candles:
+            df = generate_sample_candles(num_symbols=n)
+            rows = runner.store.write(st.MINUTE_CANDLES, df,
+                                      upsert_keys=["symbol", "timestamp"])
+            _emit(args, {"table": st.MINUTE_CANDLES, "rows": rows,
+                         "symbols": n}, "sample candles generated")
+        return 0
+
+    if args.validate_only:
+        from iv_interpolation_tpu.pipeline.validate import (
+            validate_readiness)
+        report = validate_readiness(config, runner.store,
+                                    task=args.task)
+        _emit(args, report, "readiness report")
+        return 0 if report["ready"] else 1
+
+    if args.estimate:
+        from iv_interpolation_tpu.pipeline.validate import estimate_processing
+        report = estimate_processing(config, runner.store)
+        _emit(args, report, "processing estimate")
+        return 0
+
+    if args.monitor:
+        from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
+        RealtimeMonitor(config).run()
+        return 0
+
+    limit = 3 if args.test else args.symbols
+    t0 = time.time()
+    if args.task == "interpolation":
+        out = {"task1": runner.run_task1(resume_batch_id=args.resume,
+                                         limit=limit)}
+    elif args.task == "bridge":
+        out = {"bridge": runner.run_bridge(resume_batch_id=args.resume)}
+    elif args.task == "candles":
+        out = {"task2": runner.run_task2(resume_batch_id=args.resume)}
+    elif args.task == "both":
+        out = {"task1": runner.run_task1(resume_batch_id=args.resume,
+                                         limit=limit)}
+        out["task2"] = runner.run_task2()
+    elif args.task == "surface":
+        from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
+        out = {"surface": run_surface_fit(config, runner.store, limit=limit)}
+    else:  # pipeline / all
+        out = runner.run_all(limit=limit)
+    out["wall_s"] = round(time.time() - t0, 3)
+    out["status"] = runner.status()
+    _emit(args, out, f"task={args.task} complete")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

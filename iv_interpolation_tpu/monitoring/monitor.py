@@ -1,0 +1,115 @@
+"""Realtime progress monitor.
+
+Console dashboard over the run manifests — the reference's
+``RealtimeMonitor`` (src/monitoring/progress.py:219-267) and
+``ProductionPerformanceMonitor`` dashboard (performance_monitor.py:306-459)
+reworked to poll jsonl manifests instead of Postgres progress tables.
+Auto-exits when no symbols remain pending/processing; writes optional
+JSON snapshots per refresh (performance_monitor.py:397-414).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from iv_interpolation_tpu.monitoring.metrics import (
+    device_memory_stats,
+    host_memory_stats,
+)
+from iv_interpolation_tpu.pipeline.manifest import RunManifest
+
+
+class RealtimeMonitor:
+    def __init__(self, config, task: Optional[str] = None,
+                 batch_id: Optional[int] = None,
+                 interval_s: Optional[float] = None):
+        self.config = config
+        self.task = task
+        self.batch_id = batch_id
+        self.interval = interval_s or config.monitoring.refresh_interval_s
+
+    def _latest_manifest(self) -> Optional[RunManifest]:
+        d = self.config.checkpoint.manifest_dir
+        if not os.path.isdir(d):
+            return None
+        candidates = []
+        for name in os.listdir(d):
+            if not name.endswith(".jsonl"):
+                continue
+            task, _, bid = name[:-6].rpartition("_")
+            if self.task and task != self.task:
+                continue
+            if self.batch_id and int(bid) != self.batch_id:
+                continue
+            candidates.append((int(bid), task))
+        if not candidates:
+            return None
+        bid, task = max(candidates)
+        return RunManifest(d, task, bid)
+
+    def render(self, manifest: RunManifest) -> str:
+        s = manifest.summary()
+        by = s["by_status"]
+        total = max(s["total_symbols"], 1)
+        done = by.get("completed", 0) + by.get("skipped", 0) \
+            + by.get("error", 0)
+        bar_w = 40
+        filled = int(bar_w * done / total)
+        bar = "#" * filled + "-" * (bar_w - filled)
+        lines = [
+            f"batch {s['batch_id']} [{s['task']}]  "
+            f"[{bar}] {done}/{total}",
+            f"  completed={by.get('completed', 0)} "
+            f"error={by.get('error', 0)} skipped={by.get('skipped', 0)} "
+            f"pending={by.get('pending', 0)} "
+            f"processing={by.get('processing', 0)}",
+            f"  rows {s['input_rows']} -> {s['output_rows']} "
+            f"(expansion {s['expansion_ratio']:.1f}x)  "
+            f"avg {s['avg_symbol_time'] * 1e3:.1f} ms/symbol",
+        ]
+        dev = device_memory_stats()
+        if dev:
+            lines.append(
+                f"  HBM {dev.get('bytes_in_use', 0) / 2**30:.2f} / "
+                f"{dev.get('bytes_limit', 0) / 2**30:.2f} GB")
+        host = host_memory_stats()
+        if host:
+            lines.append(f"  host mem {host['host_used_pct']:.0f}% used")
+        return "\n".join(lines)
+
+    def snapshot(self, manifest: RunManifest) -> None:
+        if not self.config.monitoring.enable_snapshots:
+            return
+        d = self.config.monitoring.snapshot_dir
+        os.makedirs(d, exist_ok=True)
+        payload = {
+            "ts": time.time(),
+            "summary": manifest.summary(),
+            "device": device_memory_stats(),
+            "host": host_memory_stats(),
+        }
+        path = os.path.join(
+            d, f"progress_snapshot_{manifest.batch_id}.json")
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2, default=str)
+
+    def run(self, max_iterations: Optional[int] = None) -> None:
+        """Poll + render until the batch finishes (progress.py:236-267)."""
+        i = 0
+        while True:
+            manifest = self._latest_manifest()
+            if manifest is None:
+                print("no run manifests found")
+                return
+            print("\033[2J\033[H" + self.render(manifest), flush=True)
+            self.snapshot(manifest)
+            if manifest.is_done():
+                print("batch complete")
+                return
+            i += 1
+            if max_iterations is not None and i >= max_iterations:
+                return
+            time.sleep(self.interval)

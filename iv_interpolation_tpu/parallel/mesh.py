@@ -1,0 +1,71 @@
+"""Mesh construction and sharding helpers.
+
+The reference scaled by forking a ProcessPoolExecutor over symbols with
+PostgreSQL as the rendezvous (src/interpolation/batch_processor.py:234-239,
+optimized_batch_processor.py:431-436). Here the unit of parallelism is the
+same — independent symbols/surfaces — but realised as SPMD data
+parallelism over a ``jax.sharding.Mesh``: the surface batch dim is sharded
+over the ``data`` axis and, for smile fitting (independent per expiry),
+the expiry dim can additionally shard over a ``slice`` axis. XLA inserts
+no collectives on this path (embarrassingly parallel, like the reference);
+collectives appear only in reductions for global diagnostics/metrics
+(``psum`` over per-shard violation counts).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``;
+the same code paths shard over DCN-connected hosts (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("data", "slice"),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a device mesh.
+
+    Args:
+      shape: mesh shape; default puts every device on the first (data)
+        axis, e.g. (N, 1) for N devices.
+      axis_names: names; defaults to ('data', 'slice') — data parallelism
+        over surfaces plus optional slice (expiry) sharding.
+      devices: explicit device list (defaults to ``jax.devices()``).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
+def surface_batch_sharding(mesh: Mesh, shard_expiries: bool = False):
+    """NamedSharding for (B, E, n) surface-batch arrays: B over 'data',
+    optionally E over 'slice'."""
+    spec = P("data", "slice" if shard_expiries else None, None)
+    return NamedSharding(mesh, spec)
+
+
+def shard_batch(mesh: Mesh, *arrays, axis: int = 0):
+    """Place arrays with their ``axis`` dim sharded over the mesh 'data'
+    axis (the TPU analogue of handing each pool worker a symbol batch)."""
+    out = []
+    for a in arrays:
+        spec = [None] * a.ndim
+        spec[axis] = "data"
+        out.append(jax.device_put(a, NamedSharding(mesh, P(*spec))))
+    return out if len(out) > 1 else out[0]
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    """Smallest multiple of ``m`` >= ``n`` (batch padding so shards are
+    equal — the static-shape version of the reference's greedy bin-packing
+    at optimized_batch_processor.py:123-164)."""
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,198 @@
+"""Host-side ingest: ragged per-symbol time series -> padded device batches.
+
+The reference fetched one symbol at a time from Postgres and processed it
+alone in a pool worker (src/interpolation/batch_processor.py:67-142);
+batch shaping was greedy complexity bin-packing
+(optimized_batch_processor.py:123-164). The TPU-native version is static
+*length bucketing*: each symbol's minute timeline is padded to the
+smallest configured bucket length, symbols sharing a bucket are stacked
+into (B, C, L) arrays, and the whole batch is one XLA computation.
+
+Guardrails mirror the reference (src/interpolation/core.py):
+  * < ``min_data_points`` observations -> skip          (core.py:26)
+  * time span > ``max_span_days``     -> skip          (core.py:37)
+  * timeline > ``max_timeline_points`` -> skip          (core.py:49)
+
+Column semantics (core.py:58-68): numeric columns ``iv``,
+``underlying_price``, ``time_to_maturity`` are *interpolated*; the rest
+are *forward-filled*. ``symbol``/``strike``/``callput`` are per-symbol
+constants handled host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+INTERP_COLS = ("iv", "underlying_price", "time_to_maturity")
+FFILL_COLS = ("interest_rate", "mark_price", "index_price", "volume",
+              "quote_volume")
+ALL_COLS = INTERP_COLS + FFILL_COLS
+
+_MINUTE_NS = 60_000_000_000
+
+
+def to_epoch_minutes(ts: pd.Series) -> np.ndarray:
+    """Timestamps -> int64 epoch minutes (floor)."""
+    vals = pd.to_datetime(ts).astype("datetime64[ns]").astype(np.int64)
+    return vals // _MINUTE_NS
+
+
+@dataclass
+class PackedBatch:
+    """One length-bucket's worth of symbols, padded to a common timeline."""
+
+    bucket_len: int
+    symbols: List[str]
+    t0_minutes: np.ndarray          # (B,) epoch minute of grid slot 0
+    valid_len: np.ndarray           # (B,) actual timeline length
+    values: np.ndarray              # (B, C, L) float, NaN = missing
+    obs_mask: np.ndarray            # (B, L) bool, observation landed here
+    timeline_mask: np.ndarray       # (B, L) bool, slot < valid_len
+    n_obs: np.ndarray               # (B,) source observation count
+    const_cols: Dict[str, list] = field(default_factory=dict)
+    columns: Sequence[str] = ALL_COLS
+
+    @property
+    def batch(self) -> int:
+        return len(self.symbols)
+
+
+@dataclass
+class IngestResult:
+    batches: List[PackedBatch]
+    skipped: Dict[str, str]         # symbol -> reason
+
+
+def choose_bucket(length: int, bucket_sizes: Sequence[int]) -> Optional[int]:
+    """Smallest configured bucket >= length (None if too long)."""
+    for b in sorted(bucket_sizes):
+        if length <= b:
+            return b
+    return None
+
+
+def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
+                 min_points: int = 10, max_span_days: int = 30,
+                 max_timeline_points: int = 100_000,
+                 freq_minutes: int = 1,
+                 max_batch: int = 4096,
+                 dtype=np.float32) -> IngestResult:
+    """Pack a tickers frame (reference ``trading_tickers`` layout: one row
+    per (symbol, date) observation) into padded device batches.
+
+    Duplicated (symbol, date) rows keep the last observation (the
+    reference's left-merge would have duplicated timeline rows — a defect
+    class we don't replicate).
+    """
+    if df.empty:
+        return IngestResult(batches=[], skipped={})
+
+    df = df.sort_values(["symbol", "date"]).drop_duplicates(
+        subset=["symbol", "date"], keep="last")
+    minutes_all = to_epoch_minutes(df["date"])
+
+    per_bucket: Dict[int, List[dict]] = {}
+    skipped: Dict[str, str] = {}
+
+    for symbol, idx in df.groupby("symbol", sort=True).indices.items():
+        obs_min = minutes_all.iloc[idx].to_numpy() if hasattr(minutes_all, "iloc") \
+            else minutes_all[idx]
+        n = len(obs_min)
+        if n < min_points:
+            skipped[symbol] = f"insufficient data points: {n} < {min_points}"
+            continue
+        span_min = int(obs_min[-1] - obs_min[0])
+        if span_min > max_span_days * 24 * 60:
+            skipped[symbol] = f"time range too large: {span_min} minutes"
+            continue
+        L = span_min // freq_minutes + 1
+        if L > max_timeline_points:
+            skipped[symbol] = f"timeline too long: {L} points"
+            continue
+        bucket = choose_bucket(L, bucket_sizes)
+        if bucket is None:
+            skipped[symbol] = f"timeline {L} exceeds largest bucket"
+            continue
+        sub = df.iloc[idx]
+        per_bucket.setdefault(bucket, []).append(
+            dict(symbol=symbol, obs_min=obs_min, L=L, sub=sub))
+
+    batches: List[PackedBatch] = []
+    for bucket, items in sorted(per_bucket.items()):
+        for lo in range(0, len(items), max_batch):
+            chunk = items[lo:lo + max_batch]
+            B = len(chunk)
+            C = len(ALL_COLS)
+            values = np.full((B, C, bucket), np.nan, dtype=dtype)
+            obs_mask = np.zeros((B, bucket), bool)
+            timeline_mask = np.zeros((B, bucket), bool)
+            t0 = np.zeros(B, np.int64)
+            valid_len = np.zeros(B, np.int64)
+            n_obs = np.zeros(B, np.int64)
+            consts: Dict[str, list] = {"strike": [], "callput": []}
+            symbols = []
+            for i, item in enumerate(chunk):
+                sub, obs_min, L = item["sub"], item["obs_min"], item["L"]
+                symbols.append(item["symbol"])
+                t0[i] = obs_min[0]
+                valid_len[i] = L
+                n_obs[i] = len(obs_min)
+                timeline_mask[i, :L] = True
+                # exact-grid alignment (the reference's left-merge on equal
+                # timestamps, core.py:54-55): off-grid observations are
+                # dropped from the grid but still bound the timeline
+                rel = obs_min - obs_min[0]
+                on_grid = rel % freq_minutes == 0
+                pos = (rel[on_grid] // freq_minutes).astype(np.int64)
+                obs_mask[i, pos] = True
+                for c, col in enumerate(ALL_COLS):
+                    if col in sub.columns:
+                        colv = pd.to_numeric(
+                            sub[col], errors="coerce").to_numpy(dtype)
+                        values[i, c, pos] = colv[on_grid]
+                for cc in consts:
+                    if cc in sub.columns and len(sub):
+                        consts[cc].append(sub[cc].iloc[0])
+                    else:
+                        consts[cc].append(None)
+            batches.append(PackedBatch(
+                bucket_len=bucket, symbols=symbols, t0_minutes=t0,
+                valid_len=valid_len, values=values, obs_mask=obs_mask,
+                timeline_mask=timeline_mask, n_obs=n_obs, const_cols=consts,
+            ))
+    return IngestResult(batches=batches, skipped=skipped)
+
+
+def unpack_interpolated(batch: PackedBatch, filled: np.ndarray,
+                        valid: np.ndarray, is_interpolated: np.ndarray,
+                        batch_id: int,
+                        greeks: Optional[Dict[str, np.ndarray]] = None,
+                        freq_minutes: int = 1) -> pd.DataFrame:
+    """Device grids -> reference ``interpolated_trading_tickers`` layout
+    (src/database/schema.py:21-52), valid rows only."""
+    frames = []
+    for i, symbol in enumerate(batch.symbols):
+        sel = np.asarray(valid[i])
+        if not sel.any():
+            continue
+        pos = np.flatnonzero(sel)
+        dates = pd.to_datetime(
+            (batch.t0_minutes[i] + pos * freq_minutes) * _MINUTE_NS)
+        data = {"symbol": symbol, "date": dates}
+        for c, col in enumerate(batch.columns):
+            data[col] = np.asarray(filled[i, c])[pos]
+        data["strike"] = batch.const_cols.get("strike", [None] * len(batch.symbols))[i]
+        data["callput"] = batch.const_cols.get("callput", [None] * len(batch.symbols))[i]
+        data["is_interpolated"] = np.asarray(is_interpolated[i])[pos]
+        if greeks is not None:
+            for gname, garr in greeks.items():
+                data[gname] = np.asarray(garr[i])[pos]
+        data["batch_id"] = batch_id
+        frames.append(pd.DataFrame(data))
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,428 @@
+"""Pipeline runner: storage -> packed batches -> jitted stage kernels ->
+storage, with run-manifest checkpointing and failure isolation.
+
+The reference's L5/L4 orchestration (ProductionPipelineManager,
+production_main.py:41-299; BatchProcessor.run_parallel,
+batch_processor.py:202-290) fanned symbols over a process pool with
+Postgres as shared state. Here a batch of symbols is one device
+computation; orchestration is a host loop over length buckets with:
+
+  * per-symbol guardrail skips recorded to the manifest (the reference's
+    'skipped' status, batch_processor.py:124-131);
+  * per-batch failure isolation — one failing bucket marks only its
+    symbols as errors and the run continues (mirrors per-symbol isolation,
+    batch_processor.py:132-142);
+  * resume: ``resume_batch_id`` re-enqueues pending+error symbols
+    (batch_processor.py:53-65).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from iv_interpolation_tpu.config import Config
+from iv_interpolation_tpu.ops.bridge import BridgeParams
+from iv_interpolation_tpu.ops.segment_ohlcv import validate_ohlcv
+from iv_interpolation_tpu.pipeline import ingest
+from iv_interpolation_tpu.pipeline import storage as st
+from iv_interpolation_tpu.pipeline.manifest import RunManifest
+from iv_interpolation_tpu.pipeline import tasks
+from iv_interpolation_tpu.monitoring.logging import get_logger, PerformanceLogger
+
+_FREQ_MIN = {"1min": 1, "5min": 5, "15min": 15, "30min": 30, "1h": 60}
+
+
+def parse_frequency(freq: str) -> int:
+    """'5min'/'5m'/'1h' -> minutes (reference core.py:27-34 parser)."""
+    if freq in _FREQ_MIN:
+        return _FREQ_MIN[freq]
+    if freq.endswith("min"):
+        return int(freq[:-3])
+    if freq.endswith("m"):
+        return int(freq[:-1])
+    if freq.endswith("h"):
+        return int(freq[:-1]) * 60
+    raise ValueError(f"Unsupported frequency: {freq}")
+
+
+class PipelineRunner:
+    """End-to-end three-stage pipeline over a storage adapter."""
+
+    def __init__(self, config: Config, store=None):
+        self.config = config
+        self.store = store if store is not None else st.get_store(config.storage)
+        self.log = get_logger("pipeline")
+        self.perf = PerformanceLogger()
+        self.np_dtype = {"float32": np.float32, "float64": np.float64,
+                         "bfloat16": np.float32}[config.processing.dtype]
+        self.dtype = {"float32": jnp.float32, "float64": jnp.float64,
+                      "bfloat16": jnp.bfloat16}[config.processing.dtype]
+
+    # ------------------------------------------------------------------
+    # Task 1 — IV interpolation
+    # ------------------------------------------------------------------
+    def run_task1(self, symbols: Optional[List[str]] = None,
+                  resume_batch_id: Optional[int] = None,
+                  limit: Optional[int] = None) -> dict:
+        cfg = self.config.interpolation
+        manifest = RunManifest(self.config.checkpoint.manifest_dir,
+                               "interpolation", resume_batch_id)
+        if resume_batch_id is not None:
+            symbols = manifest.pending_symbols()
+            self.log.info("resume batch %s: %d pending symbols",
+                          resume_batch_id, len(symbols))
+        if symbols is None:
+            symbols = self.store.list_symbols(st.TICKERS)
+        if limit:
+            symbols = symbols[:limit]
+        manifest.initialize_symbols(symbols)
+        if not symbols:
+            return manifest.summary()
+
+        t_start = time.time()
+        self.perf.log_batch_start(manifest.batch_id, len(symbols))
+        df = self.store.read(st.TICKERS, symbols=symbols)
+        freq = parse_frequency(cfg.frequency)
+        packed = ingest.pack_symbols(
+            df, self.config.processing.bucket_sizes,
+            min_points=cfg.min_data_points,
+            max_span_days=cfg.max_span_days,
+            max_timeline_points=cfg.max_timeline_points,
+            freq_minutes=freq,
+            max_batch=self.config.processing.batch_size,
+            dtype=self.np_dtype,
+        )
+        for sym, reason in packed.skipped.items():
+            manifest.skip_symbol(sym, reason)
+
+        max_gap = cfg.max_gap_hours * 60 if cfg.max_gap_hours else 0
+        n_rows_out = 0
+        for batch in packed.batches:
+            t0 = time.time()
+            try:
+                strike = jnp.asarray(pd.to_numeric(
+                    pd.Series(batch.const_cols.get("strike", [])),
+                    errors="coerce").to_numpy(self.np_dtype))
+                callput = np.asarray([
+                    str(c).lower() in ("c", "call")
+                    for c in batch.const_cols.get("callput", [])
+                ])
+                out = tasks.interpolate_batch(
+                    jnp.asarray(batch.values), jnp.asarray(batch.obs_mask),
+                    jnp.asarray(batch.timeline_mask),
+                    strike, jnp.asarray(callput),
+                    method=cfg.method, max_gap_minutes=max_gap,
+                    compute_greeks=cfg.compute_greeks,
+                )
+                jax.block_until_ready(out)
+                out_np = jax.tree.map(np.asarray, out)
+                result_df = ingest.unpack_interpolated(
+                    batch, out_np["filled"], out_np["valid"],
+                    out_np["is_interpolated"], manifest.batch_id,
+                    greeks=out_np.get("greeks"), freq_minutes=freq)
+                self.store.write(st.INTERPOLATED, result_df,
+                                 upsert_keys=["symbol", "date"])
+                dt = time.time() - t0
+                rows_per_symbol = (
+                    result_df.groupby("symbol").size() if len(result_df)
+                    else pd.Series(dtype=int))
+                for i, sym in enumerate(batch.symbols):
+                    n_out = int(rows_per_symbol.get(sym, 0))
+                    manifest.complete_symbol(
+                        sym, int(batch.n_obs[i]), n_out, dt / batch.batch)
+                    self.perf.log_symbol_processed(
+                        sym, int(batch.n_obs[i]), n_out, dt / batch.batch)
+                n_rows_out += len(result_df)
+            except Exception as e:  # failure isolation per bucket
+                self.log.exception("bucket L=%d failed", batch.bucket_len)
+                for sym in batch.symbols:
+                    manifest.error_symbol(sym, str(e), time.time() - t0)
+        summary = manifest.summary()
+        self.perf.log_batch_complete(manifest.batch_id, time.time() - t_start,
+                                     summary["output_rows"])
+        return summary
+
+    # ------------------------------------------------------------------
+    # Data bridge — interpolated -> synthetic 1-min OHLCV
+    # ------------------------------------------------------------------
+    def run_bridge(self, symbols: Optional[List[str]] = None,
+                   batch_id: Optional[int] = None,
+                   resume_batch_id: Optional[int] = None) -> dict:
+        cfg = self.config.data_bridge
+        manifest = RunManifest(self.config.checkpoint.manifest_dir,
+                               "bridge", resume_batch_id)
+        if resume_batch_id is not None:
+            symbols = manifest.pending_symbols()
+        if symbols is None:
+            symbols = self.store.list_symbols(st.INTERPOLATED)
+        manifest.initialize_symbols(symbols)
+        if not symbols:
+            return manifest.summary()
+
+        df = self.store.read(st.INTERPOLATED, symbols=symbols)
+        if batch_id is not None and "batch_id" in df.columns:
+            df = df[df["batch_id"] == batch_id]
+        df = df.rename(columns={"date": "date"})
+        packed = ingest.pack_symbols(
+            df, self.config.processing.bucket_sizes,
+            min_points=1, max_span_days=self.config.interpolation.max_span_days,
+            max_timeline_points=self.config.interpolation.max_timeline_points,
+            max_batch=self.config.processing.batch_size,
+            dtype=self.np_dtype,
+        )
+        for sym, reason in packed.skipped.items():
+            manifest.skip_symbol(sym, reason)
+
+        params = BridgeParams(
+            base_spread_percent=cfg.base_spread_percent,
+            volatility_factor=cfg.volatility_factor,
+            min_spread_percent=cfg.min_spread_percent,
+            trend_strength=cfg.trend_strength,
+            base_volume=cfg.base_volume,
+        )
+        root_key = jax.random.key(cfg.seed)
+        for batch in packed.batches:
+            t0 = time.time()
+            try:
+                values = jnp.asarray(batch.values)
+                mask = jnp.asarray(batch.timeline_mask)
+                # interpolated rows are stored post-fill; on the grid they
+                # appear at obs positions (obs_mask), padding in between
+                filled = tasks.interpolate_batch(
+                    values, jnp.asarray(batch.obs_mask), mask,
+                    jnp.full((batch.batch,), jnp.nan, self.dtype),
+                    jnp.zeros((batch.batch,), bool),
+                    method="ffill", compute_greeks=False)
+                price_col = tasks.select_price_columns(values, jnp.asarray(batch.obs_mask))
+                # one deterministic key per symbol name hash — order-free
+                keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    root_key,
+                    jnp.asarray([abs(hash(s)) % (2**31) for s in batch.symbols]))
+                ohlcv = tasks.bridge_batch(
+                    filled["filled"], filled["valid"] & jnp.asarray(batch.obs_mask),
+                    keys, params=params, price_col=price_col,
+                    strategy=cfg.conversion_strategy)
+                if cfg.enable_quality_checks:
+                    base = jnp.take_along_axis(
+                        filled["filled"],
+                        price_col[:, None, None].astype(jnp.int32),
+                        axis=1)[:, 0]
+                    from iv_interpolation_tpu.ops.bridge import (
+                        validate_bridge_quality)
+                    all_ok, _ = validate_bridge_quality(
+                        ohlcv["open"], ohlcv["high"], ohlcv["low"],
+                        ohlcv["close"], base, ohlcv["valid"])
+                    if not bool(all_ok):
+                        raise ValueError("OHLCV quality gate failed")
+                ohlcv_np = jax.tree.map(np.asarray, ohlcv)
+                result_df = self._unpack_candles(batch, ohlcv_np)
+                self.store.write(st.MINUTE_CANDLES, result_df,
+                                 upsert_keys=["symbol", "timestamp"])
+                dt = time.time() - t0
+                per_sym = (result_df.groupby("symbol").size()
+                           if len(result_df) else pd.Series(dtype=int))
+                for i, sym in enumerate(batch.symbols):
+                    manifest.complete_symbol(
+                        sym, int(batch.n_obs[i]),
+                        int(per_sym.get(sym, 0)), dt / batch.batch)
+            except Exception as e:
+                self.log.exception("bridge bucket L=%d failed",
+                                   batch.bucket_len)
+                for sym in batch.symbols:
+                    manifest.error_symbol(sym, str(e), time.time() - t0)
+        return manifest.summary()
+
+    @staticmethod
+    def _unpack_candles(batch: ingest.PackedBatch, ohlcv: Dict[str, np.ndarray],
+                        freq_minutes: int = 1) -> pd.DataFrame:
+        frames = []
+        for i, sym in enumerate(batch.symbols):
+            sel = np.flatnonzero(ohlcv["valid"][i])
+            if not len(sel):
+                continue
+            ts = pd.to_datetime(
+                (batch.t0_minutes[i] + sel * freq_minutes) * 60_000_000_000)
+            frames.append(pd.DataFrame({
+                "symbol": sym, "timestamp": ts,
+                "open": ohlcv["open"][i][sel], "high": ohlcv["high"][i][sel],
+                "low": ohlcv["low"][i][sel], "close": ohlcv["close"][i][sel],
+                "volume": ohlcv["volume"][i][sel],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+    # ------------------------------------------------------------------
+    # Task 2 — candle reconstruction
+    # ------------------------------------------------------------------
+    def run_task2(self, symbols: Optional[List[str]] = None,
+                  resume_batch_id: Optional[int] = None) -> dict:
+        cfg = self.config.candle_reconstruction
+        manifest = RunManifest(self.config.checkpoint.manifest_dir,
+                               "candles", resume_batch_id)
+        if resume_batch_id is not None:
+            symbols = manifest.pending_symbols()
+        if symbols is None:
+            symbols = self.store.list_symbols(st.MINUTE_CANDLES)
+        manifest.initialize_symbols(symbols)
+        if not symbols:
+            return manifest.summary()
+
+        df = self.store.read(st.MINUTE_CANDLES, symbols=symbols)
+        freq = parse_frequency(cfg.target_frequency)
+        src_freq = parse_frequency(cfg.source_frequency)
+        packed = self._pack_candles(df, src_freq)
+        created_at = pd.Timestamp.now()
+
+        for batch in packed:
+            t0 = time.time()
+            try:
+                # t0_minutes is in src-interval units; epoch minute of grid
+                # slot j is (t0 + j) * src_freq
+                minutes = (jnp.asarray(batch.t0_minutes)[:, None]
+                           + jnp.arange(batch.bucket_len)[None, :]) * src_freq
+                grids = {c: jnp.asarray(batch.values[:, j])
+                         for j, c in enumerate(batch.columns)}
+                valid_in = jnp.asarray(batch.obs_mask)
+                if cfg.validate_ohlc:
+                    ok_in, _ = validate_ohlcv(
+                        grids["open"], grids["high"], grids["low"],
+                        grids["close"], grids["volume"], valid_in)
+                    if not bool(ok_in):
+                        raise ValueError("invalid input candle data")
+                base_bucket = jnp.asarray(batch.t0_minutes) * src_freq // freq
+                num_segments = batch.bucket_len * src_freq // freq + 1
+                agg = tasks.candles_batch(
+                    minutes, {
+                        "open": grids["open"], "high": grids["high"],
+                        "low": grids["low"], "close": grids["close"],
+                        "volume": grids["volume"], "valid": valid_in,
+                    }, jnp.int32(freq), base_bucket,
+                    num_segments=num_segments,
+                    min_count=cfg.min_candles_required)
+                if cfg.validate_ohlc:
+                    ok_out, _ = validate_ohlcv(
+                        agg.open, agg.high, agg.low, agg.close,
+                        agg.volume, agg.valid)
+                    if not bool(ok_out):
+                        raise ValueError("invalid reconstructed candle data")
+                result_df = self._unpack_aggregated(
+                    batch, jax.tree.map(np.asarray, agg), freq, src_freq,
+                    cfg.target_frequency, created_at)
+                self.store.write(st.RECONSTRUCTED, result_df,
+                                 upsert_keys=["symbol", "timestamp",
+                                              "frequency"])
+                dt = time.time() - t0
+                per_sym = (result_df.groupby("symbol").size()
+                           if len(result_df) else pd.Series(dtype=int))
+                for i, sym in enumerate(batch.symbols):
+                    manifest.complete_symbol(
+                        sym, int(batch.n_obs[i]),
+                        int(per_sym.get(sym, 0)), dt / batch.batch)
+            except Exception as e:
+                self.log.exception("candles bucket L=%d failed",
+                                   batch.bucket_len)
+                for sym in batch.symbols:
+                    manifest.error_symbol(sym, str(e), time.time() - t0)
+        return manifest.summary()
+
+    def _pack_candles(self, df: pd.DataFrame, src_freq: int
+                      ) -> List[ingest.PackedBatch]:
+        """Scatter per-symbol 1-min candles onto padded dense grids."""
+        if df.empty:
+            return []
+        cols = ("open", "high", "low", "close", "volume")
+        df = df.sort_values(["symbol", "timestamp"]).drop_duplicates(
+            subset=["symbol", "timestamp"], keep="last")
+        minutes_all = ingest.to_epoch_minutes(df["timestamp"]) // src_freq
+        out: List[ingest.PackedBatch] = []
+        per_bucket: Dict[int, List[dict]] = {}
+        for symbol, idx in df.groupby("symbol", sort=True).indices.items():
+            obs = np.asarray(minutes_all)[idx]
+            sub = df.iloc[idx]
+            L = int(obs[-1] - obs[0]) + 1
+            bucket = ingest.choose_bucket(
+                L, self.config.processing.bucket_sizes)
+            if bucket is None:
+                continue
+            per_bucket.setdefault(bucket, []).append(
+                dict(symbol=symbol, obs=obs, sub=sub, L=L))
+        maxb = self.config.processing.batch_size
+        for bucket, items in sorted(per_bucket.items()):
+            for lo in range(0, len(items), maxb):
+                chunk = items[lo:lo + maxb]
+                B = len(chunk)
+                values = np.full((B, len(cols), bucket), np.nan,
+                                 self.np_dtype)
+                obs_mask = np.zeros((B, bucket), bool)
+                tl_mask = np.zeros((B, bucket), bool)
+                t0 = np.zeros(B, np.int64)
+                vlen = np.zeros(B, np.int64)
+                n_obs = np.zeros(B, np.int64)
+                syms = []
+                for i, item in enumerate(chunk):
+                    obs, sub, L = item["obs"], item["sub"], item["L"]
+                    syms.append(item["symbol"])
+                    t0[i] = obs[0]
+                    vlen[i] = L
+                    n_obs[i] = len(obs)
+                    tl_mask[i, :L] = True
+                    pos = (obs - obs[0]).astype(np.int64)
+                    obs_mask[i, pos] = True
+                    for j, c in enumerate(cols):
+                        values[i, j, pos] = pd.to_numeric(
+                            sub[c], errors="coerce").to_numpy(self.np_dtype)
+                out.append(ingest.PackedBatch(
+                    bucket_len=bucket, symbols=syms, t0_minutes=t0,
+                    valid_len=vlen, values=values, obs_mask=obs_mask,
+                    timeline_mask=tl_mask, n_obs=n_obs, columns=cols))
+        return out
+
+    @staticmethod
+    def _unpack_aggregated(batch: ingest.PackedBatch, agg, freq: int,
+                           src_freq: int, freq_name: str,
+                           created_at) -> pd.DataFrame:
+        frames = []
+        base_bucket = batch.t0_minutes * src_freq // freq
+        for i, sym in enumerate(batch.symbols):
+            sel = np.flatnonzero(agg.valid[i])
+            if not len(sel):
+                continue
+            ts = pd.to_datetime(
+                (base_bucket[i] + sel) * freq * 60_000_000_000)
+            frames.append(pd.DataFrame({
+                "symbol": sym, "timestamp": ts,
+                "open": agg.open[i][sel], "high": agg.high[i][sel],
+                "low": agg.low[i][sel], "close": agg.close[i][sel],
+                "volume": agg.volume[i][sel],
+                "frequency": freq_name, "source_candles": freq,
+                "created_at": created_at,
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+    # ------------------------------------------------------------------
+    def run_all(self, symbols: Optional[List[str]] = None,
+                limit: Optional[int] = None) -> dict:
+        """Full pipeline: interpolate -> bridge -> reconstruct
+        (reference complete_pipeline.run_complete_pipeline,
+        complete_pipeline.py:740-831)."""
+        s1 = self.run_task1(symbols=symbols, limit=limit)
+        s2 = self.run_bridge()
+        s3 = self.run_task2()
+        return {"task1": s1, "bridge": s2, "task2": s3}
+
+    def status(self) -> dict:
+        """Census across all four tables (reference get_pipeline_status,
+        complete_pipeline.py:178-219)."""
+        out = {}
+        for table in (st.TICKERS, st.INTERPOLATED, st.MINUTE_CANDLES,
+                      st.RECONSTRUCTED):
+            out[table] = {
+                "rows": self.store.count(table),
+                "symbols": len(self.store.list_symbols(table)),
+            }
+        return out

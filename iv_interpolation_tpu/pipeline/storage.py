@@ -1,0 +1,221 @@
+"""Storage adapters — the off-hot-path replacement for the reference's
+PostgreSQL data plane.
+
+The reference round-tripped every stage through Postgres tables
+(``trading_tickers`` -> ``interpolated_trading_tickers`` ->
+``minute_candles`` -> ``reconstructed_candles``; SURVEY.md §1) via three
+DB-manager variants (src/database/connection.py, optimized_connection.py,
+user_optimized_connection.py). Here storage is an edge concern: adapters
+feed/drain pandas frames at pipeline boundaries while all stage-to-stage
+handoff stays on device.
+
+Adapters share one duck-typed interface:
+  * ``list_symbols(table)``
+  * ``read(table, symbols=None)`` -> DataFrame
+  * ``write(table, df, upsert_keys=None)``  (upsert semantics mirror the
+    reference's ON CONFLICT DO UPDATE inserts, ohlcv_converter.py:428-437)
+  * ``count(table)``, ``tables()``, ``drop(table)``
+
+Backends: in-memory (tests), Parquet datasets (default), and Postgres
+(drop-in for reference deployments; gated on psycopg2 being installed).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import pandas as pd
+
+# canonical table names, matching the reference schema
+TICKERS = "trading_tickers"
+INTERPOLATED = "interpolated_trading_tickers"
+MINUTE_CANDLES = "minute_candles"
+RECONSTRUCTED = "reconstructed_candles"
+
+
+def _upsert(existing: pd.DataFrame, incoming: pd.DataFrame,
+            keys: List[str]) -> pd.DataFrame:
+    """Last-write-wins upsert on key columns."""
+    merged = pd.concat([existing, incoming], ignore_index=True)
+    return merged.drop_duplicates(subset=keys, keep="last").reset_index(drop=True)
+
+
+class MemoryStore:
+    """Dict-of-DataFrames store (test fixture / ephemeral runs)."""
+
+    def __init__(self):
+        self._tables: Dict[str, pd.DataFrame] = {}
+
+    def tables(self) -> List[str]:
+        return sorted(self._tables)
+
+    def list_symbols(self, table: str) -> List[str]:
+        df = self._tables.get(table)
+        if df is None or df.empty or "symbol" not in df.columns:
+            return []
+        return sorted(df["symbol"].unique().tolist())
+
+    def read(self, table: str, symbols: Optional[List[str]] = None) -> pd.DataFrame:
+        df = self._tables.get(table, pd.DataFrame())
+        if symbols is not None and not df.empty:
+            df = df[df["symbol"].isin(symbols)]
+        return df.reset_index(drop=True).copy()
+
+    def write(self, table: str, df: pd.DataFrame,
+              upsert_keys: Optional[List[str]] = None) -> int:
+        if df is None or df.empty:
+            return 0
+        if table in self._tables and upsert_keys:
+            self._tables[table] = _upsert(self._tables[table], df, upsert_keys)
+        elif table in self._tables:
+            self._tables[table] = pd.concat(
+                [self._tables[table], df], ignore_index=True)
+        else:
+            self._tables[table] = df.reset_index(drop=True).copy()
+        return len(df)
+
+    def count(self, table: str) -> int:
+        return len(self._tables.get(table, ()))
+
+    def drop(self, table: str) -> None:
+        self._tables.pop(table, None)
+
+
+class ParquetStore:
+    """One parquet file per table under ``root`` (simple, atomic-enough
+    for single-writer pipelines; sharded datasets can come later)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def tables(self) -> List[str]:
+        return sorted(
+            f[:-8] for f in os.listdir(self.root) if f.endswith(".parquet")
+        )
+
+    def list_symbols(self, table: str) -> List[str]:
+        path = self._path(table)
+        if not os.path.exists(path):
+            return []
+        df = pd.read_parquet(path, columns=["symbol"])
+        return sorted(df["symbol"].unique().tolist())
+
+    def read(self, table: str, symbols: Optional[List[str]] = None) -> pd.DataFrame:
+        path = self._path(table)
+        if not os.path.exists(path):
+            return pd.DataFrame()
+        filters = [("symbol", "in", symbols)] if symbols is not None else None
+        return pd.read_parquet(path, filters=filters).reset_index(drop=True)
+
+    def write(self, table: str, df: pd.DataFrame,
+              upsert_keys: Optional[List[str]] = None) -> int:
+        if df is None or df.empty:
+            return 0
+        path = self._path(table)
+        if os.path.exists(path):
+            existing = pd.read_parquet(path)
+            if upsert_keys:
+                df_all = _upsert(existing, df, upsert_keys)
+            else:
+                df_all = pd.concat([existing, df], ignore_index=True)
+        else:
+            df_all = df
+        tmp = path + ".tmp"
+        df_all.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+        return len(df)
+
+    def count(self, table: str) -> int:
+        path = self._path(table)
+        if not os.path.exists(path):
+            return 0
+        import pyarrow.parquet as pq
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def drop(self, table: str) -> None:
+        path = self._path(table)
+        if os.path.exists(path):
+            os.remove(path)
+
+
+class PostgresStore:
+    """Drop-in adapter for reference deployments (same tables/queries as
+    src/database/connection.py). Requires psycopg2, which this image does
+    not ship — constructing it without psycopg2 raises ImportError."""
+
+    def __init__(self, host, database, user, password, port=5432):
+        import psycopg2  # noqa: F401 — gate on availability
+        import psycopg2.extras
+        self._psycopg2 = psycopg2
+        self._extras = psycopg2.extras
+        self._dsn = dict(host=host, database=database, user=user,
+                         password=password, port=port)
+
+    def _connect(self):
+        return self._psycopg2.connect(**self._dsn)
+
+    def tables(self) -> List[str]:
+        q = ("SELECT tablename FROM pg_tables WHERE schemaname='public' "
+             "ORDER BY tablename")
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(q)
+            return [r[0] for r in cur.fetchall()]
+
+    def list_symbols(self, table: str) -> List[str]:
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(f"SELECT DISTINCT symbol FROM {table} ORDER BY symbol")
+            return [r[0] for r in cur.fetchall()]
+
+    def read(self, table: str, symbols: Optional[List[str]] = None) -> pd.DataFrame:
+        q = f"SELECT * FROM {table}"
+        params = None
+        if symbols is not None:
+            q += " WHERE symbol = ANY(%s)"
+            params = (list(symbols),)
+        with self._connect() as conn:
+            return pd.read_sql(q, conn, params=params)
+
+    def write(self, table: str, df: pd.DataFrame,
+              upsert_keys: Optional[List[str]] = None) -> int:
+        if df is None or df.empty:
+            return 0
+        cols = list(df.columns)
+        conflict = ""
+        if upsert_keys:
+            updates = ", ".join(
+                f"{c} = EXCLUDED.{c}" for c in cols if c not in upsert_keys)
+            conflict = (f" ON CONFLICT ({', '.join(upsert_keys)}) "
+                        f"DO UPDATE SET {updates}")
+        q = f"INSERT INTO {table} ({', '.join(cols)}) VALUES %s{conflict}"
+        rows = [tuple(r) for r in df.itertuples(index=False)]
+        with self._connect() as conn, conn.cursor() as cur:
+            self._extras.execute_values(cur, q, rows, page_size=1000)
+            conn.commit()
+        return len(rows)
+
+    def count(self, table: str) -> int:
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(f"SELECT COUNT(*) FROM {table}")
+            return cur.fetchone()[0]
+
+    def drop(self, table: str) -> None:
+        with self._connect() as conn, conn.cursor() as cur:
+            cur.execute(f"DROP TABLE IF EXISTS {table}")
+            conn.commit()
+
+
+def get_store(cfg) -> "MemoryStore | ParquetStore | PostgresStore":
+    """Build the configured storage adapter (cfg: StorageConfig)."""
+    if cfg.backend == "memory":
+        return MemoryStore()
+    if cfg.backend == "parquet":
+        return ParquetStore(cfg.root)
+    if cfg.backend == "postgres":
+        return PostgresStore(cfg.pg_host, cfg.pg_database, cfg.pg_user,
+                             cfg.pg_password, cfg.pg_port)
+    raise ValueError(f"unknown storage backend: {cfg.backend!r}")

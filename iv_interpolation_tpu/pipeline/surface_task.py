@@ -1,0 +1,146 @@
+"""Surface-fitting pipeline task: interpolated option rows -> fitted vol
+surfaces with arbitrage diagnostics.
+
+New capability beyond the reference (its IV handling stopped at 1-D time
+interpolation): groups interpolated rows by underlying, builds per-expiry
+smiles from the latest snapshot, fits the batched surface engine, and
+stores the evaluated grid + diagnostics.
+
+Symbol convention follows the reference's data
+(``btc-20mar23-24500-c``, main.py:177-183): underlying-expiry-strike-cp.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from iv_interpolation_tpu.pipeline import storage as st
+from iv_interpolation_tpu.surface.surface import fit_eval_surface
+
+SURFACES = "vol_surfaces"
+
+
+def parse_symbol(symbol: str):
+    """'btc-20mar23-24500-c' -> (underlying, expiry_str, strike, is_call)."""
+    parts = symbol.split("-")
+    if len(parts) < 4:
+        return None
+    try:
+        strike = float(parts[-2])
+    except ValueError:
+        return None
+    return parts[0], "-".join(parts[1:-2]), strike, parts[-1].lower() == "c"
+
+
+def build_chains(df: pd.DataFrame, min_strikes: int = 4):
+    """Latest-snapshot chains per (underlying, expiry): log-moneyness and
+    iv arrays sorted by strike. Returns list of dicts."""
+    rows = []
+    for symbol, sub in df.groupby("symbol"):
+        parsed = parse_symbol(symbol)
+        if parsed is None:
+            continue
+        und, exp, strike, is_call = parsed
+        last = sub.sort_values("date").iloc[-1]
+        if not np.isfinite(last["iv"]) or last["iv"] <= 0:
+            continue
+        rows.append(dict(underlying=und, expiry=exp, strike=strike,
+                         iv=float(last["iv"]),
+                         S=float(last["underlying_price"]),
+                         T=float(last["time_to_maturity"])))
+    if not rows:
+        return []
+    frame = pd.DataFrame(rows)
+    chains = []
+    for (und, exp), grp in frame.groupby(["underlying", "expiry"]):
+        grp = (grp.groupby("strike", as_index=False)
+               .agg({"iv": "mean", "S": "mean", "T": "mean"})
+               .sort_values("strike"))
+        if len(grp) < min_strikes:
+            continue
+        k = np.log(grp["strike"].to_numpy() / grp["S"].to_numpy())
+        chains.append(dict(underlying=und, expiry=exp, k=k,
+                           iv=grp["iv"].to_numpy(),
+                           T=float(grp["T"].mean())))
+    return chains
+
+
+def run_surface_fit(config, store, limit: Optional[int] = None,
+                    method: Optional[str] = None) -> dict:
+    """Fit one surface per underlying from interpolated data and persist
+    the evaluated grid + diagnostics."""
+    scfg = config.surface
+    method = method or scfg.smile_method
+    df = store.read(st.INTERPOLATED)
+    if df.empty:
+        return {"surfaces": 0, "reason": "no interpolated data"}
+    chains = build_chains(df)
+    if limit:
+        chains = chains[:limit]
+    if not chains:
+        return {"surfaces": 0, "reason": "no usable chains"}
+
+    by_und = {}
+    for c in chains:
+        by_und.setdefault(c["underlying"], []).append(c)
+
+    out_frames = []
+    n_fit = 0
+    for und, slices in by_und.items():
+        slices = sorted(slices, key=lambda c: c["T"])
+        E = len(slices)
+        n = max(len(c["k"]) for c in slices)
+        # pad each smile to n strikes by edge-repeating (keeps splines sane)
+        k = np.zeros((1, E, n), np.float64)
+        iv = np.zeros((1, E, n), np.float64)
+        T = np.zeros((1, E), np.float64)
+        for e, c in enumerate(slices):
+            m = len(c["k"])
+            k[0, e, :m] = c["k"]
+            iv[0, e, :m] = c["iv"]
+            if m < n:
+                # extend the strike axis strictly monotonically
+                step = (c["k"][-1] - c["k"][0]) / max(m - 1, 1) or 1e-3
+                k[0, e, m:] = c["k"][-1] + step * np.arange(1, n - m + 1)
+                iv[0, e, m:] = c["iv"][-1]
+            T[0, e] = c["T"]
+        if E == 1:  # surface needs >= 2 expiries; duplicate with wider T
+            k = np.repeat(k, 2, axis=1)
+            iv = np.repeat(iv, 2, axis=1)
+            T = np.concatenate([T, T + 1e-3], axis=1)
+            E = 2
+        res = fit_eval_surface(jnp.asarray(k), jnp.asarray(iv),
+                               jnp.asarray(T), method=method,
+                               n_grid=scfg.grid_strikes)
+        n_fit += 1
+        w = np.asarray(res["w_grid"][0])
+        kg = np.asarray(res["k_grid"][0])
+        ivg = np.asarray(res["iv_grid"][0])
+        recs = []
+        for e in range(E):
+            for j in range(w.shape[-1]):
+                recs.append((und, float(T[0, e]), float(kg[e, j]),
+                             float(w[e, j]), float(ivg[e, j])))
+        sdf = pd.DataFrame(recs, columns=["underlying", "expiry_t",
+                                          "log_moneyness", "total_variance",
+                                          "iv"])
+        sdf["butterfly_ok"] = bool(res["butterfly_ok"][0])
+        sdf["calendar_ok"] = bool(res["calendar_ok"][0])
+        out_frames.append(sdf)
+
+    result = pd.concat(out_frames, ignore_index=True)
+    store.write(SURFACES, result,
+                upsert_keys=["underlying", "expiry_t", "log_moneyness"])
+    return {
+        "surfaces": n_fit,
+        "grid_rows": len(result),
+        "butterfly_ok": int(result.groupby("underlying")["butterfly_ok"]
+                            .first().sum()),
+        "calendar_ok": int(result.groupby("underlying")["calendar_ok"]
+                           .first().sum()),
+        "method": method,
+    }

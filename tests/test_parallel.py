@@ -1,0 +1,84 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh, plus the driver
+dry-run entry points."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from iv_interpolation_tpu.parallel.mesh import (
+    make_mesh,
+    pad_to_multiple,
+    shard_batch,
+    surface_batch_sharding,
+)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_make_mesh_default():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "slice")
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh((4, 2))
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_shard_batch_places_on_data_axis(rng):
+    mesh = make_mesh((8, 1))
+    x = jnp.array(rng.normal(size=(16, 5)))
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.spec == P("data", None)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_sharded_surface_fit_matches_single_device(rng):
+    """The headline parity requirement for sharding: identical numerics
+    sharded vs unsharded."""
+    from iv_interpolation_tpu.surface.surface import fit_eval_surface
+
+    B, E, n = 16, 6, 12
+    k = jnp.broadcast_to(jnp.linspace(-1, 1, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 2.0, E), (B, E))
+    iv = 0.2 + 0.1 * k**2 + 0.01 * jnp.array(rng.normal(size=(B, 1, 1)))
+
+    ref = fit_eval_surface(k, iv, T, n_grid=10)["w_grid"]
+
+    mesh = make_mesh((8, 1))
+    sh = surface_batch_sharding(mesh)
+    ks = jax.device_put(k, sh)
+    ivs = jax.device_put(iv, sh)
+    Ts = jax.device_put(T, jax.NamedSharding(mesh, P("data", None)))
+    out = jax.jit(
+        lambda a, b, c: fit_eval_surface(a, b, c, n_grid=10)["w_grid"]
+    )(ks, ivs, Ts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == (256, 30, 50)
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(17, 8) == 24
+    assert pad_to_multiple(16, 8) == 16
+    assert pad_to_multiple(1, 8) == 8

@@ -1,0 +1,226 @@
+"""End-to-end pipeline tests on the memory/parquet stores, with a pandas
+oracle replicating the reference algorithms per symbol."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iv_interpolation_tpu.config import get_config
+from iv_interpolation_tpu.pipeline import (
+    MemoryStore,
+    ParquetStore,
+    PipelineRunner,
+    RunManifest,
+)
+from iv_interpolation_tpu.pipeline import storage as st
+from iv_interpolation_tpu.pipeline.sample_data import (
+    generate_sample_candles,
+    generate_sample_tickers,
+)
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    c = get_config("testing")
+    c.checkpoint.manifest_dir = str(tmp_path / "runs")
+    c.storage.backend = "memory"
+    c.monitoring.log_dir = str(tmp_path / "logs")
+    c.processing.dtype = "float64"  # parity mode (CPU x64 suite)
+    return c
+
+
+def _reference_interpolation(symbol_df):
+    """The reference Task-1 algorithm (core.py:16-81) with the
+    is_interpolated defect fixed (intended semantics)."""
+    sd = symbol_df.sort_values("date").reset_index(drop=True)
+    timeline = pd.date_range(sd["date"].min(), sd["date"].max(), freq="1min")
+    merged = pd.DataFrame({"date": timeline}).merge(sd, on="date", how="left")
+    was_obs = merged["iv"].notna() | merged["symbol"].notna()
+    for col in ("iv", "underlying_price", "time_to_maturity"):
+        merged[col] = merged[col].interpolate(method="linear")
+    for col in ("symbol", "strike", "callput", "interest_rate", "mark_price",
+                "index_price", "volume", "quote_volume"):
+        if col in merged.columns:
+            merged[col] = merged[col].ffill()
+    merged["is_interpolated"] = ~was_obs
+    merged = merged.dropna(
+        subset=["symbol", "iv", "underlying_price", "time_to_maturity"])
+    return merged
+
+
+def test_task1_matches_reference_algorithm(cfg):
+    tickers = generate_sample_tickers(num_symbols=3, hours=12, drop_frac=0.2)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    cfg.interpolation.max_gap_hours = 0  # bridge all gaps, like the reference
+    runner = PipelineRunner(cfg, store=store)
+    summary = runner.run_task1()
+    assert summary["by_status"].get("completed") == 3
+
+    out = store.read(st.INTERPOLATED)
+    for symbol, sub in tickers.groupby("symbol"):
+        ref = _reference_interpolation(sub)
+        got = out[out["symbol"] == symbol].sort_values("date")
+        assert len(got) == len(ref), symbol
+        for col in ("iv", "underlying_price", "time_to_maturity",
+                    "mark_price", "index_price", "volume"):
+            np.testing.assert_allclose(
+                got[col].to_numpy(float), ref[col].to_numpy(float),
+                atol=1e-6, err_msg=f"{symbol}:{col}")
+        np.testing.assert_array_equal(
+            got["is_interpolated"].to_numpy(), ref["is_interpolated"].to_numpy())
+
+
+def test_task1_greeks_populated(cfg):
+    tickers = generate_sample_tickers(num_symbols=2, hours=12)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    PipelineRunner(cfg, store=store).run_task1()
+    out = store.read(st.INTERPOLATED)
+    for g in ("delta", "gamma", "theta", "vega", "rho"):
+        assert g in out.columns
+        assert out[g].notna().all()
+    # call deltas in (0,1), put deltas in (-1,0)
+    calls = out[out["callput"] == "C"]
+    puts = out[out["callput"] == "P"]
+    assert ((calls["delta"] > 0) & (calls["delta"] < 1)).all()
+    assert ((puts["delta"] > -1) & (puts["delta"] < 0)).all()
+
+
+def test_task1_guardrails_skip(cfg):
+    tickers = generate_sample_tickers(num_symbols=2, hours=12)
+    # symbol with too few points
+    few = tickers[tickers["symbol"] == tickers["symbol"].iloc[0]].head(3)
+    few = few.assign(symbol="btc-few-1000-c")
+    store = MemoryStore()
+    store.write(st.TICKERS, pd.concat([tickers, few]))
+    cfg.interpolation.min_data_points = 10
+    runner = PipelineRunner(cfg, store=store)
+    summary = runner.run_task1()
+    assert summary["by_status"].get("skipped") == 1
+    m = RunManifest(cfg.checkpoint.manifest_dir, "interpolation",
+                    summary["batch_id"])
+    rec = m.records()["btc-few-1000-c"]
+    assert rec.status == "skipped"
+    assert "insufficient data points" in rec.error_message
+
+
+def test_full_pipeline_and_task2_parity(cfg):
+    tickers = generate_sample_tickers(num_symbols=3, hours=10)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    res = runner.run_all()
+    assert res["task1"]["by_status"].get("completed") == 3
+    assert res["bridge"]["by_status"].get("completed") == 3
+    assert res["task2"]["by_status"].get("completed") == 3
+
+    minute = store.read(st.MINUTE_CANDLES)
+    recon = store.read(st.RECONSTRUCTED)
+    assert len(minute) and len(recon)
+
+    # Task-2 parity vs the reference pandas groupby (core.py:70-89)
+    for symbol, sub in minute.groupby("symbol"):
+        data = sub.sort_values("timestamp").copy()
+        data["time_group"] = data["timestamp"].dt.floor("5min")
+        agg = data.groupby("time_group").agg(
+            open=("open", "first"), high=("high", "max"),
+            low=("low", "min"), close=("close", "last"),
+            volume=("volume", "sum"))
+        counts = data.groupby("time_group").size()
+        agg = agg[counts >= 5]
+        got = recon[recon["symbol"] == symbol].sort_values("timestamp")
+        assert len(got) == len(agg), symbol
+        for col in ("open", "high", "low", "close", "volume"):
+            np.testing.assert_allclose(
+                got[col].to_numpy(float), agg[col].to_numpy(float),
+                rtol=1e-6, err_msg=f"{symbol}:{col}")
+
+    # bridge output respects OHLC invariants
+    assert (minute["high"] >= minute["low"]).all()
+    assert (minute["high"] >= minute[["open", "close"]].max(axis=1) - 1e-9).all()
+    assert (minute["volume"] >= 0).all()
+
+
+def test_resume_reprocesses_only_pending(cfg):
+    tickers = generate_sample_tickers(num_symbols=3, hours=12)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    s1 = runner.run_task1()
+    batch_id = s1["batch_id"]
+    # simulate a crash: mark one symbol error
+    m = RunManifest(cfg.checkpoint.manifest_dir, "interpolation", batch_id)
+    victim = sorted(m.records())[0]
+    m.error_symbol(victim, "simulated crash")
+    assert m.pending_symbols() == [victim]
+    s2 = runner.run_task1(resume_batch_id=batch_id)
+    m2 = RunManifest(cfg.checkpoint.manifest_dir, "interpolation", batch_id)
+    assert m2.records()[victim].status == "completed"
+    assert m2.is_done()
+
+
+def test_bridge_determinism(cfg):
+    tickers = generate_sample_tickers(num_symbols=2, hours=8)
+    results = []
+    for _ in range(2):
+        store = MemoryStore()
+        store.write(st.TICKERS, tickers)
+        cfg.interpolation.min_data_points = 5
+        runner = PipelineRunner(cfg, store=store)
+        runner.run_task1()
+        runner.run_bridge()
+        results.append(store.read(st.MINUTE_CANDLES)
+                       .sort_values(["symbol", "timestamp"])
+                       .reset_index(drop=True))
+    pd.testing.assert_frame_equal(results[0], results[1])
+
+
+def test_sample_candles_match_reference_shape():
+    df = generate_sample_candles(num_symbols=5, hours=24)
+    assert len(df) == 5 * 24 * 60
+    assert set(df.columns) == {"symbol", "timestamp", "open", "high", "low",
+                               "close", "volume"}
+    assert (df["high"] >= df[["open", "close"]].max(axis=1)).all()
+    assert (df["low"] <= df[["open", "close"]].min(axis=1)).all()
+    assert df["symbol"].nunique() == 5
+
+
+def test_status_census(cfg):
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(num_symbols=2, hours=6))
+    runner = PipelineRunner(cfg, store=store)
+    status = runner.status()
+    assert status[st.TICKERS]["symbols"] == 2
+    assert status[st.RECONSTRUCTED]["rows"] == 0
+
+
+@pytest.mark.parametrize("store_cls", ["memory", "parquet"])
+def test_storage_adapters(tmp_path, store_cls):
+    store = (MemoryStore() if store_cls == "memory"
+             else ParquetStore(str(tmp_path / "data")))
+    df = pd.DataFrame({
+        "symbol": ["a", "a", "b"],
+        "timestamp": pd.date_range("2023-01-01", periods=3, freq="1min"),
+        "open": [1.0, 2.0, 3.0],
+    })
+    assert store.write("t", df) == 3
+    assert store.count("t") == 3
+    assert store.list_symbols("t") == ["a", "b"]
+    # upsert: overwrite one row, add one
+    df2 = df.iloc[[0]].assign(open=9.0)
+    df3 = pd.concat([df2, pd.DataFrame({
+        "symbol": ["c"], "timestamp": [pd.Timestamp("2023-01-01")],
+        "open": [5.0]})])
+    store.write("t", df3, upsert_keys=["symbol", "timestamp"])
+    out = store.read("t")
+    assert store.count("t") == 4
+    assert out[(out["symbol"] == "a")].sort_values("timestamp")["open"].iloc[0] == 9.0
+    out_a = store.read("t", symbols=["a"])
+    assert set(out_a["symbol"]) == {"a"}
+    store.drop("t")
+    assert store.count("t") == 0

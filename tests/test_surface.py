@@ -1,0 +1,133 @@
+"""Vol-surface engine tests: parity of the full construction vs a
+SciPy/NumPy oracle, plus no-arbitrage diagnostics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.interpolate import CubicSpline
+
+from iv_interpolation_tpu.surface import (
+    check_surface_arbitrage,
+    eval_surface,
+    fit_eval_surface,
+    fit_surface,
+)
+
+
+def _chains(rng, B=3, E=10, n=20):
+    k = np.broadcast_to(np.linspace(-1.0, 1.0, n), (B, E, n)).copy()
+    T = np.broadcast_to(np.linspace(0.1, 2.0, E), (B, E)).copy()
+    atm = rng.uniform(0.15, 0.5, (B, 1, 1))
+    curv = rng.uniform(0.05, 0.3, (B, 1, 1))
+    iv = atm + curv * k**2
+    return k, iv, T
+
+
+def _oracle_grid(k, iv, T, n_grid):
+    """NumPy/SciPy reference: per-slice natural cubic spline on total
+    variance, evaluated on the common dense grid."""
+    B, E, n = k.shape
+    k_lo = k[..., 0].max(axis=-1)
+    k_hi = k[..., -1].min(axis=-1)
+    out = np.zeros((B, E, n_grid))
+    grids = np.zeros((B, E, n_grid))
+    for b in range(B):
+        kg = np.linspace(k_lo[b], k_hi[b], n_grid)
+        for e in range(E):
+            w = iv[b, e] ** 2 * T[b, e]
+            cs = CubicSpline(k[b, e], w, bc_type="natural")
+            out[b, e] = cs(kg)
+            grids[b, e] = kg
+    return grids, out
+
+
+def test_grid_matches_scipy_oracle(rng):
+    k, iv, T = _chains(rng)
+    got = fit_eval_surface(jnp.array(k), jnp.array(iv), jnp.array(T),
+                           n_grid=25)
+    k_ref, w_ref = _oracle_grid(k, iv, T, 25)
+    np.testing.assert_allclose(np.asarray(got["k_grid"]), k_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got["w_grid"]), w_ref, atol=1e-8)
+
+
+def test_iv_grid_roundtrip(rng):
+    k, iv, T = _chains(rng)
+    got = fit_eval_surface(jnp.array(k), jnp.array(iv), jnp.array(T))
+    # at the knots the spline interpolates: iv_grid at k=0 ~ atm vol
+    w = np.asarray(got["w_grid"])
+    ivg = np.asarray(got["iv_grid"])
+    np.testing.assert_allclose(ivg**2 * T[..., None], w, atol=1e-10)
+
+
+def test_eval_surface_total_variance_interp(rng):
+    k, iv, T = _chains(rng, B=2, E=5, n=15)
+    fit = fit_surface(jnp.array(k), jnp.array(iv), jnp.array(T))
+    # query exactly on a slice -> match that slice's spline value
+    kq = jnp.zeros((2, 1))
+    Tq = jnp.full((2, 1), T[0, 2])
+    got = eval_surface(fit, kq, Tq)
+    ref = [CubicSpline(k[b, 2], iv[b, 2] ** 2 * T[b, 2],
+                       bc_type="natural")(0.0) for b in range(2)]
+    np.testing.assert_allclose(np.asarray(got)[:, 0], ref, atol=1e-8)
+    # midway between slices -> average of the bracketing w values
+    Tm = jnp.full((2, 1), (T[0, 2] + T[0, 3]) / 2)
+    got_mid = eval_surface(fit, kq, Tm)
+    ref3 = [CubicSpline(k[b, 3], iv[b, 3] ** 2 * T[b, 3],
+                        bc_type="natural")(0.0) for b in range(2)]
+    np.testing.assert_allclose(np.asarray(got_mid)[:, 0],
+                               (np.array(ref) + np.array(ref3)) / 2, atol=1e-8)
+
+
+def test_eval_surface_clamps_outside_range(rng):
+    k, iv, T = _chains(rng, B=1, E=4, n=10)
+    fit = fit_surface(jnp.array(k), jnp.array(iv), jnp.array(T))
+    kq = jnp.zeros((1, 2))
+    Tq = jnp.array([[T[0, 0] / 2, T[0, -1] * 2]])
+    got = eval_surface(fit, kq, Tq)
+    ref_lo = eval_surface(fit, kq[:, :1], jnp.array([[T[0, 0]]]))
+    ref_hi = eval_surface(fit, kq[:, :1], jnp.array([[T[0, -1]]]))
+    np.testing.assert_allclose(float(got[0, 0]), float(ref_lo[0, 0]), atol=1e-12)
+    np.testing.assert_allclose(float(got[0, 1]), float(ref_hi[0, 0]), atol=1e-12)
+
+
+def test_clean_surface_is_arb_free(rng):
+    # gentle smile: steep wings (curv ~0.3) genuinely violate butterfly
+    # no-arb at long maturities, so keep curvature modest here
+    k, iv, T = _chains(rng)
+    iv = 0.2 + 0.08 * k**2
+    got = fit_eval_surface(jnp.array(k), jnp.array(iv), jnp.array(T))
+    assert np.asarray(got["butterfly_ok"]).all()
+    assert np.asarray(got["calendar_ok"]).all()
+
+
+def test_calendar_violation_detected(rng):
+    k, iv, T = _chains(rng, B=1)
+    iv = iv.copy()
+    iv[0, 5] *= 3.0  # an inverted slice: w(T5) >> w(T6) -> calendar arb
+    got = fit_eval_surface(jnp.array(k), jnp.array(iv), jnp.array(T))
+    assert not bool(got["calendar_ok"][0])
+    diag = check_surface_arbitrage(got["k_grid"], got["w_grid"])
+    assert int(diag["calendar_violations"][0]) > 0
+
+
+def test_svi_method_fits_and_flags(rng):
+    from iv_interpolation_tpu.ops.svi import svi_total_variance
+    B, E, n = 2, 6, 40
+    p = jnp.tile(jnp.array([0.04, 0.4, -0.4, 0.05, 0.3]), (B, E, 1))
+    # scale a upward with maturity so calendar holds (scale <= 2 keeps the
+    # scaled slices butterfly-free; g goes negative around scale 3)
+    scale = jnp.linspace(1.0, 2.0, E)[None, :, None]
+    k = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, n), (B, E, n))
+    w = svi_total_variance(p, k) * scale
+    T = jnp.broadcast_to(jnp.linspace(0.1, 2.0, E), (B, E))
+    iv = jnp.sqrt(w / T[..., None])
+    got = fit_eval_surface(k, iv, T, method="svi", svi_iters=100)
+    np.testing.assert_allclose(np.asarray(got["w_grid"]),
+                               np.asarray(
+                                   svi_total_variance(
+                                       got["fit"].coefs, got["k_grid"])),
+                               atol=1e-12)
+    # refit error against the true surface
+    w_true = np.asarray(svi_total_variance(p, got["k_grid"]) * scale)
+    np.testing.assert_allclose(np.asarray(got["w_grid"]), w_true, atol=1e-4)
+    assert np.asarray(got["butterfly_ok"]).all()
