@@ -45,18 +45,23 @@ def main():
     best = 0.0
     best_B = 0
     for B in (2048, 8192):
-        # fresh inputs per timed call + per-call block_until_ready: queued
-        # identical dispatches can be deduplicated by the runtime and give
-        # absurd numbers (measured 459M surfaces/s vs ~8k real)
-        inputs = [_chains(B, rng) for _ in range(4)]
-        out = step_jit(*inputs[0])
+        # Timing rules learned the hard way on this runtime:
+        #  * every timed call gets FRESH input buffers — repeat dispatches
+        #    with identical buffers can be served from a cache (measured
+        #    459M surf/s fake vs ~30M real);
+        #  * per-call block_until_ready;
+        #  * median over calls — occasional multi-hundred-ms stalls from
+        #    the remote-compile relay would poison a mean.
+        inputs = [_chains(B, rng) for _ in range(7)]
+        out = step_jit(*inputs[-1])
         jax.block_until_ready(out)          # compile + warmup
-        iters = 8
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = step_jit(*inputs[i % len(inputs)])
+        times = []
+        for args in inputs[:-1]:
+            t0 = time.perf_counter()
+            out = step_jit(*args)
             jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
         sps = B / dt
         if sps > best:
             best, best_B = sps, B

@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parquet dataset root (default ./data)")
     p.add_argument("--list-batches", action="store_true",
                    help="list prior run manifests")
+    p.add_argument("--check", action="store_true",
+                   help="audit pipeline results (reference check_results.py)")
+    p.add_argument("--visualize", action="store_true",
+                   help="render pipeline analysis PNGs "
+                        "(reference pipeline_visualizer.py)")
+    p.add_argument("--plot-dir", default=".",
+                   help="output directory for --visualize figures")
     p.add_argument("--json", action="store_true",
                    help="machine-readable summaries")
     return p
@@ -105,6 +112,22 @@ def main(argv=None) -> int:
         return 0
 
     runner = PipelineRunner(config)
+
+    if args.check:
+        from iv_interpolation_tpu.pipeline.check_results import (
+            check_candle_results, check_interpolation_results, quick_summary)
+        _emit(args, quick_summary(runner.store), "quick summary")
+        _emit(args, check_interpolation_results(runner.store),
+              "task 1 audit")
+        _emit(args, check_candle_results(runner.store), "task 2 audit")
+        return 0
+
+    if args.visualize:
+        from iv_interpolation_tpu.pipeline.visualize import PipelineVisualizer
+        report = PipelineVisualizer(runner.store,
+                                    out_dir=args.plot_dir).summary_report()
+        _emit(args, report, "visualization report")
+        return 0
 
     if args.generate_sample_candles or args.generate_sample_tickers:
         from iv_interpolation_tpu.pipeline.sample_data import (

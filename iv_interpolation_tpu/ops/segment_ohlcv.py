@@ -71,9 +71,12 @@ def aggregate_ohlcv(minutes: jax.Array, o: jax.Array, h: jax.Array,
     volume = jax.ops.segment_sum(jnp.where(ok, v, 0.0), seg, num_segments=ns)
     count = jax.ops.segment_sum(ok.astype(jnp.int32), seg, num_segments=ns)
 
-    # first/last via in-bucket minute offset: argmin/argmax of the offset
-    # realised as segment_min/max over offset, then select rows matching it.
-    offset = (minutes - (seg + base_bucket) * bucket_minutes).astype(jnp.int32)
+    # first/last via in-bucket row order: rows are time-sorted, so the
+    # first/last row position in a bucket is the first/last bar. Using the
+    # row position (not the minute offset) keeps this correct when several
+    # rows share a timestamp (e.g. multiple ticks within one minute).
+    offset = jax.lax.broadcasted_iota(jnp.int32, (minutes.shape[-1], 1),
+                                      0).squeeze(-1)
     bigi = jnp.iinfo(jnp.int32).max
     first_off = jax.ops.segment_min(jnp.where(ok, offset, bigi), seg,
                                     num_segments=ns)

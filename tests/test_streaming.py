@@ -1,0 +1,78 @@
+"""Streaming fused pipeline tests: tick->candle->refit in one jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iv_interpolation_tpu.pipeline.streaming import streaming_step
+
+
+def _ticks(rng, B, n_ticks, n_minutes, sigma_annual=0.5):
+    minute = np.sort(rng.integers(0, n_minutes, (B, n_ticks)), axis=-1)
+    # GBM *minute path* with known annual vol; ticks sample the path at
+    # their minute (so multiple ticks per minute don't inflate variance)
+    per_min = sigma_annual / np.sqrt(365.25 * 24 * 60)
+    path = 100.0 * np.exp(np.cumsum(rng.normal(0, per_min, (B, n_minutes)),
+                                    axis=-1))
+    price = np.take_along_axis(path, minute, axis=-1)
+    size = rng.uniform(0, 10, (B, n_ticks))
+    valid = np.ones((B, n_ticks), bool)
+    return (jnp.asarray(minute), jnp.asarray(price), jnp.asarray(size),
+            jnp.asarray(valid))
+
+
+def _chains(rng, B, E=6, n=12):
+    k = np.broadcast_to(np.linspace(-0.8, 0.8, n), (B, E, n)).copy()
+    T = np.broadcast_to(np.linspace(0.1, 1.5, E), (B, E)).copy()
+    iv = 0.5 + 0.05 * k**2
+    return jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T)
+
+
+def test_streaming_step_shapes_and_flags(rng):
+    B, n_minutes = 8, 256
+    tm, tp, tsz, tv = _ticks(rng, B, 2000, n_minutes)
+    k, iv, T = _chains(rng, B)
+    out = streaming_step(tm, tp, tsz, tv, k, iv, T,
+                         n_minutes=n_minutes, n_grid=20)
+    assert out.w_grid.shape == (B, 6, 20)
+    assert out.iv_grid.shape == (B, 6, 20)
+    assert np.asarray(out.butterfly_ok).all()
+    assert np.asarray(out.calendar_ok).all()
+    # candles chain: 1-min and 5-min buckets populated
+    assert np.asarray(out.candles_1m.valid).sum() > 0
+    assert np.asarray(out.candles_5m.valid).sum() > 0
+
+
+def test_realized_vol_recovers_input_vol(rng):
+    """GBM ticks with sigma=0.5/yr -> realized estimate near 0.5."""
+    B, n_minutes = 16, 1024
+    tm, tp, tsz, tv = _ticks(rng, B, 8000, n_minutes, sigma_annual=0.5)
+    k, iv, T = _chains(rng, B)
+    out = streaming_step(tm, tp, tsz, tv, k, iv, T, n_minutes=n_minutes,
+                         n_grid=10)
+    rv = np.asarray(out.realized_vol)
+    assert 0.3 < rv.mean() < 0.7, rv.mean()
+
+
+def test_refit_moves_iv_toward_realized(rng):
+    B, n_minutes = 4, 512
+    tm, tp, tsz, tv = _ticks(rng, B, 4000, n_minutes, sigma_annual=1.0)
+    k, iv, T = _chains(rng, B)  # quoted atm iv = 0.5
+    out = streaming_step(tm, tp, tsz, tv, k, iv, T, n_minutes=n_minutes,
+                         n_grid=20)
+    atm = np.asarray(out.iv_grid)[:, :, 10]
+    # realized ~1.0 > quoted 0.5 -> refit IV should rise above the quote
+    assert (atm > 0.5).all()
+
+
+def test_single_jit_no_host_roundtrip(rng):
+    """The whole chain must be one compiled computation."""
+    B, n_minutes = 4, 256
+    tm, tp, tsz, tv = _ticks(rng, B, 1000, n_minutes)
+    k, iv, T = _chains(rng, B)
+    lowered = jax.jit(
+        lambda *a: streaming_step(*a, n_minutes=n_minutes, n_grid=10)
+    ).lower(tm, tp, tsz, tv, k, iv, T)
+    compiled = lowered.compile()
+    out = compiled(tm, tp, tsz, tv, k, iv, T)
+    assert np.isfinite(np.asarray(out.realized_vol)).all()

@@ -1,0 +1,126 @@
+"""Tests for the operator tooling: results checker, readiness validation,
+monitor, CLI."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iv_interpolation_tpu.config import get_config
+from iv_interpolation_tpu.pipeline import MemoryStore, PipelineRunner
+from iv_interpolation_tpu.pipeline import storage as st
+from iv_interpolation_tpu.pipeline.check_results import (
+    check_candle_results,
+    check_interpolation_results,
+    compare_minute_vs_reconstructed,
+    quick_summary,
+)
+from iv_interpolation_tpu.pipeline.sample_data import generate_sample_tickers
+from iv_interpolation_tpu.pipeline.validate import (
+    estimate_processing,
+    validate_readiness,
+)
+
+
+@pytest.fixture
+def ran_store(tmp_path):
+    cfg = get_config("testing")
+    cfg.checkpoint.manifest_dir = str(tmp_path / "runs")
+    cfg.processing.dtype = "float64"
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(num_symbols=3, hours=8))
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    runner.run_all()
+    return cfg, store
+
+
+def test_check_interpolation_results(ran_store):
+    _, store = ran_store
+    rep = check_interpolation_results(store)
+    assert rep["ok"]
+    assert rep["output_rows"] > rep["source_rows"]
+    assert 50 < rep["expansion_ratio"] < 70
+    assert rep["interpolated_rows"] + rep["original_rows"] == rep["output_rows"]
+    assert len(rep["top_symbols"]) == 3
+
+
+def test_check_candle_results(ran_store):
+    _, store = ran_store
+    rep = check_candle_results(store)
+    assert rep["ok"]
+    assert rep["invalid_ohlc_rows"] == 0
+    assert rep["negative_volume_rows"] == 0
+    assert 4.5 < rep["compression_ratio"] < 5.5
+
+
+def test_compare_minute_vs_reconstructed(ran_store):
+    _, store = ran_store
+    df = compare_minute_vs_reconstructed(store, n=8)
+    assert len(df) == 8
+    assert df["matches"].all()
+
+
+def test_quick_summary(ran_store):
+    _, store = ran_store
+    s = quick_summary(store)
+    assert s["pipeline_complete"]
+    assert s[st.TICKERS]["symbols"] == 3
+
+
+def test_validate_readiness_empty_store(tmp_path):
+    cfg = get_config("testing")
+    rep = validate_readiness(cfg, MemoryStore(), task="interpolation")
+    assert not rep["ready"]
+    assert not rep["checks"]["table_trading_tickers"]["ok"]
+
+
+def test_validate_readiness_ready(ran_store):
+    cfg, store = ran_store
+    rep = validate_readiness(cfg, store, task="interpolation")
+    assert rep["ready"]
+
+
+def test_estimate_processing(ran_store):
+    cfg, store = ran_store
+    rep = estimate_processing(cfg, store)
+    assert rep["input_rows"] > 0
+    assert rep["measured_grid_points_per_s"] > 0
+    assert rep["estimated_seconds"] >= 0
+
+
+def test_monitor_render(ran_store, capsys):
+    cfg, _ = ran_store
+    from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
+    mon = RealtimeMonitor(cfg)
+    mon.run(max_iterations=2)
+    out = capsys.readouterr().out
+    assert "batch" in out and "completed=" in out
+    assert "batch complete" in out  # finished runs auto-exit
+
+
+def test_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    from iv_interpolation_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["--generate-sample-tickers", "--symbols", "2",
+                   "--env", "development", "--json",
+                   "--data-root", str(tmp_path / "data")])
+    assert rc == 0
+    rc = cli.main(["--task", "interpolation", "--env", "development",
+                   "--json", "--data-root", str(tmp_path / "data")])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["task1"]["by_status"]["completed"] == 2
+    rc = cli.main(["--list-batches", "--json",
+                   "--data-root", str(tmp_path / "data")])
+    assert rc == 0
+    batches = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(batches) == 1
+
+
+def test_cli_rejects_unknown_task():
+    from iv_interpolation_tpu import cli
+    with pytest.raises(SystemExit):
+        cli.main(["--task", "nonsense"])

@@ -1,0 +1,48 @@
+"""Visualizer smoke tests: every figure renders and lands on disk."""
+
+import os
+
+import pytest
+
+from iv_interpolation_tpu.config import get_config
+from iv_interpolation_tpu.pipeline import MemoryStore, PipelineRunner
+from iv_interpolation_tpu.pipeline import storage as st
+from iv_interpolation_tpu.pipeline.sample_data import generate_sample_tickers
+from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
+from iv_interpolation_tpu.pipeline.visualize import PipelineVisualizer
+
+
+@pytest.fixture(scope="module")
+def ran(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("viz")
+    cfg = get_config("testing")
+    cfg.checkpoint.manifest_dir = str(tmp / "runs")
+    cfg.processing.dtype = "float64"
+    cfg.interpolation.min_data_points = 5
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(num_symbols=30, hours=8))
+    runner = PipelineRunner(cfg, store=store)
+    runner.run_all()
+    run_surface_fit(cfg, store)
+    return cfg, store, tmp
+
+
+def test_all_figures_render(ran):
+    cfg, store, tmp = ran
+    viz = PipelineVisualizer(store, out_dir=str(tmp / "figs"))
+    report = viz.summary_report()
+    assert report["pipeline_complete"]
+    names = {os.path.basename(p) for p in report["figures"]}
+    assert names == {"pipeline_data_flow.png", "interpolation_analysis.png",
+                     "candle_analysis.png", "surface_analysis.png"}
+    for p in report["figures"]:
+        assert os.path.getsize(p) > 10_000  # non-trivial image
+
+
+def test_empty_store_degrades_gracefully(tmp_path):
+    viz = PipelineVisualizer(MemoryStore(), out_dir=str(tmp_path))
+    assert viz.interpolation_analysis() is None
+    assert viz.candle_analysis() is None
+    assert viz.surface_analysis() is None
+    path = viz.data_flow_diagram()  # renders with zero counts
+    assert os.path.exists(path)
