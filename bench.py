@@ -1,10 +1,22 @@
 """Headline benchmark: vol-surface fit+eval throughput on one TPU chip.
 
 Metric (BASELINE.json): surfaces/sec, fit + evaluate on a 30x50
-strike-maturity grid, cubic-spline smiles + total-variance maturity
-construction + butterfly/calendar diagnostics — all on-device.
-North-star target: 10,000 surfaces/sec on one v5e chip
-(``vs_baseline`` = measured / 10,000).
+strike-maturity grid — cubic-spline smiles in total variance, dense-grid
+eval, butterfly/calendar diagnostics, all on-device. North-star target:
+10,000 surfaces/sec on one v5e chip (``vs_baseline`` = measured / 10,000).
+
+Uses the matrix-form spline path (``ops.spline_matrix``): on a fixed
+strike grid the whole fit+eval is three MXU contractions. Operator
+construction is one-off setup amortised over the stream and excluded
+from the timed region (it is itself jitted and takes ~n^3 once).
+
+Timing rules, learned the hard way on this runtime:
+  * every timed call gets FRESH, time-seeded input buffers — the runtime
+    memoises executions on (executable, input content) ACROSS processes;
+    rng(0)-seeded inputs returned cached results and absurd numbers
+    (459M surf/s fake vs real compute);
+  * per-call block_until_ready;
+  * median over calls.
 
 Prints ONE JSON line.
 """
@@ -20,45 +32,41 @@ TARGET = 10_000.0  # surfaces/sec north star (BASELINE.md)
 E, N_K, N_GRID = 30, 50, 50
 
 
-def _chains(B, rng):
-    """Synthetic option chains: (B, E, n) strikes/IVs + (B, E) expiries."""
-    k = np.broadcast_to(np.linspace(-1.0, 1.0, N_K, dtype=np.float32),
-                        (B, E, N_K)).copy()
-    T = np.broadcast_to(np.linspace(0.05, 2.0, E, dtype=np.float32), (B, E))
+def _iv_batch(B, rng, k_row):
     atm = rng.uniform(0.15, 0.6, (B, 1, 1)).astype(np.float32)
     curv = rng.uniform(0.05, 0.3, (B, 1, 1)).astype(np.float32)
-    iv = atm + curv * k * k
-    return jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T)
+    iv = atm + curv * k_row[None, None, :] ** 2
+    return jnp.asarray(np.broadcast_to(iv, (B, E, N_K)).copy())
 
 
 def main():
-    from iv_interpolation_tpu.surface.surface import fit_eval_surface
+    from iv_interpolation_tpu.ops.spline_matrix import (
+        build_surface_operators, fit_eval_surface_grid)
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(time.time_ns() % 2**31)
+    k_row = np.linspace(-1.0, 1.0, N_K, dtype=np.float32)
+    knots = jnp.asarray(np.broadcast_to(k_row, (E, N_K)).copy())
+    queries = jnp.asarray(np.linspace(-1.0, 1.0, N_GRID, dtype=np.float32))
+    T = jnp.asarray(np.linspace(0.05, 2.0, E, dtype=np.float32))
 
-    def step(k, iv, T):
-        out = fit_eval_surface(k, iv, T, method="cubic_spline", n_grid=N_GRID)
+    ops = build_surface_operators(knots, queries)   # setup, amortised
+    jax.block_until_ready(ops)
+
+    def step(iv):
+        out = fit_eval_surface_grid(ops, iv, T)
         return out["w_grid"], out["butterfly_ok"], out["calendar_ok"]
 
     step_jit = jax.jit(step)
 
-    best = 0.0
-    best_B = 0
-    for B in (2048, 8192):
-        # Timing rules learned the hard way on this runtime:
-        #  * every timed call gets FRESH input buffers — repeat dispatches
-        #    with identical buffers can be served from a cache (measured
-        #    459M surf/s fake vs ~30M real);
-        #  * per-call block_until_ready;
-        #  * median over calls — occasional multi-hundred-ms stalls from
-        #    the remote-compile relay would poison a mean.
-        inputs = [_chains(B, rng) for _ in range(7)]
-        out = step_jit(*inputs[-1])
+    best, best_B = 0.0, 0
+    for B in (8192, 32768):
+        inputs = [_iv_batch(B, rng, k_row) for _ in range(6)]
+        out = step_jit(inputs[-1])
         jax.block_until_ready(out)          # compile + warmup
         times = []
-        for args in inputs[:-1]:
+        for iv in inputs[:-1]:
             t0 = time.perf_counter()
-            out = step_jit(*args)
+            out = step_jit(iv)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[len(times) // 2]

@@ -1,0 +1,149 @@
+"""Matrix-form cubic splines: fit+eval as one MXU matmul.
+
+For a *fixed knot grid* the natural-cubic-spline pipeline is a linear map
+of the knot values: the tridiagonal system ``T M = C y`` gives curvatures
+``M = G y`` with ``G = T^-1 C``, and evaluation at fixed queries ``t`` is
+
+    S(t)   = E0 y,   S'(t) = E1 y,   S''(t) = E2 y
+
+with (m, n) matrices E0/E1/E2 precomputed once per grid. A batch of
+smiles sharing the grid then evaluates as a single
+``(batch, n) @ (n, m)`` contraction — MXU work instead of sequential
+scans, which matters doubly on this runtime where every ``lax.scan`` step
+costs ~1ms of dispatch overhead (measured; see bench.py notes).
+
+This is the fast path behind the headline benchmark; scattered/per-smile
+grids fall back to ``ops.cubic_spline`` (scan) or ``ops.pallas``.
+Parity: identical to ``scipy.interpolate.CubicSpline(bc_type='natural')``
+at <=1e-8 in f64 (tests/test_spline_matrix.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SplineOperator(NamedTuple):
+    """Precomputed eval operators for one knot/query grid."""
+
+    knots: jax.Array    # (n,)
+    queries: jax.Array  # (m,)
+    E0: jax.Array       # (n, m) value operator (transposed for y @ E)
+    E1: jax.Array       # (n, m) first-derivative operator
+    E2: jax.Array       # (n, m) second-derivative operator
+
+
+def _curvature_operator(x: jax.Array) -> jax.Array:
+    """G (n, n) with M = G y for the natural cubic spline on knots x."""
+    n = x.shape[0]
+    h = jnp.diff(x)
+    # T: tridiagonal system matrix (rows 0, n-1: identity -> M = 0)
+    T = jnp.zeros((n, n), x.dtype)
+    T = T.at[0, 0].set(1.0).at[n - 1, n - 1].set(1.0)
+    i = jnp.arange(1, n - 1)
+    T = T.at[i, i - 1].set(h[:-1] / 6.0)
+    T = T.at[i, i].set((h[:-1] + h[1:]) / 3.0)
+    T = T.at[i, i + 1].set(h[1:] / 6.0)
+    # C: rhs operator, b = C y with b_i = s_i - s_{i-1}
+    C = jnp.zeros((n, n), x.dtype)
+    C = C.at[i, i - 1].set(1.0 / h[:-1])
+    C = C.at[i, i].set(-1.0 / h[:-1] - 1.0 / h[1:])
+    C = C.at[i, i + 1].set(1.0 / h[1:])
+    return jnp.linalg.solve(T, C)
+
+
+@jax.jit
+def build_spline_operator(knots: jax.Array,
+                          queries: jax.Array) -> SplineOperator:
+    """Precompute E0/E1/E2 for a (knots, queries) pair. O(n^3 + m n) —
+    done once per grid, amortised over the whole batch."""
+    x = knots
+    t = queries
+    n = x.shape[0]
+    G = _curvature_operator(x)
+
+    idx = jnp.clip(
+        (t[:, None] >= x[None, 1:-1]).sum(axis=-1), 0, n - 2)
+    x0 = x[idx]
+    x1 = x[idx + 1]
+    hh = x1 - x0
+    a = (x1 - t) / hh
+    b = (t - x0) / hh
+
+    eye = jnp.eye(n, dtype=x.dtype)
+    P0 = eye[idx]          # (m, n) selects y_j
+    P1 = eye[idx + 1]      # (m, n) selects y_{j+1}
+    G0 = G[idx]            # (m, n) row M_j as function of y
+    G1 = G[idx + 1]
+
+    h2_6 = (hh * hh / 6.0)[:, None]
+    E0 = (a[:, None] * P0 + b[:, None] * P1
+          + ((a**3 - a)[:, None] * G0 + (b**3 - b)[:, None] * G1) * h2_6)
+    E1 = ((P1 - P0) / hh[:, None]
+          + ((-3 * a**2 + 1)[:, None] * G0
+             + (3 * b**2 - 1)[:, None] * G1) * (hh / 6.0)[:, None])
+    E2 = a[:, None] * G0 + b[:, None] * G1
+    return SplineOperator(knots=x, queries=t, E0=E0.T, E1=E1.T, E2=E2.T)
+
+
+@jax.jit
+def apply_spline_operator(op: SplineOperator, y: jax.Array):
+    """Evaluate (S, S', S'') for a batch of smiles: y (..., n) -> (..., m)
+    — three MXU contractions."""
+    f32 = partial(jnp.matmul, preferred_element_type=y.dtype)
+    return f32(y, op.E0), f32(y, op.E1), f32(y, op.E2)
+
+
+def build_surface_operators(k_knots: jax.Array, queries: jax.Array):
+    """Per-expiry operators: k_knots (E, n), queries (m,) or (E, m) ->
+    stacked (E, n, m) operator tensors."""
+    if queries.ndim == 1:
+        queries = jnp.broadcast_to(queries, (k_knots.shape[0],
+                                             queries.shape[0]))
+    return jax.vmap(build_spline_operator)(k_knots, queries)
+
+
+@jax.jit
+def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
+                          expiries: jax.Array):
+    """Fast-path surface fit+eval on shared per-expiry grids.
+
+    Args:
+      ops: stacked SplineOperator with (E, n, m) tensors (from
+        :func:`build_surface_operators`).
+      iv: (B, E, n) implied vols.
+      expiries: (E,) or (B, E).
+
+    Returns the same dict contract as
+    :func:`iv_interpolation_tpu.surface.surface.fit_eval_surface`.
+    """
+    if expiries.ndim == 1:
+        T = expiries[None, :, None]
+    else:
+        T = expiries[..., None]
+    w = iv * iv * T                       # (B, E, n)
+    dot = lambda M: jnp.einsum("ben,enm->bem", w, M,
+                               preferred_element_type=w.dtype)
+    w_grid = dot(ops.E0)
+    w1 = dot(ops.E1)
+    w2 = dot(ops.E2)
+    k_grid = jnp.broadcast_to(ops.queries[None], w_grid.shape)
+
+    from iv_interpolation_tpu.surface.arbitrage import butterfly_g
+    g = butterfly_g(k_grid, w_grid, w1, w2)
+    iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0) / jnp.maximum(T, 1e-12))
+    butterfly_ok = jnp.all(g >= -1e-10, axis=(-2, -1))
+    calendar_ok = jnp.all(
+        w_grid[..., 1:, :] >= w_grid[..., :-1, :] - 1e-12, axis=(-2, -1))
+    return {
+        "k_grid": k_grid,
+        "w_grid": w_grid,
+        "iv_grid": iv_grid,
+        "g": g,
+        "butterfly_ok": butterfly_ok,
+        "calendar_ok": calendar_ok,
+    }
