@@ -130,35 +130,53 @@ def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
             values = np.full((B, C, bucket), np.nan, dtype=dtype)
             obs_mask = np.zeros((B, bucket), bool)
             timeline_mask = np.zeros((B, bucket), bool)
-            t0 = np.zeros(B, np.int64)
-            valid_len = np.zeros(B, np.int64)
-            n_obs = np.zeros(B, np.int64)
-            consts: Dict[str, list] = {"strike": [], "callput": []}
-            symbols = []
-            for i, item in enumerate(chunk):
-                sub, obs_min, L = item["sub"], item["obs_min"], item["L"]
-                symbols.append(item["symbol"])
-                t0[i] = obs_min[0]
-                valid_len[i] = L
-                n_obs[i] = len(obs_min)
-                timeline_mask[i, :L] = True
-                # exact-grid alignment (the reference's left-merge on equal
-                # timestamps, core.py:54-55): off-grid observations are
-                # dropped from the grid but still bound the timeline
-                rel = obs_min - obs_min[0]
-                on_grid = rel % freq_minutes == 0
-                pos = (rel[on_grid] // freq_minutes).astype(np.int64)
-                obs_mask[i, pos] = True
-                for c, col in enumerate(ALL_COLS):
-                    if col in sub.columns:
-                        colv = pd.to_numeric(
-                            sub[col], errors="coerce").to_numpy(dtype)
-                        values[i, c, pos] = colv[on_grid]
-                for cc in consts:
-                    if cc in sub.columns and len(sub):
-                        consts[cc].append(sub[cc].iloc[0])
-                    else:
-                        consts[cc].append(None)
+            symbols = [it["symbol"] for it in chunk]
+            t0 = np.asarray([it["obs_min"][0] for it in chunk], np.int64)
+            valid_len = np.asarray([it["L"] for it in chunk], np.int64)
+            n_obs = np.asarray([len(it["obs_min"]) for it in chunk],
+                               np.int64)
+            timeline_mask[np.arange(bucket)[None, :]
+                          < valid_len[:, None]] = True
+
+            # one vectorised scatter over every row in the chunk (the
+            # reference looped rows in Python via iterrows; the native
+            # packer in native/ is an optional further acceleration)
+            counts = n_obs
+            row_sym = np.repeat(np.arange(B), counts)
+            obs_all = np.concatenate([it["obs_min"] for it in chunk])
+            rel = obs_all - t0[row_sym]
+            # exact-grid alignment (the reference's left-merge on equal
+            # timestamps, core.py:54-55): off-grid observations are
+            # dropped from the grid but still bound the timeline
+            on_grid = rel % freq_minutes == 0
+            pos = (rel[on_grid] // freq_minutes).astype(np.int64)
+            sym_on = row_sym[on_grid]
+            subs = pd.concat([it["sub"] for it in chunk])
+            colmat = np.full((len(subs), C), np.nan, dtype)
+            for c, col in enumerate(ALL_COLS):
+                if col in subs.columns:
+                    colmat[:, c] = pd.to_numeric(
+                        subs[col], errors="coerce").to_numpy(dtype)
+            used_native = False
+            if dtype == np.float32:
+                from iv_interpolation_tpu import native
+                pos_all = np.where(on_grid, rel // freq_minutes, 0
+                                   ).astype(np.int64)
+                used_native = native.scatter_pack(
+                    colmat, row_sym.astype(np.int32), pos_all,
+                    on_grid.astype(np.uint8), values, obs_mask)
+            if not used_native:
+                values[sym_on, :, pos] = colmat[on_grid]
+                obs_mask[sym_on, pos] = True
+
+            consts: Dict[str, list] = {}
+            for cc in ("strike", "callput"):
+                if cc in subs.columns:
+                    firsts = subs.groupby(
+                        pd.Series(row_sym, index=subs.index))[cc].first()
+                    consts[cc] = [firsts.get(i) for i in range(B)]
+                else:
+                    consts[cc] = [None] * B
             batches.append(PackedBatch(
                 bucket_len=bucket, symbols=symbols, t0_minutes=t0,
                 valid_len=valid_len, values=values, obs_mask=obs_mask,
