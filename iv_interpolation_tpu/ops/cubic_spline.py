@@ -3,10 +3,10 @@
 The reference only ever linearly interpolated IV in *time*
 (src/interpolation/core.py:58-61); the north star generalises this to
 smile fitting in *strike* (BASELINE.md). A cubic-spline fit is a
-tridiagonal solve for the knot second-derivatives; we batch thousands of
-smiles by keeping the knot dimension small and sequential (``lax.scan``
-inside :func:`~iv_interpolation_tpu.ops.tridiag.tridiag_solve`) and the
-smile batch wide and vectorised.
+tridiagonal solve for the knot second-derivatives, batched over thousands
+of smiles: parallel cyclic reduction (log-depth) over the knot dimension
+with the smile batch wide and vectorised. For fixed knot grids prefer
+``ops.spline_matrix`` (the whole fit+eval as one MXU matmul).
 
 Boundary conditions:
   * ``natural``     S''(x0)=S''(xn)=0                (SciPy ``bc_type='natural'``)
@@ -24,7 +24,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from iv_interpolation_tpu.ops.tridiag import tridiag_solve
+from iv_interpolation_tpu.ops.tridiag import tridiag_solve_pcr as tridiag_solve
+# PCR (log-depth, wide element-wise levels) instead of the sequential scan:
+# on this runtime each scan step costs ~1ms of dispatch, so the 2n-step
+# Thomas sweep is ~16x slower end-to-end than ceil(log2 n) PCR levels.
+# Both solvers share the same contract and 1e-10 parity (tests/test_tridiag).
 
 
 @partial(jax.jit, static_argnames=("bc_type",))

@@ -34,10 +34,11 @@ class LMResult(NamedTuple):
     converged: jax.Array   # (...,) bool — gradient/step tolerance met
 
 
-@partial(jax.jit, static_argnames=("residual_fn", "max_iters"))
+@partial(jax.jit, static_argnames=("residual_fn", "max_iters", "unroll"))
 def levenberg_marquardt(residual_fn: Callable, params0: jax.Array, *args,
                         max_iters: int = 50, lambda0: float = 1e-3,
-                        tol: float = 1e-12, lower=None, upper=None) -> LMResult:
+                        tol: float = 1e-12, lower=None, upper=None,
+                        unroll: bool = False) -> LMResult:
     """Minimise ``0.5 * ||residual_fn(p, *args)||^2`` for one problem.
 
     Batch by ``jax.vmap`` over leading dims of ``params0``/``args``.
@@ -88,8 +89,11 @@ def levenberg_marquardt(residual_fn: Callable, params0: jax.Array, *args,
     p0 = clip(params0)
     state0 = (p0, jnp.asarray(lambda0, dtype), cost_of(p0),
               jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    # unroll=True inlines the iterations into one straight-line program —
+    # essential on runtimes where each on-device loop iteration costs ~1ms
+    # of dispatch (see bench.py); costs compile time, so it is opt-in.
     p, lam, cost, n_acc, converged = jax.lax.fori_loop(
-        0, max_iters, body, state0
+        0, max_iters, body, state0, unroll=max_iters if unroll else 1
     )
     return LMResult(params=p, cost=cost, n_accepted=n_acc, converged=converged)
 

@@ -69,6 +69,48 @@ def tridiag_solve(dl: jax.Array, d: jax.Array, du: jax.Array, b: jax.Array) -> j
     return jnp.concatenate([x_front, x_last[None]], axis=0)
 
 
+def tridiag_solve_pcr(dl: jax.Array, d: jax.Array, du: jax.Array,
+                      b: jax.Array) -> jax.Array:
+    """Parallel cyclic reduction solve (same contract as
+    :func:`tridiag_solve`: system dim = axis 0).
+
+    PCR runs ceil(log2 n) *levels* of wide element-wise updates instead of
+    2n sequential scan steps — the right trade on runtimes where each scan
+    step costs ~1ms of dispatch (measured on this TPU relay; see
+    bench.py). Numerically safe for the diagonally-dominant spline systems
+    this framework generates; no pivoting.
+    """
+    n = d.shape[0]
+    if n == 1:
+        return b / d
+    # the Thomas-contract ignores dl[0] / du[n-1]; PCR reads them, so they
+    # must be true zeros (no coupling outside the system)
+    dl = dl.at[0].set(0.0)
+    du = du.at[n - 1].set(0.0)
+
+    def shifted(a, s, fill):
+        """a[i+s] along axis 0 with out-of-range -> fill."""
+        k = min(abs(s), a.shape[0])
+        pad = jnp.full((k,) + a.shape[1:], fill, a.dtype)
+        if s > 0:
+            return jnp.concatenate([a[k:], pad], axis=0)
+        return jnp.concatenate([pad, a[:a.shape[0] - k]], axis=0)
+
+    s = 1
+    while s < n:
+        d_m = shifted(d, -s, 1.0)   # d_{i-s} (identity ghost rows)
+        d_p = shifted(d, s, 1.0)    # d_{i+s}
+        alpha = -dl / d_m
+        beta = -du / d_p
+        dl_new = alpha * shifted(dl, -s, 0.0)
+        du_new = beta * shifted(du, s, 0.0)
+        d_new = d + alpha * shifted(du, -s, 0.0) + beta * shifted(dl, s, 0.0)
+        b_new = b + alpha * shifted(b, -s, 0.0) + beta * shifted(b, s, 0.0)
+        dl, d, du, b = dl_new, d_new, du_new, b_new
+        s *= 2
+    return b / d
+
+
 def tridiag_solve_batch_last(dl, d, du, b):
     """Convenience wrapper for ``(batch..., n)``-shaped inputs.
 

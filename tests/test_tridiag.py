@@ -65,3 +65,28 @@ def test_matvec_roundtrip(rng):
     b = tridiag_matvec(*map(jnp.array, (dl, d, du, x_true)))
     x = tridiag_solve(jnp.array(dl), jnp.array(d), jnp.array(du), b)
     np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 50, 257])
+def test_pcr_matches_scipy(rng, n):
+    from iv_interpolation_tpu.ops.tridiag import tridiag_solve_pcr
+    d = rng.uniform(4.0, 6.0, n)
+    dl = rng.uniform(-1.0, 1.0, n)
+    du = rng.uniform(-1.0, 1.0, n)
+    b = rng.normal(size=n)
+    x = tridiag_solve_pcr(jnp.array(dl), jnp.array(d), jnp.array(du),
+                          jnp.array(b))
+    expected = _scipy_solve(dl, d, du, b)
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=0, atol=1e-10)
+
+
+def test_pcr_batched(rng):
+    from iv_interpolation_tpu.ops.tridiag import tridiag_solve_pcr
+    n, batch = 50, 256
+    d = rng.uniform(4.0, 6.0, (n, batch))
+    dl = rng.uniform(-1.0, 1.0, (n, batch))
+    du = rng.uniform(-1.0, 1.0, (n, batch))
+    b = rng.normal(size=(n, batch))
+    x = np.asarray(tridiag_solve_pcr(*map(jnp.array, (dl, d, du, b))))
+    x_scan = np.asarray(tridiag_solve(*map(jnp.array, (dl, d, du, b))))
+    np.testing.assert_allclose(x, x_scan, atol=1e-10)
