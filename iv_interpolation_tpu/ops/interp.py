@@ -52,10 +52,12 @@ def _prev_next_valid(valid: jax.Array):
     return prev_idx, next_idx
 
 
-@partial(jax.jit, static_argnames=("method", "max_gap_minutes"))
+@partial(jax.jit, static_argnames=("method", "max_gap_minutes",
+                                   "extrapolate"))
 def masked_interp(values: jax.Array, timeline_mask: jax.Array,
                   method: str = "linear",
-                  max_gap_minutes: int = 0) -> jax.Array:
+                  max_gap_minutes: int = 0,
+                  extrapolate: bool = False) -> jax.Array:
     """Fill NaNs in ``values`` along the last (timeline) axis.
 
     Args:
@@ -65,10 +67,11 @@ def masked_interp(values: jax.Array, timeline_mask: jax.Array,
       method: 'linear' | 'nearest' | 'ffill'.
       max_gap_minutes: if > 0, grid points bracketed by observations more
         than this many grid steps apart are left NaN instead of bridged.
-
-    Returns:
-      filled array, same shape; leading gaps stay NaN, trailing gaps hold
-      the last value (pandas parity).
+      extrapolate: if True (and method == 'linear'), extend linearly
+        beyond the first/last valid samples using the two nearest valid
+        points — the knob the reference declared but never honoured
+        (config.py:45, SURVEY.md §2.1.5). Default False: leading gaps
+        stay NaN, trailing gaps hold the last value (pandas parity).
     """
     L = values.shape[-1]
     iota = jnp.arange(L)
@@ -88,6 +91,34 @@ def masked_interp(values: jax.Array, timeline_mask: jax.Array,
         w = jnp.where(span > 0, (iota - prev_idx).astype(values.dtype) / jnp.where(span > 0, span, 1.0), 0.0)
         interior = prev_val * (1.0 - w) + next_val * w
         filled = jnp.where(has_next, interior, prev_val)  # trailing: hold last
+        if extrapolate:
+            at = lambda a, i: jnp.take_along_axis(a, i, axis=-1)
+
+            def _slope(i1, i2):
+                v1 = at(zeros, jnp.clip(i1, 0, L - 1))
+                v2 = at(zeros, jnp.clip(i2, 0, L - 1))
+                ok2 = (i2 > i1) & (i2 < L) & (i1 >= 0)
+                di = jnp.where(ok2, (i2 - i1).astype(values.dtype), 1.0)
+                return jnp.where(ok2, (v2 - v1) / di, 0.0)
+
+            # head: line anchored at the FIRST valid sample, sloped through
+            # the second (constant when only one valid point exists)
+            i1h = next_idx[..., 0:1]
+            i2h = at(next_idx, jnp.clip(i1h + 1, 0, L - 1))
+            sh = _slope(i1h, i2h)
+            v1h = at(zeros, jnp.clip(i1h, 0, L - 1))
+            head = v1h + sh * (iota - i1h).astype(values.dtype)
+            # tail: anchored at the LAST valid sample
+            i2t = prev_idx[..., L - 1:L]
+            i1t = at(prev_idx, jnp.clip(i2t - 1, 0, L - 1))
+            st_ = _slope(i1t, i2t)
+            v2t = at(zeros, jnp.clip(i2t, 0, L - 1))
+            tail = v2t + st_ * (iota - i2t).astype(values.dtype)
+            filled = jnp.where(has_prev, filled, head)
+            filled = jnp.where(has_next | ~has_prev, filled, tail)
+            # fabricate validity for the extrapolated head so the final
+            # where() below keeps it (tail already has has_prev)
+            has_prev = has_prev | (i1h < L)
     elif method == "nearest":
         dist_prev = iota - prev_idx
         dist_next = next_idx - iota

@@ -119,6 +119,7 @@ class PipelineRunner:
                     strike, jnp.asarray(callput),
                     method=cfg.method, max_gap_minutes=max_gap,
                     compute_greeks=cfg.compute_greeks,
+                    extrapolate=cfg.extrapolate,
                 )
                 jax.block_until_ready(out)
                 out_np = jax.tree.map(np.asarray, out)

@@ -26,12 +26,13 @@ _VOLUME = ALL_COLS.index("volume")
 
 
 @partial(jax.jit, static_argnames=("method", "max_gap_minutes",
-                                   "compute_greeks"))
+                                   "compute_greeks", "extrapolate"))
 def interpolate_batch(values: jax.Array, obs_mask: jax.Array,
                       timeline_mask: jax.Array,
                       strike: jax.Array, is_call: jax.Array,
                       method: str = "linear", max_gap_minutes: int = 0,
-                      compute_greeks: bool = True):
+                      compute_greeks: bool = True,
+                      extrapolate: bool = False):
     """Task-1 kernel: fill the minute grid for a batch of symbols.
 
     Args:
@@ -50,7 +51,8 @@ def interpolate_batch(values: jax.Array, obs_mask: jax.Array,
     """
     interp_part = masked_interp(values[:, :_N_INTERP], timeline_mask[:, None],
                                 method=method,
-                                max_gap_minutes=max_gap_minutes)
+                                max_gap_minutes=max_gap_minutes,
+                                extrapolate=extrapolate)
     ffill_part = masked_interp(values[:, _N_INTERP:], timeline_mask[:, None],
                                method="ffill")
     filled = jnp.concatenate([interp_part, ffill_part], axis=1)

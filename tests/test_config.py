@@ -1,0 +1,67 @@
+"""Config system: presets, overrides, env-var overlay — every knob wired."""
+
+import pytest
+
+from iv_interpolation_tpu.config import Config, config_to_dict, get_config
+
+
+def test_presets():
+    dev = get_config("development")
+    assert dev.debug and dev.processing.batch_size == 16
+    prod = get_config("production")
+    assert not prod.debug and prod.processing.batch_size == 1024
+    with pytest.raises(ValueError):
+        get_config("staging")
+
+
+def test_environment_variable_selects_preset(monkeypatch):
+    monkeypatch.setenv("ENVIRONMENT", "testing")
+    cfg = get_config()
+    assert cfg.environment == "testing"
+    assert cfg.processing.batch_size == 64
+
+
+def test_explicit_overrides():
+    cfg = get_config("testing", surface__n_strikes=64,
+                     interpolation__max_gap_hours=24)
+    assert cfg.surface.n_strikes == 64
+    assert cfg.interpolation.max_gap_hours == 24
+    with pytest.raises(ValueError):
+        get_config("testing", nosuch__field=1)
+    with pytest.raises(ValueError):
+        get_config("testing", surface__nosuch=1)
+    with pytest.raises(ValueError):
+        get_config("testing", badkey=1)
+
+
+def test_env_var_overlay(monkeypatch):
+    monkeypatch.setenv("IVTPU_INTERPOLATION__METHOD", "nearest")
+    monkeypatch.setenv("IVTPU_PROCESSING__BATCH_SIZE", "128")
+    monkeypatch.setenv("IVTPU_DATA_BRIDGE__ENABLE_QUALITY_CHECKS", "false")
+    monkeypatch.setenv("IVTPU_PROCESSING__BUCKET_SIZES", "64,128")
+    cfg = get_config("testing")
+    assert cfg.interpolation.method == "nearest"
+    assert cfg.processing.batch_size == 128
+    assert cfg.data_bridge.enable_quality_checks is False
+    assert cfg.processing.bucket_sizes == (64, 128)
+
+
+def test_config_to_dict_roundtrippable():
+    d = config_to_dict(get_config("testing"))
+    assert d["interpolation"]["frequency"] == "1min"
+    assert d["candle_reconstruction"]["target_frequency"] == "5min"
+
+
+def test_every_interpolation_knob_is_consumed():
+    """Guard against the reference's decorative-knob defect (SURVEY §2.1.5):
+    the fields must appear in the runner/kernels source."""
+    import inspect
+    from iv_interpolation_tpu.pipeline import runner, tasks, ingest
+    src = (inspect.getsource(runner) + inspect.getsource(tasks)
+           + inspect.getsource(ingest))
+    for knob in ("frequency", "method", "max_gap_hours", "min_data_points",
+                 "compute_greeks", "extrapolate", "max_span_days", "max_timeline_points",
+                 "target_frequency", "source_frequency",
+                 "min_candles_required", "validate_ohlc",
+                 "conversion_strategy", "enable_quality_checks"):
+        assert knob in src, f"config knob {knob!r} is decorative"

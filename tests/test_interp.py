@@ -119,3 +119,26 @@ def test_scatter_then_interp_matches_pandas_merge(rng):
                                 jnp.ones(hours, bool), L)
     got = np.asarray(masked_interp(grid, jnp.ones(L, bool)))
     np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+def test_extrapolate_linear():
+    L = 20
+    vals = np.full(L, np.nan)
+    vals[5], vals[8] = 1.0, 2.5  # slope 0.5/step
+    got = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool),
+                                   extrapolate=True))
+    np.testing.assert_allclose(got[0], 1.0 - 5 * 0.5)
+    np.testing.assert_allclose(got[4], 1.0 - 0.5)
+    np.testing.assert_allclose(got[12], 2.5 + 4 * 0.5)
+    # default stays pandas-parity: leading NaN, trailing hold
+    dflt = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool)))
+    assert np.isnan(dflt[0]) and dflt[-1] == 2.5
+
+
+def test_extrapolate_single_point_is_constant():
+    L = 9
+    vals = np.full(L, np.nan)
+    vals[4] = 3.0
+    got = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool),
+                                   extrapolate=True))
+    np.testing.assert_allclose(got, 3.0)
