@@ -30,6 +30,7 @@ class RealtimeMonitor:
         self.task = task
         self.batch_id = batch_id
         self.interval = interval_s or config.monitoring.refresh_interval_s
+        self._seen_alerts = set()
 
     def _latest_manifest(self) -> Optional[RunManifest]:
         d = self.config.checkpoint.manifest_dir
@@ -49,6 +50,33 @@ class RealtimeMonitor:
             return None
         bid, task = max(candidates)
         return RunManifest(d, task, bid)
+
+    def alerts(self, manifest: RunManifest) -> list:
+        """Threshold alerts with dedup (reference
+        performance_monitor.py:267-304): host-memory pressure and low
+        throughput, thresholds from MonitoringConfig."""
+        out = []
+        mcfg = self.config.monitoring
+        host = host_memory_stats()
+        if host:
+            used = host["host_used_pct"]
+            if used >= mcfg.memory_crit_pct:
+                out.append(("CRITICAL", f"host memory {used:.0f}% used"))
+            elif used >= mcfg.memory_warn_pct:
+                out.append(("WARNING", f"host memory {used:.0f}% used"))
+        s = manifest.summary()
+        if s["avg_symbol_time"] > 0:
+            per_s = 1.0 / s["avg_symbol_time"]
+            if per_s < mcfg.low_throughput_surfaces_s and \
+                    s["by_status"].get("completed", 0) > 0:
+                out.append(("WARNING",
+                            f"low throughput: {per_s:.0f} symbols/s"))
+        deduped = []
+        for a in out:
+            if a not in self._seen_alerts:
+                self._seen_alerts.add(a)
+                deduped.append(a)
+        return deduped
 
     def render(self, manifest: RunManifest) -> str:
         s = manifest.summary()
@@ -78,6 +106,8 @@ class RealtimeMonitor:
         host = host_memory_stats()
         if host:
             lines.append(f"  host mem {host['host_used_pct']:.0f}% used")
+        for level, msg in self.alerts(manifest):
+            lines.append(f"  [{level}] {msg}")
         return "\n".join(lines)
 
     def snapshot(self, manifest: RunManifest) -> None:
