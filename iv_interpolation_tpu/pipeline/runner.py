@@ -64,6 +64,24 @@ class PipelineRunner:
         self.dtype = {"float32": jnp.float32, "float64": jnp.float64,
                       "bfloat16": jnp.bfloat16}[config.processing.dtype]
 
+
+    def _attempt(self, label: str, fn):
+        """Run a bucket computation with retry (wires the reference's
+        declared-but-unused max_retries, config_production.py:79-80 /
+        SURVEY.md §5.3). Returns (result, None) or (None, last_error)."""
+        retries = self.config.checkpoint.max_retries
+        last = None
+        for attempt in range(retries + 1):
+            try:
+                return fn(), None
+            except Exception as e:  # noqa: BLE001 — failure isolation
+                last = e
+                if attempt < retries:
+                    self.log.warning("%s attempt %d/%d failed: %s — retrying",
+                                     label, attempt + 1, retries + 1, e)
+        self.log.exception("%s failed after %d attempts", label, retries + 1)
+        return None, last
+
     # ------------------------------------------------------------------
     # Task 1 — IV interpolation
     # ------------------------------------------------------------------
@@ -105,7 +123,8 @@ class PipelineRunner:
         n_rows_out = 0
         for batch in packed.batches:
             t0 = time.time()
-            try:
+
+            def process(batch=batch):
                 strike = jnp.asarray(pd.to_numeric(
                     pd.Series(batch.const_cols.get("strike", [])),
                     errors="coerce").to_numpy(self.np_dtype))
@@ -129,21 +148,25 @@ class PipelineRunner:
                     greeks=out_np.get("greeks"), freq_minutes=freq)
                 self.store.write(st.INTERPOLATED, result_df,
                                  upsert_keys=["symbol", "date"])
-                dt = time.time() - t0
-                rows_per_symbol = (
-                    result_df.groupby("symbol").size() if len(result_df)
-                    else pd.Series(dtype=int))
-                for i, sym in enumerate(batch.symbols):
-                    n_out = int(rows_per_symbol.get(sym, 0))
-                    manifest.complete_symbol(
-                        sym, int(batch.n_obs[i]), n_out, dt / batch.batch)
-                    self.perf.log_symbol_processed(
-                        sym, int(batch.n_obs[i]), n_out, dt / batch.batch)
-                n_rows_out += len(result_df)
-            except Exception as e:  # failure isolation per bucket
-                self.log.exception("bucket L=%d failed", batch.bucket_len)
+                return result_df
+
+            result_df, err = self._attempt(
+                f"task1 bucket L={batch.bucket_len}", process)
+            if err is not None:  # failure isolation per bucket
                 for sym in batch.symbols:
-                    manifest.error_symbol(sym, str(e), time.time() - t0)
+                    manifest.error_symbol(sym, str(err), time.time() - t0)
+                continue
+            dt = time.time() - t0
+            rows_per_symbol = (
+                result_df.groupby("symbol").size() if len(result_df)
+                else pd.Series(dtype=int))
+            for i, sym in enumerate(batch.symbols):
+                n_out = int(rows_per_symbol.get(sym, 0))
+                manifest.complete_symbol(
+                    sym, int(batch.n_obs[i]), n_out, dt / batch.batch)
+                self.perf.log_symbol_processed(
+                    sym, int(batch.n_obs[i]), n_out, dt / batch.batch)
+            n_rows_out += len(result_df)
         summary = manifest.summary()
         self.perf.log_batch_complete(manifest.batch_id, time.time() - t_start,
                                      summary["output_rows"])
@@ -190,7 +213,8 @@ class PipelineRunner:
         root_key = jax.random.key(cfg.seed)
         for batch in packed.batches:
             t0 = time.time()
-            try:
+
+            def process(batch=batch):
                 values = jnp.asarray(batch.values)
                 mask = jnp.asarray(batch.timeline_mask)
                 # interpolated rows are stored post-fill; on the grid they
@@ -225,18 +249,21 @@ class PipelineRunner:
                 result_df = self._unpack_candles(batch, ohlcv_np)
                 self.store.write(st.MINUTE_CANDLES, result_df,
                                  upsert_keys=["symbol", "timestamp"])
-                dt = time.time() - t0
-                per_sym = (result_df.groupby("symbol").size()
-                           if len(result_df) else pd.Series(dtype=int))
-                for i, sym in enumerate(batch.symbols):
-                    manifest.complete_symbol(
-                        sym, int(batch.n_obs[i]),
-                        int(per_sym.get(sym, 0)), dt / batch.batch)
-            except Exception as e:
-                self.log.exception("bridge bucket L=%d failed",
-                                   batch.bucket_len)
+                return result_df
+
+            result_df, err = self._attempt(
+                f"bridge bucket L={batch.bucket_len}", process)
+            if err is not None:
                 for sym in batch.symbols:
-                    manifest.error_symbol(sym, str(e), time.time() - t0)
+                    manifest.error_symbol(sym, str(err), time.time() - t0)
+                continue
+            dt = time.time() - t0
+            per_sym = (result_df.groupby("symbol").size()
+                       if len(result_df) else pd.Series(dtype=int))
+            for i, sym in enumerate(batch.symbols):
+                manifest.complete_symbol(
+                    sym, int(batch.n_obs[i]),
+                    int(per_sym.get(sym, 0)), dt / batch.batch)
         return manifest.summary()
 
     @staticmethod
@@ -281,7 +308,8 @@ class PipelineRunner:
 
         for batch in packed:
             t0 = time.time()
-            try:
+
+            def process(batch=batch):
                 # t0_minutes is in src-interval units; epoch minute of grid
                 # slot j is (t0 + j) * src_freq
                 minutes = (jnp.asarray(batch.t0_minutes)[:, None]
@@ -317,18 +345,21 @@ class PipelineRunner:
                 self.store.write(st.RECONSTRUCTED, result_df,
                                  upsert_keys=["symbol", "timestamp",
                                               "frequency"])
-                dt = time.time() - t0
-                per_sym = (result_df.groupby("symbol").size()
-                           if len(result_df) else pd.Series(dtype=int))
-                for i, sym in enumerate(batch.symbols):
-                    manifest.complete_symbol(
-                        sym, int(batch.n_obs[i]),
-                        int(per_sym.get(sym, 0)), dt / batch.batch)
-            except Exception as e:
-                self.log.exception("candles bucket L=%d failed",
-                                   batch.bucket_len)
+                return result_df
+
+            result_df, err = self._attempt(
+                f"candles bucket L={batch.bucket_len}", process)
+            if err is not None:
                 for sym in batch.symbols:
-                    manifest.error_symbol(sym, str(e), time.time() - t0)
+                    manifest.error_symbol(sym, str(err), time.time() - t0)
+                continue
+            dt = time.time() - t0
+            per_sym = (result_df.groupby("symbol").size()
+                       if len(result_df) else pd.Series(dtype=int))
+            for i, sym in enumerate(batch.symbols):
+                manifest.complete_symbol(
+                    sym, int(batch.n_obs[i]),
+                    int(per_sym.get(sym, 0)), dt / batch.batch)
         return manifest.summary()
 
     def _pack_candles(self, df: pd.DataFrame, src_freq: int

@@ -224,3 +224,48 @@ def test_storage_adapters(tmp_path, store_cls):
     assert set(out_a["symbol"]) == {"a"}
     store.drop("t")
     assert store.count("t") == 0
+
+
+def test_transient_failure_retried(cfg, monkeypatch):
+    """max_retries is wired (the reference declared enable_auto_recovery/
+    max_retries and never read them, SURVEY §5.3): a transient store
+    failure must not mark symbols as errors."""
+    tickers = generate_sample_tickers(num_symbols=2, hours=12)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    calls = {"n": 0}
+    real_write = store.write
+
+    def flaky_write(table, df, upsert_keys=None):
+        if table == st.INTERPOLATED:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise IOError("simulated transient storage failure")
+        return real_write(table, df, upsert_keys=upsert_keys)
+
+    monkeypatch.setattr(store, "write", flaky_write)
+    summary = runner.run_task1()
+    assert summary["by_status"].get("completed") == 2
+    assert calls["n"] == 2  # first attempt failed, retry succeeded
+
+
+def test_persistent_failure_marks_errors(cfg, monkeypatch):
+    tickers = generate_sample_tickers(num_symbols=2, hours=12)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    cfg.checkpoint.max_retries = 1
+    runner = PipelineRunner(cfg, store=store)
+
+    def always_fail(table, df, upsert_keys=None):
+        raise IOError("permanent failure")
+
+    monkeypatch.setattr(store, "write", always_fail)
+    summary = runner.run_task1()
+    assert summary["by_status"].get("error") == 2
+    m = RunManifest(cfg.checkpoint.manifest_dir, "interpolation",
+                    summary["batch_id"])
+    assert all("permanent failure" in r.error_message
+               for r in m.records().values())

@@ -131,3 +131,25 @@ def test_svi_method_fits_and_flags(rng):
     w_true = np.asarray(svi_total_variance(p, got["k_grid"]) * scale)
     np.testing.assert_allclose(np.asarray(got["w_grid"]), w_true, atol=1e-4)
     assert np.asarray(got["butterfly_ok"]).all()
+
+
+def test_greek_surfaces(rng):
+    from iv_interpolation_tpu.surface.greeks import greek_surfaces
+    from iv_interpolation_tpu.ops.black_scholes import bs_greeks
+    k, iv, T = _chains(rng, B=2, E=5, n=12)
+    out = fit_eval_surface(jnp.array(k), jnp.array(iv), jnp.array(T),
+                           n_grid=15)
+    spot = jnp.array([25000.0, 30000.0])
+    g = greek_surfaces(out["k_grid"], out["iv_grid"], out["fit"].expiries,
+                       spot, 0.03, is_call=True)
+    assert g["price"].shape == (2, 5, 15)
+    # spot check one node against bs_greeks directly
+    b, e, j = 1, 2, 7
+    K = float(spot[b]) * np.exp(float(out["k_grid"][b, e, j]))
+    ref = bs_greeks(spot[b], jnp.float64(K), jnp.array(T)[b, e],
+                    jnp.float64(0.03), out["iv_grid"][b, e, j], True)
+    for name in ("delta", "gamma", "theta", "vega", "rho"):
+        np.testing.assert_allclose(float(g[name][b, e, j]),
+                                   float(ref[name]), rtol=1e-10)
+    # call deltas within (0, 1) across the whole surface
+    assert ((np.asarray(g["delta"]) > 0) & (np.asarray(g["delta"]) < 1)).all()
