@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output directory for --visualize figures")
     p.add_argument("--json", action="store_true",
                    help="machine-readable summaries")
+    p.add_argument("--profile", action="store_true",
+                   help="wrap the run in a jax.profiler trace "
+                        "(written to monitoring.profiler_dir)")
     return p
 
 
@@ -168,6 +171,21 @@ def main(argv=None) -> int:
 
     limit = 3 if args.test else args.symbols
     t0 = time.time()
+    from contextlib import nullcontext
+    from iv_interpolation_tpu.monitoring.metrics import profile_trace
+    trace = (profile_trace(config.monitoring.profiler_dir) if args.profile
+             else nullcontext())
+    with trace:
+        out = _dispatch(args, runner, limit)
+    out["wall_s"] = round(time.time() - t0, 3)
+    out["status"] = runner.status()
+    if args.profile:
+        out["profile_dir"] = config.monitoring.profiler_dir
+    _emit(args, out, f"task={args.task} complete")
+    return 0
+
+
+def _dispatch(args, runner, limit):
     if args.task == "interpolation":
         out = {"task1": runner.run_task1(resume_batch_id=args.resume,
                                          limit=limit)}
@@ -181,13 +199,11 @@ def main(argv=None) -> int:
         out["task2"] = runner.run_task2()
     elif args.task == "surface":
         from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
-        out = {"surface": run_surface_fit(config, runner.store, limit=limit)}
+        out = {"surface": run_surface_fit(runner.config, runner.store,
+                                          limit=limit)}
     else:  # pipeline / all
         out = runner.run_all(limit=limit)
-    out["wall_s"] = round(time.time() - t0, 3)
-    out["status"] = runner.status()
-    _emit(args, out, f"task={args.task} complete")
-    return 0
+    return out
 
 
 if __name__ == "__main__":

@@ -1,0 +1,69 @@
+"""Device-resident ring buffer: wraparound, chronological reads, candle
+aggregation off the window."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from iv_interpolation_tpu.pipeline.ringbuffer import (
+    make_ring,
+    push,
+    window,
+    window_candles,
+)
+
+
+def test_push_and_window_before_wrap(rng):
+    B, C, L, K = 2, 3, 16, 5
+    ring = make_ring(B, C, L)
+    rows = jnp.asarray(rng.normal(size=(B, C, K)).astype(np.float32))
+    ring = push(ring, rows, jnp.ones((B, K), bool))
+    data, valid = window(ring)
+    np.testing.assert_array_equal(np.asarray(valid[:, :K]), True)
+    np.testing.assert_array_equal(np.asarray(valid[:, K:]), False)
+    np.testing.assert_allclose(np.asarray(data[:, :, :K]),
+                               np.asarray(rows))
+
+
+def test_wraparound_keeps_chronological_order(rng):
+    B, C, L, K = 1, 1, 8, 3
+    ring = make_ring(B, C, L)
+    chunks = [np.full((B, C, K), float(i), np.float32) for i in range(4)]
+    for ch in chunks:
+        ring = push(ring, jnp.asarray(ch), jnp.ones((B, K), bool))
+    # pushed 12 rows into an 8-slot ring: window = rows 4..11
+    data, valid = window(ring)
+    assert bool(valid.all())
+    expected = np.concatenate([np.full(K, float(i)) for i in range(4)])[-8:]
+    np.testing.assert_allclose(np.asarray(data[0, 0]), expected)
+
+
+def test_window_candles(rng):
+    B, C, L = 2, 5, 30
+    ring = make_ring(B, C, L)
+    close = 100 + rng.normal(size=(B, L)).astype(np.float32)
+    rows = np.stack([close, close + 1, close - 1, close,
+                     np.abs(close) * 0 + 2.0], axis=1)
+    ring = push(ring, jnp.asarray(rows), jnp.ones((B, L), bool))
+    candles = window_candles(ring, jnp.int32(0), bucket_minutes=5,
+                             num_segments=7, min_count=5)
+    assert int(candles.valid.sum()) == 2 * 6  # 30 minutes -> 6 full buckets
+    np.testing.assert_allclose(np.asarray(candles.volume)[:, :6], 10.0)
+    np.testing.assert_allclose(
+        np.asarray(candles.open[0, 0]), rows[0, 0, 0])
+    np.testing.assert_allclose(
+        np.asarray(candles.close[0, 0]), rows[0, 3, 4])
+
+
+def test_donation_streaming_loop(rng):
+    """Many pushes in a loop — exercises the donated-buffer update path."""
+    B, C, L, K = 4, 5, 64, 8
+    ring = make_ring(B, C, L)
+    total = 0
+    for i in range(20):
+        rows = jnp.asarray(rng.normal(size=(B, C, K)).astype(np.float32))
+        ring = push(ring, rows, jnp.ones((B, K), bool))
+        total += K
+    assert int(ring.count) == total
+    assert int(ring.cursor) == total % L
+    _, valid = window(ring)
+    assert bool(valid.all())
