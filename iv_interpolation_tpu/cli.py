@@ -173,13 +173,14 @@ def main(argv=None) -> int:
     t0 = time.time()
     from contextlib import nullcontext
     from iv_interpolation_tpu.monitoring.metrics import profile_trace
-    trace = (profile_trace(config.monitoring.profiler_dir) if args.profile
+    profiling = args.profile or config.monitoring.enable_profiler
+    trace = (profile_trace(config.monitoring.profiler_dir) if profiling
              else nullcontext())
     with trace:
         out = _dispatch(args, runner, limit)
     out["wall_s"] = round(time.time() - t0, 3)
     out["status"] = runner.status()
-    if args.profile:
+    if profiling:
         out["profile_dir"] = config.monitoring.profiler_dir
     _emit(args, out, f"task={args.task} complete")
     return 0

@@ -121,20 +121,16 @@ class SurfaceConfig:
     """
 
     smile_method: str = "cubic_spline"  # 'cubic_spline' | 'svi' | 'rbf'
-    n_strikes: int = 50
-    n_expiries: int = 30
-    grid_strikes: int = 50
-    grid_expiries: int = 30
-    # SVI batched Levenberg-Marquardt
+    grid_strikes: int = 50   # dense eval grid in strike (per expiry)
+    # SVI batched Levenberg-Marquardt iteration budget
     lm_max_iters: int = 50
-    lm_lambda0: float = 1e-3
-    lm_tol: float = 1e-12
     # RBF / thin-plate
     rbf_smoothing: float = 1e-8
     rbf_kernel: str = "thin_plate"  # 'thin_plate' | 'gaussian' | 'multiquadric'
-    # No-arbitrage handling
+    # No-arbitrage handling: hinge-penalty weight on negative butterfly-g
+    # during SVI calibration (calendar no-arb is structural: total-variance
+    # interpolation between calendar-ordered slices cannot create it)
     butterfly_penalty: float = 0.0
-    calendar_penalty: float = 0.0
 
 
 @dataclass
@@ -158,8 +154,8 @@ class CheckpointConfig:
     tables, schema.py:88-109, with a host-side jsonl manifest)."""
 
     manifest_dir: str = "./runs"
-    checkpoint_interval: int = 100  # symbols between manifest flushes
-    max_retries: int = 3
+    checkpoint_interval: int = 100  # manifest events buffered between flushes
+    max_retries: int = 3  # bucket retry budget (runner._attempt)
 
 
 @dataclass
@@ -191,7 +187,7 @@ def get_config(environment: Optional[str] = None, **overrides) -> Config:
 
     ``environment`` falls back to the ``ENVIRONMENT`` env var (the reference
     honoured the same variable, config.py:97). ``overrides`` accepts
-    dotted-path keys, e.g. ``get_config(surface__n_strikes=64)``.
+    dotted-path keys, e.g. ``get_config(surface__grid_strikes=64)``.
     """
     env = environment or os.getenv("ENVIRONMENT", "production")
     if env not in _ENV_PRESETS:

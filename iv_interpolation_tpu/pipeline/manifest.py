@@ -44,13 +44,21 @@ class RunManifest:
     """Append-only jsonl manifest for one pipeline run (one task stage)."""
 
     def __init__(self, manifest_dir: str, task: str,
-                 batch_id: Optional[int] = None):
+                 batch_id: Optional[int] = None,
+                 flush_interval: int = 1):
+        """``flush_interval`` buffers that many events between file writes
+        (the reference's declared-but-unused ``checkpoint_interval``,
+        config_production.py:78 — wired here). A crash loses at most the
+        buffered tail; those symbols simply re-run on resume (storage
+        writes are idempotent upserts)."""
         self.task = task
         self.batch_id = batch_id if batch_id is not None else int(time.time())
+        self.flush_interval = max(1, flush_interval)
         os.makedirs(manifest_dir, exist_ok=True)
         self.path = os.path.join(manifest_dir,
                                  f"{task}_{self.batch_id}.jsonl")
         self._records: Dict[str, SymbolRecord] = {}
+        self._buffer: list = []
         if os.path.exists(self.path):
             self._load()
 
@@ -64,8 +72,17 @@ class RunManifest:
                 self._records[rec["symbol"]] = SymbolRecord(**rec)
 
     def _append(self, rec: SymbolRecord) -> None:
+        self._buffer.append(json.dumps(asdict(rec)))
+        if len(self._buffer) >= self.flush_interval:
+            self.flush()
+
+    def flush(self) -> None:
+        """Write buffered events to the jsonl file."""
+        if not self._buffer:
+            return
         with open(self.path, "a") as f:
-            f.write(json.dumps(asdict(rec)) + "\n")
+            f.write("\n".join(self._buffer) + "\n")
+        self._buffer = []
 
     # -- state machine (mirrors progress.py:22-106) -----------------------
     def initialize_symbols(self, symbols: List[str]) -> None:

@@ -89,8 +89,10 @@ class PipelineRunner:
                   resume_batch_id: Optional[int] = None,
                   limit: Optional[int] = None) -> dict:
         cfg = self.config.interpolation
-        manifest = RunManifest(self.config.checkpoint.manifest_dir,
-                               "interpolation", resume_batch_id)
+        manifest = RunManifest(
+            self.config.checkpoint.manifest_dir, "interpolation",
+            resume_batch_id,
+            flush_interval=self.config.checkpoint.checkpoint_interval)
         if resume_batch_id is not None:
             symbols = manifest.pending_symbols()
             self.log.info("resume batch %s: %d pending symbols",
@@ -167,6 +169,7 @@ class PipelineRunner:
                 self.perf.log_symbol_processed(
                     sym, int(batch.n_obs[i]), n_out, dt / batch.batch)
             n_rows_out += len(result_df)
+        manifest.flush()
         summary = manifest.summary()
         self.perf.log_batch_complete(manifest.batch_id, time.time() - t_start,
                                      summary["output_rows"])
@@ -179,8 +182,9 @@ class PipelineRunner:
                    batch_id: Optional[int] = None,
                    resume_batch_id: Optional[int] = None) -> dict:
         cfg = self.config.data_bridge
-        manifest = RunManifest(self.config.checkpoint.manifest_dir,
-                               "bridge", resume_batch_id)
+        manifest = RunManifest(
+            self.config.checkpoint.manifest_dir, "bridge", resume_batch_id,
+            flush_interval=self.config.checkpoint.checkpoint_interval)
         if resume_batch_id is not None:
             symbols = manifest.pending_symbols()
         if symbols is None:
@@ -264,6 +268,7 @@ class PipelineRunner:
                 manifest.complete_symbol(
                     sym, int(batch.n_obs[i]),
                     int(per_sym.get(sym, 0)), dt / batch.batch)
+        manifest.flush()
         return manifest.summary()
 
     @staticmethod
@@ -290,8 +295,9 @@ class PipelineRunner:
     def run_task2(self, symbols: Optional[List[str]] = None,
                   resume_batch_id: Optional[int] = None) -> dict:
         cfg = self.config.candle_reconstruction
-        manifest = RunManifest(self.config.checkpoint.manifest_dir,
-                               "candles", resume_batch_id)
+        manifest = RunManifest(
+            self.config.checkpoint.manifest_dir, "candles", resume_batch_id,
+            flush_interval=self.config.checkpoint.checkpoint_interval)
         if resume_batch_id is not None:
             symbols = manifest.pending_symbols()
         if symbols is None:
@@ -360,6 +366,7 @@ class PipelineRunner:
                 manifest.complete_symbol(
                     sym, int(batch.n_obs[i]),
                     int(per_sym.get(sym, 0)), dt / batch.batch)
+        manifest.flush()
         return manifest.summary()
 
     def _pack_candles(self, df: pd.DataFrame, src_freq: int

@@ -69,10 +69,48 @@ def build_chains(df: pd.DataFrame, min_strikes: int = 4):
     return chains
 
 
+def _fit_rbf_surface(k, iv, T, scfg):
+    """Scattered RBF surface over all (k, T) quotes of one underlying
+    (BASELINE.json config #4), evaluated on the same (E, grid) layout as
+    the slice-wise methods so downstream handling is uniform."""
+    from iv_interpolation_tpu.ops.rbf import eval_rbf, fit_rbf
+    from iv_interpolation_tpu.surface.arbitrage import butterfly_g_fd
+
+    _, E, n = k.shape
+    pts = np.stack([k[0].ravel(), np.repeat(T[0], n)], axis=1)
+    w = (iv[0] ** 2 * T[0][:, None]).ravel()
+    fit = fit_rbf(jnp.asarray(pts), jnp.asarray(w),
+                  smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel)
+    m = scfg.grid_strikes
+    kg_row = np.linspace(k[0, :, 0].max(), k[0, :, -1].min(), m)
+    k_grid = np.broadcast_to(kg_row, (E, m))
+    q = np.stack([k_grid.ravel(), np.repeat(T[0], m)], axis=1)
+    w_grid = np.asarray(
+        eval_rbf(fit, jnp.asarray(q), kernel=scfg.rbf_kernel)
+    ).reshape(E, m)
+    g = np.asarray(butterfly_g_fd(jnp.asarray(k_grid), jnp.asarray(w_grid)))
+    iv_grid = np.sqrt(np.maximum(w_grid, 0.0) / np.maximum(T[0][:, None],
+                                                           1e-12))
+    return {
+        "k_grid": jnp.asarray(k_grid)[None],
+        "w_grid": jnp.asarray(w_grid)[None],
+        "iv_grid": jnp.asarray(iv_grid)[None],
+        "butterfly_ok": jnp.asarray([bool((g >= -1e-10).all())]),
+        "calendar_ok": jnp.asarray(
+            [bool((np.diff(w_grid, axis=0) >= -1e-12).all())]),
+    }
+
+
 def run_surface_fit(config, store, limit: Optional[int] = None,
                     method: Optional[str] = None) -> dict:
     """Fit one surface per underlying from interpolated data and persist
-    the evaluated grid + diagnostics."""
+    the evaluated grid + diagnostics.
+
+    ``surface.smile_method`` selects cubic_spline / svi / rbf;
+    ``surface.lm_max_iters`` bounds SVI calibration;
+    ``surface.butterfly_penalty`` adds the no-arb hinge to SVI fits;
+    ``surface.rbf_kernel`` / ``surface.rbf_smoothing`` shape the RBF path.
+    """
     scfg = config.surface
     method = method or scfg.smile_method
     df = store.read(st.INTERPOLATED)
@@ -113,9 +151,14 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
             iv = np.repeat(iv, 2, axis=1)
             T = np.concatenate([T, T + 1e-3], axis=1)
             E = 2
-        res = fit_eval_surface(jnp.asarray(k), jnp.asarray(iv),
-                               jnp.asarray(T), method=method,
-                               n_grid=scfg.grid_strikes)
+        if method == "rbf":
+            res = _fit_rbf_surface(k, iv, T, scfg)
+        else:
+            res = fit_eval_surface(
+                jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T),
+                method=method, n_grid=scfg.grid_strikes,
+                svi_iters=scfg.lm_max_iters,
+                svi_butterfly_penalty=scfg.butterfly_penalty)
         n_fit += 1
         w = np.asarray(res["w_grid"][0])
         kg = np.asarray(res["k_grid"][0])

@@ -59,17 +59,21 @@ class SurfaceFit:
     coefs: jax.Array
 
 
-def _fit_slices(k, w, method: str, svi_iters: int = 64):
+def _fit_slices(k, w, method: str, svi_iters: int = 64,
+                svi_butterfly_penalty: float = 0.0):
     if method == "cubic_spline":
         return fit_cubic_spline(k, w, bc_type="natural")
     if method == "svi":
-        return fit_svi_batched(k, w, max_iters=svi_iters).params
+        return fit_svi_batched(k, w, max_iters=svi_iters,
+                               butterfly_penalty=svi_butterfly_penalty).params
     raise ValueError(f"unknown smile method: {method!r}")
 
 
-@partial(jax.jit, static_argnames=("method", "svi_iters"))
+@partial(jax.jit, static_argnames=("method", "svi_iters",
+                                   "svi_butterfly_penalty"))
 def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
-                method: str = "cubic_spline", svi_iters: int = 64) -> SurfaceFit:
+                method: str = "cubic_spline", svi_iters: int = 64,
+                svi_butterfly_penalty: float = 0.0) -> SurfaceFit:
     """Fit a batch of vol surfaces.
 
     Args:
@@ -79,7 +83,7 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       method: smile parameterisation ('cubic_spline' | 'svi').
     """
     w = iv * iv * expiries[..., None]
-    coefs = _fit_slices(k, w, method, svi_iters)
+    coefs = _fit_slices(k, w, method, svi_iters, svi_butterfly_penalty)
     return SurfaceFit(method=method, k=k, expiries=expiries, w=w, coefs=coefs)
 
 
@@ -141,10 +145,12 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
     return w0 * (1.0 - t) + w1 * t
 
 
-@partial(jax.jit, static_argnames=("method", "n_grid", "svi_iters"))
+@partial(jax.jit, static_argnames=("method", "n_grid", "svi_iters",
+                                   "svi_butterfly_penalty"))
 def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                      method: str = "cubic_spline", n_grid: int = 50,
-                     svi_iters: int = 64):
+                     svi_iters: int = 64,
+                     svi_butterfly_penalty: float = 0.0):
     """Fused fit + dense-grid eval + arbitrage diagnostics — the benchmark
     hot path (fit + evaluate on the 30x50 grid).
 
@@ -152,7 +158,8 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     ``iv_grid`` (B, E, n_grid), the butterfly function ``g`` on the grid,
     and per-surface ``butterfly_ok`` / ``calendar_ok`` flags.
     """
-    fit = fit_surface(k, iv, expiries, method=method, svi_iters=svi_iters)
+    fit = fit_surface(k, iv, expiries, method=method, svi_iters=svi_iters,
+                      svi_butterfly_penalty=svi_butterfly_penalty)
     k_lo = jnp.max(k[..., 0], axis=-1)   # common support across expiries
     k_hi = jnp.min(k[..., -1], axis=-1)
     steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)

@@ -22,9 +22,9 @@ def test_environment_variable_selects_preset(monkeypatch):
 
 
 def test_explicit_overrides():
-    cfg = get_config("testing", surface__n_strikes=64,
+    cfg = get_config("testing", surface__grid_strikes=64,
                      interpolation__max_gap_hours=24)
-    assert cfg.surface.n_strikes == 64
+    assert cfg.surface.grid_strikes == 64
     assert cfg.interpolation.max_gap_hours == 24
     with pytest.raises(ValueError):
         get_config("testing", nosuch__field=1)

@@ -269,3 +269,14 @@ def test_persistent_failure_marks_errors(cfg, monkeypatch):
                     summary["batch_id"])
     assert all("permanent failure" in r.error_message
                for r in m.records().values())
+
+
+def test_manifest_flush_interval(tmp_path):
+    m = RunManifest(str(tmp_path), "interpolation", 123, flush_interval=10)
+    m.initialize_symbols([f"s{i}" for i in range(4)])
+    # buffered: file not yet written
+    import os
+    assert not os.path.exists(m.path) or os.path.getsize(m.path) == 0
+    m.flush()
+    m2 = RunManifest(str(tmp_path), "interpolation", 123)
+    assert len(m2.records()) == 4
