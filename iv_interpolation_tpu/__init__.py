@@ -27,3 +27,27 @@ from iv_interpolation_tpu.config import (  # noqa: F401
     Config,
     get_config,
 )
+
+__all__ = [
+    "Config", "get_config", "__version__",
+]
+
+
+def __getattr__(name):
+    """Lazy top-level API: keep ``import iv_interpolation_tpu`` light
+    (no jax/pandas import cost) while exposing the main entry points."""
+    lazy = {
+        "fit_surface": ("iv_interpolation_tpu.surface", "fit_surface"),
+        "eval_surface": ("iv_interpolation_tpu.surface", "eval_surface"),
+        "fit_eval_surface": ("iv_interpolation_tpu.surface",
+                             "fit_eval_surface"),
+        "PipelineRunner": ("iv_interpolation_tpu.pipeline",
+                           "PipelineRunner"),
+        "RunManifest": ("iv_interpolation_tpu.pipeline", "RunManifest"),
+        "get_store": ("iv_interpolation_tpu.pipeline", "get_store"),
+    }
+    if name in lazy:
+        import importlib
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'iv_interpolation_tpu' has no attribute {name!r}")

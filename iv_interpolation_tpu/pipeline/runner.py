@@ -274,20 +274,21 @@ class PipelineRunner:
     @staticmethod
     def _unpack_candles(batch: ingest.PackedBatch, ohlcv: Dict[str, np.ndarray],
                         freq_minutes: int = 1) -> pd.DataFrame:
-        frames = []
-        for i, sym in enumerate(batch.symbols):
-            sel = np.flatnonzero(ohlcv["valid"][i])
-            if not len(sel):
-                continue
-            ts = pd.to_datetime(
-                (batch.t0_minutes[i] + sel * freq_minutes) * 60_000_000_000)
-            frames.append(pd.DataFrame({
-                "symbol": sym, "timestamp": ts,
-                "open": ohlcv["open"][i][sel], "high": ohlcv["high"][i][sel],
-                "low": ohlcv["low"][i][sel], "close": ohlcv["close"][i][sel],
-                "volume": ohlcv["volume"][i][sel],
-            }))
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        sel_b, sel_pos = np.nonzero(np.asarray(ohlcv["valid"]))
+        if not len(sel_b):
+            return pd.DataFrame()
+        ts = pd.to_datetime(
+            (batch.t0_minutes[sel_b] + sel_pos * freq_minutes)
+            * 60_000_000_000)
+        return pd.DataFrame({
+            "symbol": np.asarray(batch.symbols, object)[sel_b],
+            "timestamp": ts,
+            "open": ohlcv["open"][sel_b, sel_pos],
+            "high": ohlcv["high"][sel_b, sel_pos],
+            "low": ohlcv["low"][sel_b, sel_pos],
+            "close": ohlcv["close"][sel_b, sel_pos],
+            "volume": ohlcv["volume"][sel_b, sel_pos],
+        })
 
     # ------------------------------------------------------------------
     # Task 2 — candle reconstruction
@@ -425,23 +426,24 @@ class PipelineRunner:
     def _unpack_aggregated(batch: ingest.PackedBatch, agg, freq: int,
                            src_freq: int, freq_name: str,
                            created_at) -> pd.DataFrame:
-        frames = []
         base_bucket = batch.t0_minutes * src_freq // freq
-        for i, sym in enumerate(batch.symbols):
-            sel = np.flatnonzero(agg.valid[i])
-            if not len(sel):
-                continue
-            ts = pd.to_datetime(
-                (base_bucket[i] + sel) * freq * 60_000_000_000)
-            frames.append(pd.DataFrame({
-                "symbol": sym, "timestamp": ts,
-                "open": agg.open[i][sel], "high": agg.high[i][sel],
-                "low": agg.low[i][sel], "close": agg.close[i][sel],
-                "volume": agg.volume[i][sel],
-                "frequency": freq_name, "source_candles": freq,
-                "created_at": created_at,
-            }))
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        sel_b, sel_pos = np.nonzero(np.asarray(agg.valid))
+        if not len(sel_b):
+            return pd.DataFrame()
+        ts = pd.to_datetime(
+            (base_bucket[sel_b] + sel_pos) * freq * 60_000_000_000)
+        return pd.DataFrame({
+            "symbol": np.asarray(batch.symbols, object)[sel_b],
+            "timestamp": ts,
+            "open": agg.open[sel_b, sel_pos],
+            "high": agg.high[sel_b, sel_pos],
+            "low": agg.low[sel_b, sel_pos],
+            "close": agg.close[sel_b, sel_pos],
+            "volume": agg.volume[sel_b, sel_pos],
+            "frequency": freq_name,
+            "source_candles": freq // src_freq,
+            "created_at": created_at,
+        })
 
     # ------------------------------------------------------------------
     def run_all(self, symbols: Optional[List[str]] = None,

@@ -83,64 +83,117 @@ class MemoryStore:
 
 
 class ParquetStore:
-    """One parquet file per table under ``root`` (simple, atomic-enough
-    for single-writer pipelines; sharded datasets can come later)."""
+    """Append-only parquet dataset per table under ``root``.
 
-    def __init__(self, root: str):
+    Each ``write`` lands a new ``part-NNNNNN.parquet`` (O(batch), never a
+    table rewrite — the reference's execute_values inserts had the same
+    property); upsert semantics are realised at *read* time by dropping
+    duplicate keys keeping the newest part, with automatic background
+    compaction once a table accumulates ``compact_after`` parts. A
+    ``_meta.json`` sidecar remembers the table's upsert keys.
+    """
+
+    def __init__(self, root: str, compact_after: int = 32):
         self.root = root
+        self.compact_after = compact_after
         os.makedirs(root, exist_ok=True)
 
-    def _path(self, table: str) -> str:
-        return os.path.join(self.root, f"{table}.parquet")
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _parts(self, table: str) -> List[str]:
+        d = self._dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.path.join(d, f) for f in os.listdir(d)
+                      if f.endswith(".parquet"))
+
+    def _keys(self, table: str) -> Optional[List[str]]:
+        meta = os.path.join(self._dir(table), "_meta.json")
+        if os.path.exists(meta):
+            import json
+            with open(meta) as f:
+                return json.load(f).get("upsert_keys")
+        return None
 
     def tables(self) -> List[str]:
         return sorted(
-            f[:-8] for f in os.listdir(self.root) if f.endswith(".parquet")
+            t for t in os.listdir(self.root)
+            if os.path.isdir(self._dir(t)) and self._parts(t)
         )
 
+    def _read_raw(self, table: str, columns=None, filters=None) -> pd.DataFrame:
+        parts = self._parts(table)
+        if not parts:
+            return pd.DataFrame()
+        frames = [pd.read_parquet(p, columns=columns, filters=filters)
+                  for p in parts]
+        return pd.concat(frames, ignore_index=True)
+
     def list_symbols(self, table: str) -> List[str]:
-        path = self._path(table)
-        if not os.path.exists(path):
+        df = self._read_raw(table, columns=["symbol"])
+        if df.empty:
             return []
-        df = pd.read_parquet(path, columns=["symbol"])
         return sorted(df["symbol"].unique().tolist())
 
     def read(self, table: str, symbols: Optional[List[str]] = None) -> pd.DataFrame:
-        path = self._path(table)
-        if not os.path.exists(path):
-            return pd.DataFrame()
         filters = [("symbol", "in", symbols)] if symbols is not None else None
-        return pd.read_parquet(path, filters=filters).reset_index(drop=True)
+        df = self._read_raw(table, filters=filters)
+        keys = self._keys(table)
+        if keys and not df.empty:
+            df = df.drop_duplicates(subset=keys, keep="last")
+        return df.reset_index(drop=True)
 
     def write(self, table: str, df: pd.DataFrame,
               upsert_keys: Optional[List[str]] = None) -> int:
         if df is None or df.empty:
             return 0
-        path = self._path(table)
-        if os.path.exists(path):
-            existing = pd.read_parquet(path)
-            if upsert_keys:
-                df_all = _upsert(existing, df, upsert_keys)
-            else:
-                df_all = pd.concat([existing, df], ignore_index=True)
-        else:
-            df_all = df
-        tmp = path + ".tmp"
-        df_all.to_parquet(tmp, index=False)
-        os.replace(tmp, path)
+        d = self._dir(table)
+        os.makedirs(d, exist_ok=True)
+        if upsert_keys:
+            import json
+            with open(os.path.join(d, "_meta.json"), "w") as f:
+                json.dump({"upsert_keys": upsert_keys}, f)
+        parts = self._parts(table)
+        n = int(parts[-1].rsplit("-", 1)[-1][:-8]) + 1 if parts else 0
+        tmp = os.path.join(d, f".part-{n:06d}.tmp")
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(d, f"part-{n:06d}.parquet"))
+        if len(parts) + 1 >= self.compact_after:
+            self.compact(table)
         return len(df)
 
+    def compact(self, table: str) -> None:
+        """Merge all parts into one (applying upsert dedup)."""
+        parts = self._parts(table)
+        if len(parts) <= 1:
+            return
+        df = self.read(table)
+        d = self._dir(table)
+        tmp = os.path.join(d, ".compact.tmp")
+        df.to_parquet(tmp, index=False)
+        for p in parts:
+            os.remove(p)
+        os.replace(tmp, os.path.join(d, "part-000000.parquet"))
+
     def count(self, table: str) -> int:
-        path = self._path(table)
-        if not os.path.exists(path):
-            return 0
         import pyarrow.parquet as pq
-        return pq.ParquetFile(path).metadata.num_rows
+        parts = self._parts(table)
+        if not parts:
+            return 0
+        total = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        if len(parts) > 1 and self._keys(table):
+            # duplicates across parts are possible under upsert: exact
+            # count needs the dedup'd view
+            return len(self.read(table))
+        return total
 
     def drop(self, table: str) -> None:
-        path = self._path(table)
-        if os.path.exists(path):
-            os.remove(path)
+        d = self._dir(table)
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                os.remove(os.path.join(d, f))
+            os.rmdir(d)
 
 
 class PostgresStore:

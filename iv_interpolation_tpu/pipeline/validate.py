@@ -11,7 +11,6 @@ from a calibration microbatch instead of the reference's assumed
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 

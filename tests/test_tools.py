@@ -136,3 +136,25 @@ def test_surface_task_alternative_methods(ran_store, method):
     # 3 sample symbols -> 1 usable chain at most; tolerate 0 if chain too
     # small, but the call must succeed and report its method
     assert rep.get("method", method) == method or rep["surfaces"] == 0
+
+
+def test_parquet_parts_and_compaction(tmp_path):
+    from iv_interpolation_tpu.pipeline import ParquetStore
+    store = ParquetStore(str(tmp_path / "d"), compact_after=4)
+    for i in range(3):
+        df = pd.DataFrame({
+            "symbol": ["a"], "timestamp": [pd.Timestamp("2023-01-01")
+                                           + pd.Timedelta(minutes=i)],
+            "open": [float(i)]})
+        store.write("t", df, upsert_keys=["symbol", "timestamp"])
+    assert len(store._parts("t")) == 3
+    assert store.count("t") == 3
+    # upsert an existing key -> still 3 logical rows, newest value wins
+    store.write("t", pd.DataFrame({
+        "symbol": ["a"], "timestamp": [pd.Timestamp("2023-01-01")],
+        "open": [99.0]}), upsert_keys=["symbol", "timestamp"])
+    # 4th part triggered compaction
+    assert len(store._parts("t")) == 1
+    out = store.read("t").sort_values("timestamp")
+    assert len(out) == 3
+    assert out["open"].iloc[0] == 99.0
