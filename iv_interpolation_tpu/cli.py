@@ -92,6 +92,16 @@ def main(argv=None) -> int:
     from iv_interpolation_tpu.config import get_config
     from iv_interpolation_tpu.monitoring.logging import setup_logging
 
+    # persistent XLA compilation cache: first-compile on this runtime runs
+    # 1-2 min per kernel shape; cached reloads are seconds
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/ivtpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     config = get_config()
     if args.storage:
         config.storage.backend = args.storage

@@ -106,7 +106,10 @@ class DataBridgeConfig:
     base_spread_percent: float = 0.002
     volatility_factor: float = 1.5
     min_spread_percent: float = 0.0005
-    max_spread_percent: float = 0.02
+    # quality-gate ceiling on (high-low)/source_price; the reference's
+    # gate hardcoded 10% (ohlcv_converter.py:392) while its config
+    # declared an unused 2% — here the knob IS the gate
+    max_spread_percent: float = 0.10
     trend_strength: float = 0.6
     base_volume: float = 50.0  # exponential volume imputation scale
 

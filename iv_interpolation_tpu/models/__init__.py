@@ -1,0 +1,20 @@
+"""Model families — the smile/surface parameterisations.
+
+Namespace over the kernels in ``ops``/``surface``: each family offers a
+fit (calibration) and an evaluation path, all batched and jit-compiled.
+
+  * cubic spline smiles   -> :mod:`iv_interpolation_tpu.models.spline`
+  * SVI slices            -> :mod:`iv_interpolation_tpu.models.svi`
+  * SABR (Hagan)          -> :mod:`iv_interpolation_tpu.models.sabr`
+  * RBF/thin-plate        -> :mod:`iv_interpolation_tpu.models.rbf`
+  * Black-Scholes         -> :mod:`iv_interpolation_tpu.models.black_scholes`
+  * full surfaces         -> :mod:`iv_interpolation_tpu.surface`
+"""
+
+from iv_interpolation_tpu.models import (  # noqa: F401
+    black_scholes,
+    rbf,
+    sabr,
+    spline,
+    svi,
+)

@@ -1,0 +1,16 @@
+"""Cubic-spline smile model: general batched fit/eval plus the
+fixed-grid matrix operators (the MXU hot path)."""
+from iv_interpolation_tpu.ops.cubic_spline import (  # noqa: F401
+    eval_cubic_spline,
+    eval_cubic_spline_deriv,
+    eval_cubic_spline_second_deriv,
+    fit_cubic_spline,
+    fit_eval_smile,
+)
+from iv_interpolation_tpu.ops.spline_matrix import (  # noqa: F401
+    SplineOperator,
+    apply_spline_operator,
+    build_spline_operator,
+    build_surface_operators,
+    fit_eval_surface_grid,
+)

@@ -205,13 +205,15 @@ def _first_finite(x):
 
 
 @jax.jit
-def validate_bridge_quality(open_, high, low, close, source_price, valid):
+def validate_bridge_quality(open_, high, low, close, source_price, valid,
+                            max_spread_frac=0.1):
     """Vectorised quality gate (reference _validate_ohlcv_quality,
-    ohlcv_converter.py:371-402): OHLC relations, spread <= 10% of source
-    price, strictly positive prices. Returns (all_ok, per-row ok)."""
+    ohlcv_converter.py:371-402): OHLC relations, spread <=
+    ``max_spread_frac`` of source price (the reference hardcoded 10%),
+    strictly positive prices. Returns (all_ok, per-row ok)."""
     rel = (high >= low) & (high >= open_) & (high >= close) \
         & (low <= open_) & (low <= close)
-    spread_ok = (high - low) <= 0.1 * source_price
+    spread_ok = (high - low) <= max_spread_frac * source_price
     positive = (open_ > 0) & (high > 0) & (low > 0) & (close > 0)
     ok = (~valid) | (rel & spread_ok & positive)
     return jnp.all(ok), ok

@@ -34,6 +34,7 @@ from iv_interpolation_tpu.pipeline import storage as st
 from iv_interpolation_tpu.pipeline.manifest import RunManifest
 from iv_interpolation_tpu.pipeline import tasks
 from iv_interpolation_tpu.monitoring.logging import get_logger, PerformanceLogger
+from iv_interpolation_tpu.monitoring.metrics import StepMetrics
 
 _FREQ_MIN = {"1min": 1, "5min": 5, "15min": 15, "30min": 30, "1h": 60}
 
@@ -59,6 +60,9 @@ class PipelineRunner:
         self.store = store if store is not None else st.get_store(config.storage)
         self.log = get_logger("pipeline")
         self.perf = PerformanceLogger()
+        self.metrics = StepMetrics(
+            snapshot_dir=config.monitoring.snapshot_dir
+            if config.monitoring.enable_snapshots else None)
         self.np_dtype = {"float32": np.float32, "float64": np.float64,
                          "bfloat16": np.float32}[config.processing.dtype]
         self.dtype = {"float32": jnp.float32, "float64": jnp.float64,
@@ -152,8 +156,10 @@ class PipelineRunner:
                                  upsert_keys=["symbol", "date"])
                 return result_df
 
-            result_df, err = self._attempt(
-                f"task1 bucket L={batch.bucket_len}", process)
+            with self.metrics.step(f"task1/L{batch.bucket_len}",
+                                   items=batch.batch):
+                result_df, err = self._attempt(
+                    f"task1 bucket L={batch.bucket_len}", process)
             if err is not None:  # failure isolation per bucket
                 for sym in batch.symbols:
                     manifest.error_symbol(sym, str(err), time.time() - t0)
@@ -246,7 +252,8 @@ class PipelineRunner:
                         validate_bridge_quality)
                     all_ok, _ = validate_bridge_quality(
                         ohlcv["open"], ohlcv["high"], ohlcv["low"],
-                        ohlcv["close"], base, ohlcv["valid"])
+                        ohlcv["close"], base, ohlcv["valid"],
+                        max_spread_frac=cfg.max_spread_percent)
                     if not bool(all_ok):
                         raise ValueError("OHLCV quality gate failed")
                 ohlcv_np = jax.tree.map(np.asarray, ohlcv)
@@ -255,8 +262,10 @@ class PipelineRunner:
                                  upsert_keys=["symbol", "timestamp"])
                 return result_df
 
-            result_df, err = self._attempt(
-                f"bridge bucket L={batch.bucket_len}", process)
+            with self.metrics.step(f"bridge/L{batch.bucket_len}",
+                                   items=batch.batch):
+                result_df, err = self._attempt(
+                    f"bridge bucket L={batch.bucket_len}", process)
             if err is not None:
                 for sym in batch.symbols:
                     manifest.error_symbol(sym, str(err), time.time() - t0)
@@ -354,8 +363,10 @@ class PipelineRunner:
                                               "frequency"])
                 return result_df
 
-            result_df, err = self._attempt(
-                f"candles bucket L={batch.bucket_len}", process)
+            with self.metrics.step(f"candles/L{batch.bucket_len}",
+                                   items=batch.batch):
+                result_df, err = self._attempt(
+                    f"candles bucket L={batch.bucket_len}", process)
             if err is not None:
                 for sym in batch.symbols:
                     manifest.error_symbol(sym, str(err), time.time() - t0)
@@ -454,7 +465,9 @@ class PipelineRunner:
         s1 = self.run_task1(symbols=symbols, limit=limit)
         s2 = self.run_bridge()
         s3 = self.run_task2()
-        return {"task1": s1, "bridge": s2, "task2": s3}
+        self.metrics.snapshot(f"pipeline_{s1.get('batch_id', 'run')}")
+        return {"task1": s1, "bridge": s2, "task2": s3,
+                "step_metrics": self.metrics.summary()}
 
     def status(self) -> dict:
         """Census across all four tables (reference get_pipeline_status,
