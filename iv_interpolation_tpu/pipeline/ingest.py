@@ -75,6 +75,16 @@ def choose_bucket(length: int, bucket_sizes: Sequence[int]) -> Optional[int]:
     return None
 
 
+def batch_pad(n: int, max_batch: int) -> int:
+    """Pad a chunk's batch dim to a geometric schedule so XLA sees a small
+    fixed set of shapes (a ragged final chunk would otherwise force a full
+    recompile per distinct remainder — 1-2 min each on this runtime)."""
+    b = 16
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
 def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
                  min_points: int = 10, max_span_days: int = 30,
                  max_timeline_points: int = 100_000,
@@ -125,24 +135,27 @@ def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
     for bucket, items in sorted(per_bucket.items()):
         for lo in range(0, len(items), max_batch):
             chunk = items[lo:lo + max_batch]
-            B = len(chunk)
+            B_real = len(chunk)
+            B = batch_pad(B_real, max_batch)
             C = len(ALL_COLS)
             values = np.full((B, C, bucket), np.nan, dtype=dtype)
             obs_mask = np.zeros((B, bucket), bool)
             timeline_mask = np.zeros((B, bucket), bool)
             symbols = [it["symbol"] for it in chunk]
-            t0 = np.asarray([it["obs_min"][0] for it in chunk], np.int64)
-            valid_len = np.asarray([it["L"] for it in chunk], np.int64)
-            n_obs = np.asarray([len(it["obs_min"]) for it in chunk],
-                               np.int64)
+            t0 = np.zeros(B, np.int64)
+            t0[:B_real] = [it["obs_min"][0] for it in chunk]
+            valid_len = np.zeros(B, np.int64)
+            valid_len[:B_real] = [it["L"] for it in chunk]
+            n_obs = np.zeros(B, np.int64)
+            n_obs[:B_real] = [len(it["obs_min"]) for it in chunk]
             timeline_mask[np.arange(bucket)[None, :]
                           < valid_len[:, None]] = True
 
             # one vectorised scatter over every row in the chunk (the
             # reference looped rows in Python via iterrows; the native
             # packer in native/ is an optional further acceleration)
-            counts = n_obs
-            row_sym = np.repeat(np.arange(B), counts)
+            counts = n_obs[:B_real]
+            row_sym = np.repeat(np.arange(B_real), counts)
             obs_all = np.concatenate([it["obs_min"] for it in chunk])
             rel = obs_all - t0[row_sym]
             # exact-grid alignment (the reference's left-merge on equal
@@ -176,7 +189,7 @@ def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
                         pd.Series(row_sym, index=subs.index))[cc].first()
                     consts[cc] = [firsts.get(i) for i in range(B)]
                 else:
-                    consts[cc] = [None] * B
+                    consts[cc] = [None] * B  # padding symbols stay None
             batches.append(PackedBatch(
                 bucket_len=bucket, symbols=symbols, t0_minutes=t0,
                 valid_len=valid_len, values=values, obs_mask=obs_mask,

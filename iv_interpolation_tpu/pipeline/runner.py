@@ -235,10 +235,13 @@ class PipelineRunner:
                     jnp.zeros((batch.batch,), bool),
                     method="ffill", compute_greeks=False)
                 price_col = tasks.select_price_columns(values, jnp.asarray(batch.obs_mask))
-                # one deterministic key per symbol name hash — order-free
+                # one deterministic key per symbol name hash — order-free;
+                # padded rows (batch dim is shape-padded) get a dummy key
+                B_pad = batch.values.shape[0]
+                hashes = [abs(hash(s)) % (2**31) for s in batch.symbols]
+                hashes += [0] * (B_pad - len(hashes))
                 keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                    root_key,
-                    jnp.asarray([abs(hash(s)) % (2**31) for s in batch.symbols]))
+                    root_key, jnp.asarray(hashes))
                 ohlcv = tasks.bridge_batch(
                     filled["filled"], filled["valid"] & jnp.asarray(batch.obs_mask),
                     keys, params=params, price_col=price_col,
@@ -406,7 +409,7 @@ class PipelineRunner:
         for bucket, items in sorted(per_bucket.items()):
             for lo in range(0, len(items), maxb):
                 chunk = items[lo:lo + maxb]
-                B = len(chunk)
+                B = ingest.batch_pad(len(chunk), maxb)
                 values = np.full((B, len(cols), bucket), np.nan,
                                  self.np_dtype)
                 obs_mask = np.zeros((B, bucket), bool)

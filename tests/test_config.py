@@ -65,3 +65,21 @@ def test_every_interpolation_knob_is_consumed():
                  "min_candles_required", "validate_ohlc",
                  "conversion_strategy", "enable_quality_checks"):
         assert knob in src, f"config knob {knob!r} is decorative"
+
+
+def test_models_and_utils_namespaces():
+    """The models/ and utils/ namespaces expose the family APIs."""
+    from iv_interpolation_tpu.models import (black_scholes, rbf, sabr,
+                                             spline, svi)
+    assert callable(spline.fit_eval_smile)
+    assert callable(spline.build_spline_operator)
+    assert callable(svi.fit_svi)
+    assert callable(sabr.fit_sabr)
+    assert callable(rbf.fit_rbf)
+    assert callable(black_scholes.bs_greeks)
+    from iv_interpolation_tpu.utils import (choose_bucket, pad_to_multiple,
+                                            to_epoch_minutes)
+    assert pad_to_multiple(3, 8) == 8
+    assert choose_bucket(100, (64, 256)) == 256
+    import pandas as pd
+    assert to_epoch_minutes(pd.Series([pd.Timestamp("1970-01-01 01:00")]))[0] == 60
