@@ -49,7 +49,7 @@ class ProcessingConfig:
     becomes static length-bucketing.
     """
 
-    batch_size: int = 1024  # symbols (surfaces) per device step
+    batch_size: int = 256  # symbols (series) per device step
     bucket_sizes: tuple = (64, 256, 1024, 4096, 16384)  # padded series lengths
     mesh_shape: Optional[tuple] = None  # None -> (num_devices,)
     mesh_axis_names: tuple = ("data",)
@@ -178,10 +178,15 @@ class Config:
 
 
 _ENV_PRESETS = {
-    # mirrors reference presets: workers 4/8/32, batch 10/25/100 (config.py:100-126)
+    # mirrors reference presets: workers 4/8/32, batch 10/25/100
+    # (config.py:100-126). Production batch is 256, not larger: this
+    # backend's compile time scales superlinearly with the batch dim
+    # (measured 4s at B=64, 28s at B=256, >15min at B=1024 for the bridge
+    # kernel) while runtime per batch stays in milliseconds — 256 symbols
+    # x 2048-minute grids is ~0.5M candles per dispatch.
     "development": dict(batch_size=16, log_level="DEBUG", debug=True),
     "testing": dict(batch_size=64, log_level="INFO", debug=False),
-    "production": dict(batch_size=1024, log_level="INFO", debug=False),
+    "production": dict(batch_size=256, log_level="INFO", debug=False),
 }
 
 

@@ -9,7 +9,7 @@ def test_presets():
     dev = get_config("development")
     assert dev.debug and dev.processing.batch_size == 16
     prod = get_config("production")
-    assert not prod.debug and prod.processing.batch_size == 1024
+    assert not prod.debug and prod.processing.batch_size == 256
     with pytest.raises(ValueError):
         get_config("staging")
 
