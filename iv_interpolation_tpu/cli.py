@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--task",
                    choices=["interpolation", "bridge", "candles", "both",
                             "pipeline", "all", "surface"],
-                   default="all", help="pipeline stage(s) to run")
+                   default="all",
+                   help="stage(s) to run; 'pipeline' = fused on-device "
+                        "chain, 'all' = staged via storage")
     p.add_argument("--test", action="store_true",
                    help="smoke run limited to 3 symbols")
     p.add_argument("--resume", type=int, metavar="BATCH_ID",
@@ -212,7 +214,10 @@ def _dispatch(args, runner, limit):
         from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
         out = {"surface": run_surface_fit(runner.config, runner.store,
                                           limit=limit)}
-    else:  # pipeline / all
+    elif args.task == "pipeline":
+        # fused: stages chained on-device, no storage round-trips between
+        out = runner.run_pipeline_fused(limit=limit)
+    else:  # all (staged via storage)
         out = runner.run_all(limit=limit)
     return out
 

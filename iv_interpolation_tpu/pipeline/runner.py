@@ -231,7 +231,7 @@ class PipelineRunner:
                 # appear at obs positions (obs_mask), padding in between
                 filled = tasks.interpolate_batch(
                     values, jnp.asarray(batch.obs_mask), mask,
-                    jnp.full((batch.batch,), jnp.nan, self.dtype),
+                    jnp.full((values.shape[0],), jnp.nan, self.dtype),
                     jnp.zeros((batch.batch,), bool),
                     method="ffill", compute_greeks=False)
                 price_col = tasks.select_price_columns(values, jnp.asarray(batch.obs_mask))
@@ -458,6 +458,176 @@ class PipelineRunner:
             "source_candles": freq // src_freq,
             "created_at": created_at,
         })
+
+
+    # ------------------------------------------------------------------
+    # Fused pipeline — all three stages chained on-device per batch
+    # ------------------------------------------------------------------
+    def run_pipeline_fused(self, symbols: Optional[List[str]] = None,
+                           limit: Optional[int] = None) -> dict:
+        """interpolate -> bridge -> aggregate per bucket batch with NO
+        storage round-trip between stages — the north star's
+        "eliminating the data_bridge/database round-trips on the hot
+        path" (BASELINE.json). Outputs still persist to all three tables;
+        only the *inputs* of stages 2/3 stay device-resident.
+
+        Produces byte-identical tables to the staged ``run_all`` (bridge
+        PRNG keys derive from symbol hashes, not execution order) —
+        asserted in tests/test_pipeline.py.
+        """
+        icfg = self.config.interpolation
+        bcfg = self.config.data_bridge
+        ccfg = self.config.candle_reconstruction
+        manifests = {
+            name: RunManifest(
+                self.config.checkpoint.manifest_dir, name, None,
+                flush_interval=self.config.checkpoint.checkpoint_interval)
+            for name in ("interpolation", "bridge", "candles")
+        }
+        if symbols is None:
+            symbols = self.store.list_symbols(st.TICKERS)
+        if limit:
+            symbols = symbols[:limit]
+        for m in manifests.values():
+            m.initialize_symbols(symbols)
+        if not symbols:
+            return {name: m.summary() for name, m in manifests.items()}
+
+        df = self.store.read(st.TICKERS, symbols=symbols)
+        freq = parse_frequency(icfg.frequency)
+        tgt_freq = parse_frequency(ccfg.target_frequency)
+        packed = ingest.pack_symbols(
+            df, self.config.processing.bucket_sizes,
+            min_points=icfg.min_data_points,
+            max_span_days=icfg.max_span_days,
+            max_timeline_points=icfg.max_timeline_points,
+            freq_minutes=freq,
+            max_batch=self.config.processing.batch_size,
+            dtype=self.np_dtype,
+        )
+        for sym, reason in packed.skipped.items():
+            for m in manifests.values():
+                m.skip_symbol(sym, reason)
+
+        max_gap = icfg.max_gap_hours * 60 if icfg.max_gap_hours else 0
+        params = BridgeParams(
+            base_spread_percent=bcfg.base_spread_percent,
+            volatility_factor=bcfg.volatility_factor,
+            min_spread_percent=bcfg.min_spread_percent,
+            trend_strength=bcfg.trend_strength,
+            base_volume=bcfg.base_volume,
+        )
+        root_key = jax.random.key(bcfg.seed)
+        created_at = pd.Timestamp.now()
+
+        for batch in packed.batches:
+            t0 = time.time()
+            B_pad = batch.values.shape[0]
+            L = batch.bucket_len
+
+            def process(batch=batch, B_pad=B_pad, L=L):
+                values = jnp.asarray(batch.values)
+                obs_mask = jnp.asarray(batch.obs_mask)
+                strike = jnp.asarray(pd.to_numeric(
+                    pd.Series(batch.const_cols.get("strike", [])),
+                    errors="coerce").to_numpy(self.np_dtype))
+                callput = np.asarray([
+                    str(c).lower() in ("c", "call")
+                    for c in batch.const_cols.get("callput", [])
+                ])
+                # stage 1: interpolate (device)
+                out = tasks.interpolate_batch(
+                    values, obs_mask, jnp.asarray(batch.timeline_mask),
+                    strike, jnp.asarray(callput),
+                    method=icfg.method, max_gap_minutes=max_gap,
+                    compute_greeks=icfg.compute_greeks,
+                    extrapolate=icfg.extrapolate)
+                # stage 2: bridge (device, consumes stage-1 grids directly)
+                price_col = tasks.select_price_columns(values, obs_mask)
+                hashes = [abs(hash(s)) % (2**31) for s in batch.symbols]
+                hashes += [0] * (B_pad - len(hashes))
+                keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    root_key, jnp.asarray(hashes))
+                ohlcv = tasks.bridge_batch(
+                    out["filled"], out["valid"], keys, params=params,
+                    price_col=price_col,
+                    strategy=bcfg.conversion_strategy)
+                # stage 3: aggregate (device, consumes stage-2 grids)
+                minutes = (jnp.asarray(batch.t0_minutes)[:, None]
+                           + jnp.arange(L)[None, :] * freq)
+                base_bucket = jnp.asarray(batch.t0_minutes) * freq // tgt_freq
+                agg = tasks.candles_batch(
+                    minutes, ohlcv, jnp.int32(tgt_freq), base_bucket,
+                    num_segments=L * freq // tgt_freq + 1,
+                    min_count=ccfg.min_candles_required)
+                jax.block_until_ready(agg)
+                # persist all three stages' outputs
+                out_np = jax.tree.map(np.asarray, out)
+                interp_df = ingest.unpack_interpolated(
+                    batch, out_np["filled"], out_np["valid"],
+                    out_np["is_interpolated"],
+                    manifests["interpolation"].batch_id,
+                    greeks=out_np.get("greeks"), freq_minutes=freq)
+                self.store.write(st.INTERPOLATED, interp_df,
+                                 upsert_keys=["symbol", "date"])
+                ohlcv_np = jax.tree.map(np.asarray, ohlcv)
+                candle_df = self._unpack_candles(batch, ohlcv_np,
+                                                 freq_minutes=freq)
+                self.store.write(st.MINUTE_CANDLES, candle_df,
+                                 upsert_keys=["symbol", "timestamp"])
+                # _unpack_aggregated expects t0 in src-interval units with
+                # src_freq multiplier; here t0 is epoch minutes and
+                # src == freq, so pass src_freq=freq via a shallow copy
+                agg_np = jax.tree.map(np.asarray, agg)
+                recon_df = self._unpack_aggregated(
+                    batch, agg_np, tgt_freq, freq,
+                    ccfg.target_frequency, created_at)
+                self.store.write(st.RECONSTRUCTED, recon_df,
+                                 upsert_keys=["symbol", "timestamp",
+                                              "frequency"])
+                return interp_df, candle_df, recon_df
+
+            with self.metrics.step(f"fused/L{batch.bucket_len}",
+                                   items=batch.batch):
+                result, err = self._attempt(
+                    f"fused bucket L={batch.bucket_len}", process)
+            if err is not None:
+                for sym in batch.symbols:
+                    for m in manifests.values():
+                        m.error_symbol(sym, str(err), time.time() - t0)
+                continue
+            interp_df, candle_df, recon_df = result
+            dt = time.time() - t0
+            per = {
+                "interpolation": (interp_df.groupby("symbol").size()
+                                  if len(interp_df) else pd.Series(dtype=int)),
+                "bridge": (candle_df.groupby("symbol").size()
+                           if len(candle_df) else pd.Series(dtype=int)),
+                "candles": (recon_df.groupby("symbol").size()
+                            if len(recon_df) else pd.Series(dtype=int)),
+            }
+            for i, sym in enumerate(batch.symbols):
+                n_in = int(batch.n_obs[i])
+                manifests["interpolation"].complete_symbol(
+                    sym, n_in, int(per["interpolation"].get(sym, 0)),
+                    dt / batch.batch)
+                manifests["bridge"].complete_symbol(
+                    sym, int(per["interpolation"].get(sym, 0)),
+                    int(per["bridge"].get(sym, 0)), dt / batch.batch)
+                manifests["candles"].complete_symbol(
+                    sym, int(per["bridge"].get(sym, 0)),
+                    int(per["candles"].get(sym, 0)), dt / batch.batch)
+        for m in manifests.values():
+            m.flush()
+        self.metrics.snapshot(
+            f"fused_{manifests['interpolation'].batch_id}")
+        return {
+            "task1": manifests["interpolation"].summary(),
+            "bridge": manifests["bridge"].summary(),
+            "task2": manifests["candles"].summary(),
+            "step_metrics": self.metrics.summary(),
+            "fused": True,
+        }
 
     # ------------------------------------------------------------------
     def run_all(self, symbols: Optional[List[str]] = None,

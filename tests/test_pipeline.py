@@ -280,3 +280,37 @@ def test_manifest_flush_interval(tmp_path):
     m.flush()
     m2 = RunManifest(str(tmp_path), "interpolation", 123)
     assert len(m2.records()) == 4
+
+
+def test_fused_pipeline_matches_staged(cfg):
+    """run_pipeline_fused must produce identical tables to staged run_all
+    (deterministic bridge keys make the chain order-free)."""
+    tickers = generate_sample_tickers(num_symbols=3, hours=10)
+
+    stores = {}
+    for mode in ("staged", "fused"):
+        store = MemoryStore()
+        store.write(st.TICKERS, tickers)
+        cfg.interpolation.min_data_points = 5
+        runner = PipelineRunner(cfg, store=store)
+        if mode == "staged":
+            res = runner.run_all()
+        else:
+            res = runner.run_pipeline_fused()
+            assert res["fused"]
+        assert res["task1"]["by_status"].get("completed") == 3
+        assert res["task2"]["by_status"].get("completed") == 3
+        stores[mode] = store
+
+    for table in (st.INTERPOLATED, st.MINUTE_CANDLES, st.RECONSTRUCTED):
+        a = (stores["staged"].read(table)
+             .sort_values(["symbol"] + (["date"] if table == st.INTERPOLATED
+                                        else ["timestamp"]))
+             .reset_index(drop=True))
+        b = (stores["fused"].read(table)
+             .sort_values(["symbol"] + (["date"] if table == st.INTERPOLATED
+                                        else ["timestamp"]))
+             .reset_index(drop=True))
+        drop = [c for c in ("batch_id", "created_at") if c in a.columns]
+        pd.testing.assert_frame_equal(a.drop(columns=drop),
+                                      b.drop(columns=drop))
