@@ -520,6 +520,27 @@ class PipelineRunner:
         root_key = jax.random.key(bcfg.seed)
         created_at = pd.Timestamp.now()
 
+        # storage writes overlap the next batch's device compute: one
+        # write-set in flight; a failed async write demotes its symbols to
+        # 'error' (resume re-runs them — writes are idempotent upserts)
+        from concurrent.futures import ThreadPoolExecutor
+        writer = ThreadPoolExecutor(max_workers=1)
+        inflight: list = []
+
+        def drain(limit: int) -> None:
+            while len(inflight) > limit:
+                syms, futs = inflight.pop(0)
+                for f in futs:
+                    try:
+                        f.result()
+                    except Exception as e:  # noqa: BLE001
+                        self.log.exception("async write failed")
+                        for sym in syms:
+                            for m in manifests.values():
+                                m.error_symbol(sym,
+                                               f"async write failed: {e}")
+                        break
+
         for batch in packed.batches:
             t0 = time.time()
             B_pad = batch.values.shape[0]
@@ -561,30 +582,21 @@ class PipelineRunner:
                     num_segments=L * freq // tgt_freq + 1,
                     min_count=ccfg.min_candles_required)
                 jax.block_until_ready(agg)
-                # persist all three stages' outputs
                 out_np = jax.tree.map(np.asarray, out)
                 interp_df = ingest.unpack_interpolated(
                     batch, out_np["filled"], out_np["valid"],
                     out_np["is_interpolated"],
                     manifests["interpolation"].batch_id,
                     greeks=out_np.get("greeks"), freq_minutes=freq)
-                self.store.write(st.INTERPOLATED, interp_df,
-                                 upsert_keys=["symbol", "date"])
                 ohlcv_np = jax.tree.map(np.asarray, ohlcv)
                 candle_df = self._unpack_candles(batch, ohlcv_np,
                                                  freq_minutes=freq)
-                self.store.write(st.MINUTE_CANDLES, candle_df,
-                                 upsert_keys=["symbol", "timestamp"])
-                # _unpack_aggregated expects t0 in src-interval units with
-                # src_freq multiplier; here t0 is epoch minutes and
-                # src == freq, so pass src_freq=freq via a shallow copy
+                # _unpack_aggregated expects t0 in src-interval units;
+                # here t0 is epoch minutes and src == freq
                 agg_np = jax.tree.map(np.asarray, agg)
                 recon_df = self._unpack_aggregated(
                     batch, agg_np, tgt_freq, freq,
                     ccfg.target_frequency, created_at)
-                self.store.write(st.RECONSTRUCTED, recon_df,
-                                 upsert_keys=["symbol", "timestamp",
-                                              "frequency"])
                 return interp_df, candle_df, recon_df
 
             with self.metrics.step(f"fused/L{batch.bucket_len}",
@@ -597,6 +609,17 @@ class PipelineRunner:
                         m.error_symbol(sym, str(err), time.time() - t0)
                 continue
             interp_df, candle_df, recon_df = result
+            drain(0)  # previous write-set must land before queueing more
+            inflight.append((list(batch.symbols), [
+                writer.submit(self.store.write, st.INTERPOLATED, interp_df,
+                              upsert_keys=["symbol", "date"]),
+                writer.submit(self.store.write, st.MINUTE_CANDLES,
+                              candle_df,
+                              upsert_keys=["symbol", "timestamp"]),
+                writer.submit(self.store.write, st.RECONSTRUCTED, recon_df,
+                              upsert_keys=["symbol", "timestamp",
+                                           "frequency"]),
+            ]))
             dt = time.time() - t0
             per = {
                 "interpolation": (interp_df.groupby("symbol").size()
@@ -617,6 +640,8 @@ class PipelineRunner:
                 manifests["candles"].complete_symbol(
                     sym, int(per["bridge"].get(sym, 0)),
                     int(per["candles"].get(sym, 0)), dt / batch.batch)
+        drain(0)
+        writer.shutdown(wait=True)
         for m in manifests.values():
             m.flush()
         self.metrics.snapshot(

@@ -158,3 +158,21 @@ def test_parquet_parts_and_compaction(tmp_path):
     out = store.read("t").sort_values("timestamp")
     assert len(out) == 3
     assert out["open"].iloc[0] == 99.0
+
+
+def test_monitor_alerts_thresholds(ran_store):
+    from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
+    from iv_interpolation_tpu.pipeline.manifest import RunManifest
+    cfg, _ = ran_store
+    cfg.monitoring.memory_warn_pct = 0.0   # any usage trips the warning
+    cfg.monitoring.low_throughput_surfaces_s = 1e12  # everything is "slow"
+    mon = RealtimeMonitor(cfg)
+    batches = RunManifest.list_batches(cfg.checkpoint.manifest_dir,
+                                       task="interpolation")
+    m = RunManifest(cfg.checkpoint.manifest_dir, "interpolation",
+                    batches[0]["batch_id"])
+    alerts = mon.alerts(m)
+    levels = {lvl for lvl, _ in alerts}
+    assert levels & {"WARNING", "CRITICAL"}
+    # dedup: a second poll reports nothing new
+    assert mon.alerts(m) == []
