@@ -199,13 +199,21 @@ def main(argv=None) -> int:
 
 
 def _dispatch(args, runner, limit):
+    from iv_interpolation_tpu.pipeline import storage as st
+
     if args.task == "interpolation":
         out = {"task1": runner.run_task1(resume_batch_id=args.resume,
                                          limit=limit)}
     elif args.task == "bridge":
-        out = {"bridge": runner.run_bridge(resume_batch_id=args.resume)}
+        syms = (runner.store.list_symbols(st.INTERPOLATED)[:limit]
+                if limit else None)
+        out = {"bridge": runner.run_bridge(symbols=syms,
+                                           resume_batch_id=args.resume)}
     elif args.task == "candles":
-        out = {"task2": runner.run_task2(resume_batch_id=args.resume)}
+        syms = (runner.store.list_symbols(st.MINUTE_CANDLES)[:limit]
+                if limit else None)
+        out = {"task2": runner.run_task2(symbols=syms,
+                                         resume_batch_id=args.resume)}
     elif args.task == "both":
         out = {"task1": runner.run_task1(resume_batch_id=args.resume,
                                          limit=limit)}

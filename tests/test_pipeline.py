@@ -314,3 +314,32 @@ def test_fused_pipeline_matches_staged(cfg):
         drop = [c for c in ("batch_id", "created_at") if c in a.columns]
         pd.testing.assert_frame_equal(a.drop(columns=drop),
                                       b.drop(columns=drop))
+
+
+def test_task2_alternative_frequencies(cfg):
+    """15-minute reconstruction matches the pandas oracle (the reference
+    parameterised target_frequency but was only ever run at 5min)."""
+    store = MemoryStore()
+    store.write(st.MINUTE_CANDLES,
+                generate_sample_candles(num_symbols=2, hours=6))
+    cfg.candle_reconstruction.target_frequency = "15min"
+    cfg.candle_reconstruction.min_candles_required = 15
+    runner = PipelineRunner(cfg, store=store)
+    summary = runner.run_task2()
+    assert summary["by_status"].get("completed") == 2
+    recon = store.read(st.RECONSTRUCTED)
+    minute = store.read(st.MINUTE_CANDLES)
+    for symbol, sub in minute.groupby("symbol"):
+        data = sub.sort_values("timestamp").copy()
+        data["g"] = data["timestamp"].dt.floor("15min")
+        agg = data.groupby("g").agg(
+            open=("open", "first"), high=("high", "max"),
+            low=("low", "min"), close=("close", "last"),
+            volume=("volume", "sum"))
+        counts = data.groupby("g").size()
+        agg = agg[counts >= 15]
+        got = recon[recon["symbol"] == symbol].sort_values("timestamp")
+        assert len(got) == len(agg)
+        np.testing.assert_allclose(got["volume"].to_numpy(float),
+                                   agg["volume"].to_numpy(float), rtol=1e-6)
+        assert (got["source_candles"] == 15).all()
