@@ -66,7 +66,7 @@ class InterpolationConfig:
 
     Unlike the reference, every field is wired:
       * ``frequency``      -> output grid step (core hardcoded '1min', core.py:45)
-      * ``method``         -> 'linear' | 'cubic' | 'nearest' | 'previous'
+      * ``method``         -> 'linear' | 'nearest' | 'ffill'
       * ``max_gap_hours``  -> gaps wider than this are masked, not bridged
       * ``min_data_points``-> symbols below this are skipped (core.py:26)
       * ``extrapolate``    -> allow values outside the observed time range
