@@ -491,7 +491,10 @@ class PipelineRunner:
         for m in manifests.values():
             m.initialize_symbols(symbols)
         if not symbols:
-            return {name: m.summary() for name, m in manifests.items()}
+            return {"task1": manifests["interpolation"].summary(),
+                    "bridge": manifests["bridge"].summary(),
+                    "task2": manifests["candles"].summary(),
+                    "fused": True}
 
         df = self.store.read(st.TICKERS, symbols=symbols)
         freq = parse_frequency(icfg.frequency)

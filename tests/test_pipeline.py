@@ -343,3 +343,28 @@ def test_task2_alternative_frequencies(cfg):
         np.testing.assert_allclose(got["volume"].to_numpy(float),
                                    agg["volume"].to_numpy(float), rtol=1e-6)
         assert (got["source_candles"] == 15).all()
+
+
+def test_duplicate_ticker_rows_keep_last(cfg):
+    """(symbol, date) duplicates keep the last observation — the
+    reference's left-merge would have duplicated timeline rows
+    (SURVEY §2 note)."""
+    t = generate_sample_tickers(num_symbols=1, hours=12)
+    dup = t.iloc[[3]].assign(iv=9.99)
+    store = MemoryStore()
+    store.write(st.TICKERS, pd.concat([t, dup], ignore_index=True))
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    runner.run_task1()
+    out = store.read(st.INTERPOLATED)
+    row = out[out["date"] == t["date"].iloc[3]]
+    assert len(row) == 1
+    np.testing.assert_allclose(row["iv"].iloc[0], 9.99)
+
+
+def test_empty_tickers_summary(cfg):
+    runner = PipelineRunner(cfg, store=MemoryStore())
+    s = runner.run_task1()
+    assert s["total_symbols"] == 0
+    s = runner.run_pipeline_fused()
+    assert s["task1"]["total_symbols"] == 0
