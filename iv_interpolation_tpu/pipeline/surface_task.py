@@ -126,54 +126,82 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
     for c in chains:
         by_und.setdefault(c["underlying"], []).append(c)
 
-    out_frames = []
-    n_fit = 0
+    # shape-bucket the underlyings: (E_pad, n_pad) chosen from a geometric
+    # schedule so repeated runs hit a small fixed set of compiled shapes,
+    # and underlyings sharing a bucket fit as ONE batch (was: one
+    # compile + one dispatch per underlying; see ROADMAP #1)
+    def _pow2_at_least(x, lo):
+        b = lo
+        while b < x:
+            b *= 2
+        return b
+
+    prepared = {}
     for und, slices in by_und.items():
         slices = sorted(slices, key=lambda c: c["T"])
-        E = len(slices)
+        E = max(len(slices), 2)  # surface needs >= 2 expiries
         n = max(len(c["k"]) for c in slices)
-        # pad each smile to n strikes by edge-repeating (keeps splines sane)
-        k = np.zeros((1, E, n), np.float64)
-        iv = np.zeros((1, E, n), np.float64)
-        T = np.zeros((1, E), np.float64)
-        for e, c in enumerate(slices):
-            m = len(c["k"])
-            k[0, e, :m] = c["k"]
-            iv[0, e, :m] = c["iv"]
-            if m < n:
-                # extend the strike axis strictly monotonically
-                step = (c["k"][-1] - c["k"][0]) / max(m - 1, 1) or 1e-3
-                k[0, e, m:] = c["k"][-1] + step * np.arange(1, n - m + 1)
-                iv[0, e, m:] = c["iv"][-1]
-            T[0, e] = c["T"]
-        if E == 1:  # surface needs >= 2 expiries; duplicate with wider T
-            k = np.repeat(k, 2, axis=1)
-            iv = np.repeat(iv, 2, axis=1)
-            T = np.concatenate([T, T + 1e-3], axis=1)
-            E = 2
+        shape = (_pow2_at_least(E, 2), _pow2_at_least(n, 8))
+        prepared.setdefault(shape, []).append((und, slices))
+
+    out_frames = []
+    n_fit = 0
+    for (E_pad, n_pad), group in sorted(prepared.items()):
+        B = len(group)
+        k = np.zeros((B, E_pad, n_pad), np.float64)
+        iv = np.zeros((B, E_pad, n_pad), np.float64)
+        T = np.zeros((B, E_pad), np.float64)
+        E_real = np.zeros(B, np.int64)
+        for b, (und, slices) in enumerate(group):
+            E_real[b] = len(slices)
+            for e in range(E_pad):
+                c = slices[min(e, len(slices) - 1)]
+                m = len(c["k"])
+                k[b, e, :m] = c["k"]
+                iv[b, e, :m] = c["iv"]
+                if m < n_pad:
+                    # extend the strike axis strictly monotonically
+                    step = (c["k"][-1] - c["k"][0]) / max(m - 1, 1) or 1e-3
+                    k[b, e, m:] = c["k"][-1] + step * np.arange(
+                        1, n_pad - m + 1)
+                    iv[b, e, m:] = c["iv"][-1]
+                # padded expiry slots repeat the last slice at epsilon-
+                # larger T (keeps maturities strictly ascending)
+                T[b, e] = c["T"] + max(0, e - (len(slices) - 1)) * 1e-3
         if method == "rbf":
-            res = _fit_rbf_surface(k, iv, T, scfg)
+            results = [_fit_rbf_surface(k[b:b + 1], iv[b:b + 1],
+                                        T[b:b + 1], scfg)
+                       for b in range(B)]
         else:
-            res = fit_eval_surface(
+            res_all = fit_eval_surface(
                 jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T),
                 method=method, n_grid=scfg.grid_strikes,
                 svi_iters=scfg.lm_max_iters,
                 svi_butterfly_penalty=scfg.butterfly_penalty)
-        n_fit += 1
-        w = np.asarray(res["w_grid"][0])
-        kg = np.asarray(res["k_grid"][0])
-        ivg = np.asarray(res["iv_grid"][0])
-        recs = []
-        for e in range(E):
-            for j in range(w.shape[-1]):
-                recs.append((und, float(T[0, e]), float(kg[e, j]),
-                             float(w[e, j]), float(ivg[e, j])))
-        sdf = pd.DataFrame(recs, columns=["underlying", "expiry_t",
-                                          "log_moneyness", "total_variance",
-                                          "iv"])
-        sdf["butterfly_ok"] = bool(res["butterfly_ok"][0])
-        sdf["calendar_ok"] = bool(res["calendar_ok"][0])
-        out_frames.append(sdf)
+            results = [
+                {key: res_all[key][b:b + 1]
+                 for key in ("k_grid", "w_grid", "iv_grid",
+                             "butterfly_ok", "calendar_ok")}
+                for b in range(B)
+            ]
+        for b, (und, slices) in enumerate(group):
+            res = results[b]
+            n_fit += 1
+            E_use = int(E_real[b])
+            w = np.asarray(res["w_grid"][0])[:E_use]
+            kg = np.asarray(res["k_grid"][0])[:E_use]
+            ivg = np.asarray(res["iv_grid"][0])[:E_use]
+            Ts = np.repeat(T[b, :E_use], w.shape[-1])
+            sdf = pd.DataFrame({
+                "underlying": und,
+                "expiry_t": Ts,
+                "log_moneyness": kg.ravel(),
+                "total_variance": w.ravel(),
+                "iv": ivg.ravel(),
+            })
+            sdf["butterfly_ok"] = bool(res["butterfly_ok"][0])
+            sdf["calendar_ok"] = bool(res["calendar_ok"][0])
+            out_frames.append(sdf)
 
     result = pd.concat(out_frames, ignore_index=True)
     store.write(SURFACES, result,
