@@ -1,0 +1,120 @@
+"""Streaming session: long-running tick ingestion + periodic surface refit.
+
+The operational wrapper around the fused device chain
+(``pipeline.streaming.streaming_step``) and the HBM ring buffers
+(``pipeline.ringbuffer``): ticks stream in per underlying, land in a
+device-resident tick ring (donated in-place updates), and ``refit()``
+re-derives candles, realized vol and arbitrage-checked surfaces for every
+underlying in one jit — the serving-shaped version of what the reference
+could only do as a nightly batch through PostgreSQL (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from iv_interpolation_tpu.pipeline.ringbuffer import (
+    RingState,
+    make_ring,
+    push,
+    window,
+)
+from iv_interpolation_tpu.pipeline.streaming import StreamingOut, streaming_step
+
+_CH_MINUTE, _CH_PRICE, _CH_SIZE = 0, 1, 2
+
+
+class StreamingSession:
+    """Stateful streaming engine over a fixed underlying universe.
+
+    Args:
+      underlyings: ordered list of underlying ids (row index of the batch).
+      chain_k/iv/T: (B, E, n) / (B, E, n) / (B, E) quote surfaces used as
+        the refit baseline.
+      window_minutes: static lookback window for candles/realized vol.
+      tick_capacity: per-underlying tick-ring slots.
+    """
+
+    def __init__(self, underlyings: List[str], chain_k, chain_iv, chain_T,
+                 window_minutes: int = 512, tick_capacity: int = 8192,
+                 n_grid: int = 50):
+        self.underlyings = list(underlyings)
+        self.index: Dict[str, int] = {u: i for i, u in
+                                      enumerate(self.underlyings)}
+        B = len(self.underlyings)
+        self.window_minutes = int(window_minutes)
+        self.n_grid = int(n_grid)
+        self.chain_k = jnp.asarray(chain_k)
+        self.chain_iv = jnp.asarray(chain_iv)
+        self.chain_T = jnp.asarray(chain_T)
+        # tick ring channels: [minute, price, size]
+        self.ring: RingState = make_ring(B, 3, int(tick_capacity),
+                                         dtype=jnp.float32)
+        self.latest_minute: int = 0
+        self.n_ticks_seen = 0
+
+    # ------------------------------------------------------------------
+    def ingest_ticks(self, ticks: pd.DataFrame) -> int:
+        """Append a tick frame with columns (underlying, minute, price,
+        size). Returns rows ingested. Unknown underlyings are dropped.
+
+        All underlyings' rows for this call are pushed as one padded
+        (B, 3, K) block so ingestion is a single donated device update.
+        """
+        if ticks.empty:
+            return 0
+        ticks = ticks[ticks["underlying"].isin(self.index)]
+        if ticks.empty:
+            return 0
+        rows = np.asarray([self.index[u] for u in ticks["underlying"]])
+        K = int(np.bincount(rows, minlength=len(self.underlyings)).max())
+        B = len(self.underlyings)
+        block = np.zeros((B, 3, K), np.float32)
+        valid = np.zeros((B, K), bool)
+        order = np.argsort(rows, kind="stable")
+        rows_s = rows[order]
+        minute = ticks["minute"].to_numpy(np.float32)[order]
+        price = ticks["price"].to_numpy(np.float32)[order]
+        size = ticks["size"].to_numpy(np.float32)[order]
+        # position within each underlying's run
+        pos = np.arange(len(rows_s)) - np.searchsorted(rows_s, rows_s)
+        block[rows_s, _CH_MINUTE, pos] = minute
+        block[rows_s, _CH_PRICE, pos] = price
+        block[rows_s, _CH_SIZE, pos] = size
+        valid[rows_s, pos] = True
+        self.ring = push(self.ring, jnp.asarray(block), jnp.asarray(valid))
+        self.latest_minute = max(self.latest_minute, int(minute.max()))
+        self.n_ticks_seen += len(rows_s)
+        return len(rows_s)
+
+    # ------------------------------------------------------------------
+    def refit(self, now_minute: Optional[int] = None) -> StreamingOut:
+        """Refit every underlying from the ticks inside the lookback
+        window ending at ``now_minute`` (defaults to the latest ingested
+        minute) — one fused jit (candles -> realized vol -> surfaces)."""
+        now = self.latest_minute if now_minute is None else int(now_minute)
+        start = now - self.window_minutes + 1
+        data, valid = window(self.ring)
+        minute_rel = (data[:, _CH_MINUTE] - float(start)).astype(jnp.int32)
+        in_window = valid & (minute_rel >= 0) \
+            & (minute_rel < self.window_minutes)
+        return streaming_step(
+            minute_rel, data[:, _CH_PRICE], data[:, _CH_SIZE], in_window,
+            self.chain_k, self.chain_iv, self.chain_T,
+            n_minutes=self.window_minutes, n_grid=self.n_grid)
+
+    # ------------------------------------------------------------------
+    def stats(self) -> dict:
+        return {
+            "underlyings": len(self.underlyings),
+            "ticks_seen": self.n_ticks_seen,
+            "ring_capacity": int(self.ring.data.shape[-1]),
+            "ring_fill": int(jnp.minimum(self.ring.count,
+                                         self.ring.data.shape[-1])),
+            "latest_minute": self.latest_minute,
+        }

@@ -1,0 +1,71 @@
+"""Streaming session: incremental tick ingestion + windowed refits."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iv_interpolation_tpu.pipeline.stream_service import StreamingSession
+
+
+def _chains(B, E=4, n=10):
+    import jax.numpy as jnp
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E), (B, E))
+    iv = 0.5 + 0.05 * k**2
+    return k, iv, T
+
+
+def _tick_frame(rng, unds, minute_lo, minute_hi, n, sigma_annual=0.5):
+    per_min = sigma_annual / np.sqrt(365.25 * 24 * 60)
+    frames = []
+    for u in unds:
+        minutes = np.sort(rng.integers(minute_lo, minute_hi, n))
+        path = 100 * np.exp(np.cumsum(rng.normal(0, per_min, n)))
+        frames.append(pd.DataFrame({
+            "underlying": u, "minute": minutes,
+            "price": path, "size": rng.uniform(0, 5, n)}))
+    return pd.concat(frames, ignore_index=True)
+
+
+@pytest.fixture
+def session(rng):
+    unds = ["btc", "eth", "sol"]
+    k, iv, T = _chains(3)
+    return StreamingSession(unds, k, iv, T, window_minutes=256,
+                            tick_capacity=4096, n_grid=16)
+
+
+def test_ingest_and_refit(session, rng):
+    n = session.ingest_ticks(_tick_frame(rng, session.underlyings, 0, 256,
+                                         1500))
+    assert n == 4500
+    out = session.refit()
+    assert out.iv_grid.shape == (3, 4, 16)
+    assert np.isfinite(np.asarray(out.realized_vol)).all()
+    assert np.asarray(out.butterfly_ok).all()
+    s = session.stats()
+    assert s["ticks_seen"] == 4500 and s["underlyings"] == 3
+
+
+def test_window_slides_with_time(session, rng):
+    session.ingest_ticks(_tick_frame(rng, ["btc"], 0, 100, 500))
+    out_now = session.refit(now_minute=100)
+    # a refit far in the future sees no ticks in window -> realized vol 0
+    out_later = session.refit(now_minute=10_000)
+    assert float(np.asarray(out_later.realized_vol)[0]) == 0.0
+    assert float(np.asarray(out_now.realized_vol)[0]) > 0.0
+
+
+def test_unknown_underlyings_dropped(session, rng):
+    df = _tick_frame(rng, ["doge"], 0, 50, 100)
+    assert session.ingest_ticks(df) == 0
+
+
+def test_incremental_ingest_accumulates(session, rng):
+    for lo in (0, 64, 128, 192):
+        session.ingest_ticks(_tick_frame(rng, session.underlyings,
+                                         lo, lo + 64, 200))
+    out = session.refit(now_minute=255)
+    # all four chunks are inside the 256-minute window
+    c1 = np.asarray(out.candles_1m.valid).sum()
+    assert c1 > 3 * 200  # plenty of populated minute bars across 3 unds
