@@ -127,6 +127,7 @@ class SurfaceConfig:
     grid_strikes: int = 50   # dense eval grid in strike (per expiry)
     # SVI batched Levenberg-Marquardt iteration budget
     lm_max_iters: int = 50
+    svi_weighting: str = "uniform"  # 'uniform' | 'vega' residual weights
     # RBF / thin-plate
     rbf_smoothing: float = 1e-8
     rbf_kernel: str = "thin_plate"  # 'thin_plate' | 'gaussian' | 'multiquadric'

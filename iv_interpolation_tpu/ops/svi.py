@@ -106,6 +106,17 @@ def fit_svi_batched(k: jax.Array, w: jax.Array,
     return LMResult(*map(reshape, fit))
 
 
+def vega_weights(k: jax.Array, w: jax.Array) -> jax.Array:
+    """Relative Black-Scholes vega weights from log-moneyness and observed
+    total variance alone: vega ~ S sqrt(T) phi(d1) with
+    d1 = (-k + w/2) / sqrt(w); constant per-slice factors drop out of the
+    least-squares weighting. Normalised to mean 1 per slice."""
+    w_safe = jnp.maximum(w, 1e-8)
+    d1 = (-k + w_safe / 2.0) / jnp.sqrt(w_safe)
+    phi = jnp.exp(-0.5 * d1 * d1)
+    return phi / jnp.maximum(jnp.mean(phi, axis=-1, keepdims=True), 1e-12)
+
+
 def svi_g(params: jax.Array, k: jax.Array) -> jax.Array:
     """Gatheral's butterfly-arbitrage function
 

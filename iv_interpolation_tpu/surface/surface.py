@@ -34,7 +34,8 @@ from iv_interpolation_tpu.ops.cubic_spline import (
     eval_cubic_spline_second_deriv,
     fit_cubic_spline,
 )
-from iv_interpolation_tpu.ops.svi import fit_svi_batched, svi_g, svi_total_variance
+from iv_interpolation_tpu.ops.svi import (fit_svi_batched, svi_g,
+                                           svi_total_variance, vega_weights)
 from iv_interpolation_tpu.surface.arbitrage import butterfly_g, butterfly_g_fd
 
 
@@ -60,20 +61,24 @@ class SurfaceFit:
 
 
 def _fit_slices(k, w, method: str, svi_iters: int = 64,
-                svi_butterfly_penalty: float = 0.0):
+                svi_butterfly_penalty: float = 0.0,
+                svi_weighting: str = "uniform"):
     if method == "cubic_spline":
         return fit_cubic_spline(k, w, bc_type="natural")
     if method == "svi":
-        return fit_svi_batched(k, w, max_iters=svi_iters,
+        weights = vega_weights(k, w) if svi_weighting == "vega" else None
+        return fit_svi_batched(k, w, weights=weights, max_iters=svi_iters,
                                butterfly_penalty=svi_butterfly_penalty).params
     raise ValueError(f"unknown smile method: {method!r}")
 
 
 @partial(jax.jit, static_argnames=("method", "svi_iters",
-                                   "svi_butterfly_penalty"))
+                                   "svi_butterfly_penalty",
+                                   "svi_weighting"))
 def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                 method: str = "cubic_spline", svi_iters: int = 64,
-                svi_butterfly_penalty: float = 0.0) -> SurfaceFit:
+                svi_butterfly_penalty: float = 0.0,
+                svi_weighting: str = "uniform") -> SurfaceFit:
     """Fit a batch of vol surfaces.
 
     Args:
@@ -83,7 +88,8 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       method: smile parameterisation ('cubic_spline' | 'svi').
     """
     w = iv * iv * expiries[..., None]
-    coefs = _fit_slices(k, w, method, svi_iters, svi_butterfly_penalty)
+    coefs = _fit_slices(k, w, method, svi_iters, svi_butterfly_penalty,
+                        svi_weighting)
     return SurfaceFit(method=method, k=k, expiries=expiries, w=w, coefs=coefs)
 
 
@@ -146,11 +152,13 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("method", "n_grid", "svi_iters",
-                                   "svi_butterfly_penalty"))
+                                   "svi_butterfly_penalty",
+                                   "svi_weighting"))
 def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                      method: str = "cubic_spline", n_grid: int = 50,
                      svi_iters: int = 64,
-                     svi_butterfly_penalty: float = 0.0):
+                     svi_butterfly_penalty: float = 0.0,
+                     svi_weighting: str = "uniform"):
     """Fused fit + dense-grid eval + arbitrage diagnostics — the benchmark
     hot path (fit + evaluate on the 30x50 grid).
 
@@ -159,7 +167,8 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     and per-surface ``butterfly_ok`` / ``calendar_ok`` flags.
     """
     fit = fit_surface(k, iv, expiries, method=method, svi_iters=svi_iters,
-                      svi_butterfly_penalty=svi_butterfly_penalty)
+                      svi_butterfly_penalty=svi_butterfly_penalty,
+                      svi_weighting=svi_weighting)
     k_lo = jnp.max(k[..., 0], axis=-1)   # common support across expiries
     k_hi = jnp.min(k[..., -1], axis=-1)
     steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)

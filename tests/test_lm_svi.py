@@ -8,6 +8,7 @@ small residuals on noisy ones (batched over surfaces x expiries).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.optimize import least_squares
 
 from iv_interpolation_tpu.ops.lm import (
@@ -140,3 +141,35 @@ def test_svi_butterfly_penalty_restores_no_arb(rng):
     g = svi_g(fit.params, k)
     # soft penalty: violation shrinks ~1/weight; 100x weight -> <=1e-3
     assert float(jnp.min(g)) > -1e-3
+
+
+def test_vega_weights_shape_and_peak():
+    from iv_interpolation_tpu.ops.svi import vega_weights
+    k = jnp.linspace(-1.5, 1.5, 31)
+    w = jnp.full(31, 0.09)
+    wt = vega_weights(k, w)
+    # peak near d1=0 -> k = w/2 ~ 0.045, i.e. just right of ATM
+    assert int(jnp.argmax(wt)) in (15, 16)
+    assert float(jnp.mean(wt)) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_vega_weighted_fit_prioritises_atm(rng):
+    from iv_interpolation_tpu.surface.surface import fit_surface
+    from iv_interpolation_tpu.ops.svi import svi_total_variance
+    B, E, n = 1, 2, 50
+    p = jnp.tile(jnp.array([0.04, 0.4, -0.4, 0.05, 0.3]), (B, E, 1))
+    k = jnp.broadcast_to(jnp.linspace(-1.5, 1.5, n), (B, E, n))
+    w = svi_total_variance(p, k)
+    # corrupt the far wings heavily
+    noise = jnp.zeros((B, E, n)).at[..., :4].set(0.05).at[..., -4:].set(-0.02)
+    w_noisy = jnp.maximum(w + noise, 1e-6)
+    T = jnp.broadcast_to(jnp.array([0.5, 1.0]), (B, E))
+    iv_noisy = jnp.sqrt(w_noisy / T[..., None])
+    atm = slice(20, 30)
+    errs = {}
+    for weighting in ("uniform", "vega"):
+        fit = fit_surface(k, iv_noisy, T, method="svi", svi_iters=150,
+                          svi_weighting=weighting)
+        w_fit = svi_total_variance(fit.coefs, k)
+        errs[weighting] = float(jnp.mean(jnp.abs(w_fit - w)[..., atm]))
+    assert errs["vega"] < errs["uniform"]
