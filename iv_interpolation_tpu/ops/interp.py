@@ -167,3 +167,30 @@ def scatter_observations(obs_pos: jax.Array, obs_vals: jax.Array,
                     dtype=obs_vals.dtype)
     grid = grid.at[..., pos].set(jnp.where(obs_valid, obs_vals, jnp.nan))
     return grid[..., :timeline_len]
+
+
+@partial(jax.jit, static_argnames=("timeline_len",))
+def cubic_resample(obs_pos: jax.Array, obs_vals: jax.Array,
+                   timeline_len: int) -> jax.Array:
+    """Batched cubic-spline resampling onto a dense grid — the 'cubic'
+    interpolation method (pandas ``Series.interpolate(method='cubic')``,
+    i.e. a not-a-knot cubic spline through the observations; parity-tested
+    in tests/test_interp.py).
+
+    Unlike :func:`masked_interp` this takes the observations in ragged->
+    dense form directly: ``obs_pos`` (..., k) strictly increasing grid
+    positions and ``obs_vals`` (..., k) values, k uniform across the
+    batch (length-bucket ragged symbols by observation count). Grid
+    points outside [obs_pos[0], obs_pos[-1]] stay NaN (pandas keeps both
+    leading and trailing NaN for spline methods).
+    """
+    from iv_interpolation_tpu.ops.cubic_spline import (
+        eval_cubic_spline, fit_cubic_spline)
+
+    x = obs_pos.astype(obs_vals.dtype)
+    M = fit_cubic_spline(x, obs_vals, bc_type="not-a-knot")
+    t = jnp.arange(timeline_len, dtype=obs_vals.dtype)
+    t = jnp.broadcast_to(t, obs_vals.shape[:-1] + (timeline_len,))
+    S = eval_cubic_spline(x, obs_vals, M, t)
+    inside = (t >= x[..., 0:1]) & (t <= x[..., -1:])
+    return jnp.where(inside, S, jnp.nan)

@@ -142,3 +142,31 @@ def test_extrapolate_single_point_is_constant():
     got = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool),
                                    extrapolate=True))
     np.testing.assert_allclose(got, 3.0)
+
+
+def test_cubic_resample_matches_pandas(rng):
+    from iv_interpolation_tpu.ops.interp import cubic_resample
+    L, k = 300, 14
+    pos = np.sort(rng.choice(L, size=k, replace=False))
+    pos[0], pos[-1] = 3, L - 5  # leading/trailing NaN regions exist
+    vals = rng.normal(size=k) + 10.0
+    series = np.full(L, np.nan)
+    series[pos] = vals
+    expected = pd.Series(series).interpolate(method="cubic").to_numpy()
+    got = np.asarray(cubic_resample(jnp.array(pos), jnp.array(vals), L))
+    np.testing.assert_allclose(got, expected, atol=1e-8, equal_nan=True)
+
+
+def test_cubic_resample_batched(rng):
+    from iv_interpolation_tpu.ops.interp import cubic_resample
+    B, L, k = 6, 200, 10
+    pos = np.sort(np.stack([rng.choice(L, size=k, replace=False)
+                            for _ in range(B)]), axis=-1)
+    vals = rng.normal(size=(B, k)) + 5.0
+    got = np.asarray(cubic_resample(jnp.array(pos), jnp.array(vals), L))
+    for b in range(B):
+        series = np.full(L, np.nan)
+        series[pos[b]] = vals[b]
+        expected = pd.Series(series).interpolate(method="cubic").to_numpy()
+        np.testing.assert_allclose(got[b], expected, atol=1e-8,
+                                   equal_nan=True)
