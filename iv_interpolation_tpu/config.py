@@ -123,11 +123,13 @@ class SurfaceConfig:
     smile/surface fitting.
     """
 
-    smile_method: str = "cubic_spline"  # 'cubic_spline' | 'svi' | 'rbf'
+    smile_method: str = "cubic_spline"
+    # 'cubic_spline' | 'smoothing_spline' | 'svi' | 'rbf'
     grid_strikes: int = 50   # dense eval grid in strike (per expiry)
     # SVI batched Levenberg-Marquardt iteration budget
     lm_max_iters: int = 50
     svi_weighting: str = "uniform"  # 'uniform' | 'vega' residual weights
+    smoothing_lam: float = 1e-4     # smoothing_spline curvature penalty
     # RBF / thin-plate
     rbf_smoothing: float = 1e-8
     rbf_kernel: str = "thin_plate"  # 'thin_plate' | 'gaussian' | 'multiquadric'

@@ -14,3 +14,11 @@ from iv_interpolation_tpu.ops.spline_matrix import (  # noqa: F401
     build_surface_operators,
     fit_eval_surface_grid,
 )
+from iv_interpolation_tpu.ops.smoothing_spline import (  # noqa: F401
+    SmoothingFit,
+    eval_smoothing_spline,
+    eval_smoothing_spline_derivs,
+    fit_eval_smoothed_smile,
+    fit_smoothing_spline,
+)
+from iv_interpolation_tpu.ops.interp import cubic_resample  # noqa: F401

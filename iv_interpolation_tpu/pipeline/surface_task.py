@@ -178,7 +178,8 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 method=method, n_grid=scfg.grid_strikes,
                 svi_iters=scfg.lm_max_iters,
                 svi_butterfly_penalty=scfg.butterfly_penalty,
-                svi_weighting=scfg.svi_weighting)
+                svi_weighting=scfg.svi_weighting,
+                smoothing_lam=scfg.smoothing_lam)
             results = [
                 {key: res_all[key][b:b + 1]
                  for key in ("k_grid", "w_grid", "iv_grid",

@@ -62,23 +62,34 @@ class SurfaceFit:
 
 def _fit_slices(k, w, method: str, svi_iters: int = 64,
                 svi_butterfly_penalty: float = 0.0,
-                svi_weighting: str = "uniform"):
+                svi_weighting: str = "uniform",
+                smoothing_lam: float = 0.0):
+    """Returns (knot values used by eval, coefficients). For
+    'smoothing_spline' the knot values are the *smoothed* fit, not the
+    observations."""
     if method == "cubic_spline":
-        return fit_cubic_spline(k, w, bc_type="natural")
+        return w, fit_cubic_spline(k, w, bc_type="natural")
+    if method == "smoothing_spline":
+        from iv_interpolation_tpu.ops.smoothing_spline import (
+            fit_smoothing_spline)
+        fit = fit_smoothing_spline(k, w, smoothing_lam)
+        return fit.g, fit.M
     if method == "svi":
         weights = vega_weights(k, w) if svi_weighting == "vega" else None
-        return fit_svi_batched(k, w, weights=weights, max_iters=svi_iters,
-                               butterfly_penalty=svi_butterfly_penalty).params
+        return w, fit_svi_batched(
+            k, w, weights=weights, max_iters=svi_iters,
+            butterfly_penalty=svi_butterfly_penalty).params
     raise ValueError(f"unknown smile method: {method!r}")
 
 
 @partial(jax.jit, static_argnames=("method", "svi_iters",
                                    "svi_butterfly_penalty",
-                                   "svi_weighting"))
+                                   "svi_weighting", "smoothing_lam"))
 def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                 method: str = "cubic_spline", svi_iters: int = 64,
                 svi_butterfly_penalty: float = 0.0,
-                svi_weighting: str = "uniform") -> SurfaceFit:
+                svi_weighting: str = "uniform",
+                smoothing_lam: float = 0.0) -> SurfaceFit:
     """Fit a batch of vol surfaces.
 
     Args:
@@ -88,21 +99,26 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       method: smile parameterisation ('cubic_spline' | 'svi').
     """
     w = iv * iv * expiries[..., None]
-    coefs = _fit_slices(k, w, method, svi_iters, svi_butterfly_penalty,
-                        svi_weighting)
-    return SurfaceFit(method=method, k=k, expiries=expiries, w=w, coefs=coefs)
+    w_fit, coefs = _fit_slices(k, w, method, svi_iters,
+                               svi_butterfly_penalty, svi_weighting,
+                               smoothing_lam)
+    return SurfaceFit(method=method, k=k, expiries=expiries, w=w_fit,
+                      coefs=coefs)
+
+
+_SPLINE_METHODS = ("cubic_spline", "smoothing_spline")
 
 
 def _eval_slices(fit: SurfaceFit, k_grid: jax.Array) -> jax.Array:
     """Evaluate every fitted slice at (B, E, m) query log-moneyness."""
-    if fit.method == "cubic_spline":
+    if fit.method in _SPLINE_METHODS:
         return eval_cubic_spline(fit.k, fit.w, fit.coefs, k_grid)
     return svi_total_variance(fit.coefs, k_grid)
 
 
 def _slice_g(fit: SurfaceFit, k_grid: jax.Array, w_grid: jax.Array) -> jax.Array:
     """Butterfly g on the evaluated slices, closed-form where available."""
-    if fit.method == "cubic_spline":
+    if fit.method in _SPLINE_METHODS:
         w1 = eval_cubic_spline_deriv(fit.k, fit.w, fit.coefs, k_grid)
         w2 = eval_cubic_spline_second_deriv(fit.k, fit.w, fit.coefs, k_grid)
         return butterfly_g(k_grid, w_grid, w1, w2)
@@ -141,7 +157,7 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
         k_s = jnp.take_along_axis(fit.k, idx, axis=-2)
         w_s = jnp.take_along_axis(fit.w, idx, axis=-2)
         c_s = jnp.take_along_axis(fit.coefs, idx, axis=-2)
-        if fit.method == "cubic_spline":
+        if fit.method in _SPLINE_METHODS:
             return eval_cubic_spline(k_s, w_s, c_s, k_q[..., :, None])[..., 0]
         return svi_total_variance(c_s, k_q[..., :, None])[..., 0]
 
@@ -153,12 +169,13 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("method", "n_grid", "svi_iters",
                                    "svi_butterfly_penalty",
-                                   "svi_weighting"))
+                                   "svi_weighting", "smoothing_lam"))
 def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                      method: str = "cubic_spline", n_grid: int = 50,
                      svi_iters: int = 64,
                      svi_butterfly_penalty: float = 0.0,
-                     svi_weighting: str = "uniform"):
+                     svi_weighting: str = "uniform",
+                     smoothing_lam: float = 0.0):
     """Fused fit + dense-grid eval + arbitrage diagnostics — the benchmark
     hot path (fit + evaluate on the 30x50 grid).
 
@@ -168,7 +185,8 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     """
     fit = fit_surface(k, iv, expiries, method=method, svi_iters=svi_iters,
                       svi_butterfly_penalty=svi_butterfly_penalty,
-                      svi_weighting=svi_weighting)
+                      svi_weighting=svi_weighting,
+                      smoothing_lam=smoothing_lam)
     k_lo = jnp.max(k[..., 0], axis=-1)   # common support across expiries
     k_hi = jnp.min(k[..., -1], axis=-1)
     steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)

@@ -153,3 +153,21 @@ def test_greek_surfaces(rng):
                                    float(ref[name]), rtol=1e-10)
     # call deltas within (0, 1) across the whole surface
     assert ((np.asarray(g["delta"]) > 0) & (np.asarray(g["delta"]) < 1)).all()
+
+
+def test_smoothing_spline_method(rng):
+    """smoothing_spline method: noisy chains fit smoothly and the eval
+    grid interpolates the *smoothed* values, not the noise."""
+    k, iv, T = _chains(rng, B=2, E=4, n=30)
+    iv = 0.2 + 0.08 * k**2 + 0.01 * rng.normal(size=iv.shape)
+    raw = fit_eval_surface(jnp.array(k), jnp.array(iv), jnp.array(T),
+                           method="cubic_spline", n_grid=40)
+    sm = fit_eval_surface(jnp.array(k), jnp.array(iv), jnp.array(T),
+                          method="smoothing_spline", smoothing_lam=1e-3,
+                          n_grid=40)
+    # smoothing shrinks curvature wiggle: worst butterfly g improves
+    assert float(np.asarray(sm["g"]).min()) > float(np.asarray(raw["g"]).min())
+    # and eval_surface works off the smoothed fit
+    got = eval_surface(sm["fit"], jnp.zeros((2, 1)),
+                       jnp.full((2, 1), float(T[0, 1])))
+    assert np.isfinite(np.asarray(got)).all()
