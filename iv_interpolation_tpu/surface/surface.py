@@ -60,7 +60,7 @@ class SurfaceFit:
     coefs: jax.Array
 
 
-def _fit_slices(k, w, method: str, svi_iters: int = 64,
+def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
                 svi_butterfly_penalty: float = 0.0,
                 svi_weighting: str = "uniform",
                 smoothing_lam: float = 0.0):
@@ -79,6 +79,15 @@ def _fit_slices(k, w, method: str, svi_iters: int = 64,
         return w, fit_svi_batched(
             k, w, weights=weights, max_iters=svi_iters,
             butterfly_penalty=svi_butterfly_penalty).params
+    if method == "sabr":
+        from iv_interpolation_tpu.ops.sabr import fit_sabr_batched
+        # strikes on the forward-normalised axis: K = e^k, F = 1
+        T = expiries[..., None]
+        iv = jnp.sqrt(jnp.maximum(w, 1e-12) / jnp.maximum(T, 1e-12))
+        fit = fit_sabr_batched(jnp.exp(k), iv,
+                               jnp.ones_like(expiries), expiries,
+                               max_iters=svi_iters)
+        return w, fit.params
     raise ValueError(f"unknown smile method: {method!r}")
 
 
@@ -99,7 +108,7 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       method: smile parameterisation ('cubic_spline' | 'svi').
     """
     w = iv * iv * expiries[..., None]
-    w_fit, coefs = _fit_slices(k, w, method, svi_iters,
+    w_fit, coefs = _fit_slices(k, w, expiries, method, svi_iters,
                                svi_butterfly_penalty, svi_weighting,
                                smoothing_lam)
     return SurfaceFit(method=method, k=k, expiries=expiries, w=w_fit,
@@ -113,6 +122,11 @@ def _eval_slices(fit: SurfaceFit, k_grid: jax.Array) -> jax.Array:
     """Evaluate every fitted slice at (B, E, m) query log-moneyness."""
     if fit.method in _SPLINE_METHODS:
         return eval_cubic_spline(fit.k, fit.w, fit.coefs, k_grid)
+    if fit.method == "sabr":
+        from iv_interpolation_tpu.ops.sabr import sabr_vol
+        iv = sabr_vol(fit.coefs, jnp.ones_like(fit.expiries),
+                      jnp.exp(k_grid), fit.expiries)
+        return iv * iv * fit.expiries[..., None]
     return svi_total_variance(fit.coefs, k_grid)
 
 
@@ -159,6 +173,12 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
         c_s = jnp.take_along_axis(fit.coefs, idx, axis=-2)
         if fit.method in _SPLINE_METHODS:
             return eval_cubic_spline(k_s, w_s, c_s, k_q[..., :, None])[..., 0]
+        if fit.method == "sabr":
+            from iv_interpolation_tpu.ops.sabr import sabr_vol
+            T_s = jnp.take_along_axis(fit.expiries, slice_idx, axis=-1)
+            iv = sabr_vol(c_s, jnp.ones_like(T_s), jnp.exp(k_q[..., :, None]),
+                          T_s)[..., 0]
+            return iv * iv * T_s
         return svi_total_variance(c_s, k_q[..., :, None])[..., 0]
 
     w0 = eval_at(lo)

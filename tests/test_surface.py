@@ -171,3 +171,25 @@ def test_smoothing_spline_method(rng):
     got = eval_surface(sm["fit"], jnp.zeros((2, 1)),
                        jnp.full((2, 1), float(T[0, 1])))
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_sabr_method(rng):
+    """method='sabr': fitted surface reproduces Hagan-generated smiles."""
+    from iv_interpolation_tpu.ops.sabr import sabr_vol
+    B, E, n = 2, 4, 25
+    k = np.broadcast_to(np.linspace(-0.4, 0.4, n), (B, E, n)).copy()
+    T = np.broadcast_to(np.linspace(0.25, 1.0, E), (B, E)).copy()
+    true = jnp.tile(jnp.array([0.25, 0.5, -0.3, 0.6]), (B, E, 1))
+    iv = np.asarray(sabr_vol(true, jnp.ones((B, E)), jnp.exp(jnp.array(k)),
+                             jnp.array(T)))
+    got = fit_eval_surface(jnp.array(k), jnp.array(iv), jnp.array(T),
+                           method="sabr", svi_iters=100, n_grid=30)
+    iv_grid = np.asarray(got["iv_grid"])
+    iv_true = np.asarray(sabr_vol(true, jnp.ones((B, E)),
+                                  jnp.exp(got["k_grid"]),
+                                  jnp.array(T)))
+    np.testing.assert_allclose(iv_grid, iv_true, atol=5e-5)
+    # eval_surface at a mid maturity stays finite and positive
+    w_mid = eval_surface(got["fit"], jnp.zeros((B, 1)),
+                         jnp.full((B, 1), 0.5))
+    assert (np.asarray(w_mid) > 0).all()
