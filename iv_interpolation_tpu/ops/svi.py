@@ -47,6 +47,48 @@ def svi_init(k: jax.Array, w: jax.Array) -> jax.Array:
     return jnp.array([a0, b0, 0.0, m0, 0.1 * span], w.dtype)
 
 
+def svi_quasi_init(k: jax.Array, w: jax.Array, n_m: int = 8,
+                   n_sigma: int = 8) -> jax.Array:
+    """Quasi-explicit initialisation (Zeliade-style): for fixed (m, sigma)
+    SVI is linear in (a, c, d) with w = a + c*y + d*sqrt(y^2+1),
+    y = (k-m)/sigma, c = b*sigma*rho, d = b*sigma. Grid-search (m, sigma),
+    solve the 3x3 normal equations per candidate, keep the best SSE.
+    One slice: k, w (n,) -> params (5,). Batch with vmap.
+    """
+    k_lo, k_hi = jnp.min(k), jnp.max(k)
+    span = jnp.maximum(k_hi - k_lo, 1e-3)
+    m_grid = jnp.linspace(k_lo, k_hi, n_m)
+    sig_grid = jnp.exp(jnp.linspace(jnp.log(0.05 * span), jnp.log(span),
+                                    n_sigma))
+    mm, ss = jnp.meshgrid(m_grid, sig_grid, indexing="ij")
+    mm = mm.reshape(-1)                       # (G,)
+    ss = ss.reshape(-1)
+    y = (k[None, :] - mm[:, None]) / ss[:, None]        # (G, n)
+    root = jnp.sqrt(y * y + 1.0)
+    ones = jnp.ones_like(y)
+    X = jnp.stack([ones, y, root], axis=-1)              # (G, n, 3)
+    A = jnp.einsum("gni,gnj->gij", X, X)
+    A = A + 1e-10 * jnp.eye(3, dtype=w.dtype)
+    rhs = jnp.einsum("gni,n->gi", X, w)
+    sol = jnp.linalg.solve(A, rhs[..., None])[..., 0]    # (G, 3) = (a, c, d)
+    # project into the valid cone: d >= |c| >= 0
+    a_, c_, d_ = sol[:, 0], sol[:, 1], sol[:, 2]
+    d_ = jnp.maximum(d_, 1e-8)
+    c_ = jnp.clip(c_, -0.999 * d_, 0.999 * d_)
+    pred = a_[:, None] + c_[:, None] * y + d_[:, None] * root
+    sse = jnp.sum((pred - w[None, :]) ** 2, axis=-1)
+    gbest = jnp.argmin(sse)
+    a0 = a_[gbest]
+    d0 = d_[gbest]
+    c0 = c_[gbest]
+    sigma0 = ss[gbest]
+    b0 = d0 / sigma0
+    rho0 = c0 / d0
+    params = jnp.stack([a0, b0, rho0, mm[gbest], sigma0]).astype(w.dtype)
+    return jnp.clip(params, SVI_LOWER.astype(w.dtype),
+                    SVI_UPPER.astype(w.dtype))
+
+
 def _svi_residual(params, k, w, weights, butterfly_penalty):
     r = (svi_total_variance(params, k) - w) * weights
     if butterfly_penalty > 0.0:
@@ -77,11 +119,13 @@ def fit_svi(k: jax.Array, w: jax.Array, weights: jax.Array | None = None,
     )
 
 
-@partial(jax.jit, static_argnames=("max_iters", "butterfly_penalty"))
+@partial(jax.jit, static_argnames=("max_iters", "butterfly_penalty",
+                                   "init"))
 def fit_svi_batched(k: jax.Array, w: jax.Array,
                     weights: jax.Array | None = None,
                     max_iters: int = 64,
-                    butterfly_penalty: float = 0.0) -> LMResult:
+                    butterfly_penalty: float = 0.0,
+                    init: str = "heuristic") -> LMResult:
     """Batched SVI calibration: ``k``, ``w`` of shape (..., n_strikes).
 
     The whole batch (surfaces x expiries) runs as one vmapped LM — this is
@@ -94,7 +138,10 @@ def fit_svi_batched(k: jax.Array, w: jax.Array,
     kf = k.reshape((-1, k.shape[-1]))
     wf = w.reshape((-1, w.shape[-1]))
     wtf = weights.reshape((-1, w.shape[-1]))
-    p0 = jax.vmap(svi_init)(kf, wf)
+    if init == "quasi":
+        p0 = jax.vmap(svi_quasi_init)(kf, wf)
+    else:
+        p0 = jax.vmap(svi_init)(kf, wf)
     fit = jax.vmap(
         lambda p, kk, ww, wt: levenberg_marquardt(
             partial(_svi_residual, butterfly_penalty=butterfly_penalty),

@@ -173,3 +173,37 @@ def test_vega_weighted_fit_prioritises_atm(rng):
         w_fit = svi_total_variance(fit.coefs, k)
         errs[weighting] = float(jnp.mean(jnp.abs(w_fit - w)[..., atm]))
     assert errs["vega"] < errs["uniform"]
+
+
+def test_quasi_init_beats_heuristic_on_hard_slice(rng):
+    """Quasi-explicit initialisation (grid over (m, sigma) + linear solve)
+    must start closer than the heuristic on a skewed, wide-wing slice and
+    let LM converge with fewer iterations."""
+    from iv_interpolation_tpu.ops.svi import svi_quasi_init
+    hard = jnp.array([0.002, 0.9, 0.85, -0.6, 0.05])  # strong skew, sharp
+    k = jnp.linspace(-1.5, 1.5, 60)
+    w = svi_total_variance(hard, k)
+
+    def start_cost(p0):
+        r = svi_total_variance(p0, k) - w
+        return float(jnp.sum(r * r))
+
+    from iv_interpolation_tpu.ops.svi import svi_init
+    assert start_cost(svi_quasi_init(k, w)) < start_cost(svi_init(k, w))
+
+    fit_q = fit_svi_batched(k[None], w[None], max_iters=30, init="quasi")
+    fit_h = fit_svi_batched(k[None], w[None], max_iters=30)
+    assert float(fit_q.cost[0]) <= float(fit_h.cost[0])
+    assert float(fit_q.cost[0]) < 1e-10
+
+
+def test_quasi_init_recovers_clean_slice():
+    """The initializer alone should already track the curve closely
+    (SVI params are degenerate — (m, sigma) trade off against (a, b, rho)
+    — so assert curve-level error, not parameter recovery)."""
+    from iv_interpolation_tpu.ops.svi import svi_quasi_init
+    k = jnp.linspace(-1.0, 1.0, 50)
+    w = svi_total_variance(jnp.array(TRUE_SVI), k)
+    p0 = svi_quasi_init(k, w)
+    w0 = svi_total_variance(p0, k)
+    assert float(jnp.max(jnp.abs(w0 - w))) < 0.02 * float(jnp.max(w))
