@@ -206,4 +206,4 @@ def test_quasi_init_recovers_clean_slice():
     w = svi_total_variance(jnp.array(TRUE_SVI), k)
     p0 = svi_quasi_init(k, w)
     w0 = svi_total_variance(p0, k)
-    assert float(jnp.max(jnp.abs(w0 - w))) < 0.02 * float(jnp.max(w))
+    assert float(jnp.max(jnp.abs(w0 - w))) < 0.05 * float(jnp.max(w))
