@@ -409,7 +409,8 @@ class PipelineRunner:
         for bucket, items in sorted(per_bucket.items()):
             for lo in range(0, len(items), maxb):
                 chunk = items[lo:lo + maxb]
-                B = ingest.batch_pad(len(chunk), maxb)
+                B_real = len(chunk)
+                B = ingest.batch_pad(B_real, maxb)
                 values = np.full((B, len(cols), bucket), np.nan,
                                  self.np_dtype)
                 obs_mask = np.zeros((B, bucket), bool)
@@ -417,19 +418,28 @@ class PipelineRunner:
                 t0 = np.zeros(B, np.int64)
                 vlen = np.zeros(B, np.int64)
                 n_obs = np.zeros(B, np.int64)
-                syms = []
-                for i, item in enumerate(chunk):
-                    obs, sub, L = item["obs"], item["sub"], item["L"]
-                    syms.append(item["symbol"])
-                    t0[i] = obs[0]
-                    vlen[i] = L
-                    n_obs[i] = len(obs)
-                    tl_mask[i, :L] = True
-                    pos = (obs - obs[0]).astype(np.int64)
-                    obs_mask[i, pos] = True
-                    for j, c in enumerate(cols):
-                        values[i, j, pos] = pd.to_numeric(
-                            sub[c], errors="coerce").to_numpy(self.np_dtype)
+                syms = [it["symbol"] for it in chunk]
+                t0[:B_real] = [it["obs"][0] for it in chunk]
+                vlen[:B_real] = [it["L"] for it in chunk]
+                n_obs[:B_real] = [len(it["obs"]) for it in chunk]
+                tl_mask[np.arange(bucket)[None, :] < vlen[:, None]] = True
+                # one vectorised scatter across the whole chunk
+                row_sym = np.repeat(np.arange(B_real), n_obs[:B_real])
+                obs_all = np.concatenate([it["obs"] for it in chunk])
+                pos = (obs_all - t0[row_sym]).astype(np.int64)
+                subs = pd.concat([it["sub"] for it in chunk])
+                colmat = np.stack([
+                    pd.to_numeric(subs[c], errors="coerce")
+                    .to_numpy(self.np_dtype) for c in cols], axis=1)
+                used_native = False
+                if self.np_dtype == np.float32:
+                    from iv_interpolation_tpu import native
+                    used_native = native.scatter_pack(
+                        colmat, row_sym.astype(np.int32), pos,
+                        np.ones(len(pos), np.uint8), values, obs_mask)
+                if not used_native:
+                    values[row_sym, :, pos] = colmat
+                    obs_mask[row_sym, pos] = True
                 out.append(ingest.PackedBatch(
                     bucket_len=bucket, symbols=syms, t0_minutes=t0,
                     valid_len=vlen, values=values, obs_mask=obs_mask,
