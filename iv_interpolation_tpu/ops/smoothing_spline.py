@@ -100,3 +100,40 @@ def fit_eval_smoothed_smile(k: jax.Array, w: jax.Array, lam, t: jax.Array):
     """Fused smoothing fit + eval for a batch of (noisy) smiles."""
     fit = fit_smoothing_spline(k, w, lam)
     return eval_smoothing_spline(fit, t)
+
+
+@partial(jax.jit, static_argnames=("n_eval",))
+def fit_smoothing_spline_autolam(k: jax.Array, w: jax.Array,
+                                 lams: jax.Array,
+                                 n_eval: int = 64) -> SmoothingFit:
+    """Arbitrage-aware smoothing: fit every candidate lam (batched), check
+    butterfly g on a dense grid, and keep — per slice — the SMALLEST lam
+    whose fit is butterfly-free (falling back to the largest candidate).
+
+    The practical projection onto the no-arb set: minimal smoothing that
+    removes the violation, so clean slices keep lam ~ lams[0].
+
+    Args:
+      k, w: (..., n) slices.
+      lams: (L,) ascending candidate penalties (e.g. logspace).
+    """
+    from iv_interpolation_tpu.surface.arbitrage import butterfly_g
+
+    def fit_one_lam(lam):
+        fit = fit_smoothing_spline(k, w, lam)
+        t = jnp.linspace(0.0, 1.0, n_eval, dtype=w.dtype)
+        tq = k[..., 0:1] + (k[..., -1:] - k[..., 0:1]) * t
+        S, S1, S2 = eval_smoothing_spline_derivs(fit, tq)
+        g = butterfly_g(tq, S, S1, S2)
+        ok = jnp.all(g >= -1e-10, axis=-1)      # (...,) per slice
+        return fit, ok
+
+    fits, oks = jax.vmap(fit_one_lam)(lams)      # leading L axis
+    L = lams.shape[0]
+    # index of the first ok lam; slices never ok use the last (smoothest)
+    first_ok = jnp.argmax(oks, axis=0)
+    any_ok = jnp.any(oks, axis=0)
+    sel = jnp.where(any_ok, first_ok, L - 1)     # (...,)
+    take = lambda a: jnp.take_along_axis(
+        a, sel[None, ..., None], axis=0)[0]
+    return SmoothingFit(x=take(fits.x), g=take(fits.g), M=take(fits.M))

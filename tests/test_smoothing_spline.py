@@ -77,3 +77,28 @@ def test_smoothing_reduces_butterfly_violations(rng):
     g_sm = butterfly_g(t, S, S1, S2)
     assert float(jnp.min(g_sm)) > float(jnp.min(g_raw))
     assert float(jnp.min(g_sm)) > -1e-6
+
+
+def test_autolam_minimal_smoothing(rng):
+    """Noisy violating slices get just enough smoothing to clear the
+    butterfly check; clean slices keep (near-)zero smoothing."""
+    from iv_interpolation_tpu.ops.smoothing_spline import (
+        eval_smoothing_spline, fit_smoothing_spline_autolam)
+    from iv_interpolation_tpu.surface.arbitrage import butterfly_g
+    from iv_interpolation_tpu.ops.smoothing_spline import (
+        eval_smoothing_spline_derivs)
+    n = 40
+    k = np.broadcast_to(np.linspace(-1.0, 1.0, n), (2, n)).copy()
+    clean = 0.04 + 0.1 * k[0] ** 2
+    noisy = clean + 0.004 * rng.normal(size=n)
+    w = jnp.array(np.stack([clean, noisy]))
+    lams = jnp.array([1e-8, 1e-5, 1e-3, 1e-1])
+    fit = fit_smoothing_spline_autolam(jnp.array(k), w, lams)
+    t = jnp.array(np.broadcast_to(np.linspace(-0.9, 0.9, 80), (2, 80)))
+    S, S1, S2 = eval_smoothing_spline_derivs(fit, t)
+    g = butterfly_g(t, S, S1, S2)
+    assert float(jnp.min(g)) > -1e-9   # every slice arb-free
+    # the clean slice is barely perturbed (lam stayed tiny)
+    np.testing.assert_allclose(np.asarray(fit.g[0]), clean, atol=1e-5)
+    # the noisy slice was actually smoothed
+    assert float(jnp.max(jnp.abs(fit.g[1] - w[1]))) > 1e-4
