@@ -38,20 +38,45 @@ def parse_symbol(symbol: str):
 
 def build_chains(df: pd.DataFrame, min_strikes: int = 4):
     """Latest-snapshot chains per (underlying, expiry): log-moneyness and
-    iv arrays sorted by strike. Returns list of dicts."""
+    iv arrays sorted by strike. Returns list of dicts.
+
+    Quotes without a usable ``iv`` fall back to Black-Scholes inversion of
+    ``mark_price`` (batched Newton, ``ops.black_scholes.implied_vol``) —
+    the reference carried both columns but could only consume iv."""
     rows = []
+    invert = []  # quotes needing price->iv inversion
     for symbol, sub in df.groupby("symbol"):
         parsed = parse_symbol(symbol)
         if parsed is None:
             continue
         und, exp, strike, is_call = parsed
         last = sub.sort_values("date").iloc[-1]
-        if not np.isfinite(last["iv"]) or last["iv"] <= 0:
-            continue
-        rows.append(dict(underlying=und, expiry=exp, strike=strike,
-                         iv=float(last["iv"]),
-                         S=float(last["underlying_price"]),
-                         T=float(last["time_to_maturity"])))
+        rec = dict(underlying=und, expiry=exp, strike=strike,
+                   S=float(last["underlying_price"]),
+                   T=float(last["time_to_maturity"]))
+        if np.isfinite(last["iv"]) and last["iv"] > 0:
+            rec["iv"] = float(last["iv"])
+            rows.append(rec)
+        elif ("mark_price" in sub.columns
+              and np.isfinite(last.get("mark_price", np.nan))
+              and last["mark_price"] > 0):
+            rec["price"] = float(last["mark_price"])
+            rec["is_call"] = is_call
+            rec["rate"] = float(last.get("interest_rate", 0.0) or 0.0)
+            invert.append(rec)
+    if invert:
+        from iv_interpolation_tpu.ops.black_scholes import implied_vol
+        price = jnp.asarray([r["price"] for r in invert])
+        S = jnp.asarray([r["S"] for r in invert])
+        K = jnp.asarray([r["strike"] for r in invert])
+        T = jnp.asarray([max(r["T"], 1e-6) for r in invert])
+        rt = jnp.asarray([r["rate"] for r in invert])
+        is_call = jnp.asarray([r["is_call"] for r in invert])
+        ivs = np.asarray(implied_vol(price, S, K, T, rt, is_call))
+        for rec, iv_ in zip(invert, ivs):
+            if np.isfinite(iv_) and 1e-4 < iv_ < 4.9:
+                rec["iv"] = float(iv_)
+                rows.append(rec)
     if not rows:
         return []
     frame = pd.DataFrame(rows)

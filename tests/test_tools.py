@@ -176,3 +176,31 @@ def test_monitor_alerts_thresholds(ran_store):
     assert levels & {"WARNING", "CRITICAL"}
     # dedup: a second poll reports nothing new
     assert mon.alerts(m) == []
+
+
+def test_surface_from_prices_when_iv_missing(rng):
+    """Quotes with NaN iv but valid mark_price are recovered via BS
+    inversion in build_chains."""
+    import jax.numpy as jnp
+    from iv_interpolation_tpu.ops.black_scholes import bs_price
+    from iv_interpolation_tpu.pipeline.surface_task import build_chains
+
+    S, T, r = 25000.0, 0.25, 0.03
+    strikes = np.array([22000, 23000, 24000, 25000, 26000, 27000.0])
+    true_iv = 0.5 + 0.1 * (np.log(strikes / S)) ** 2
+    prices = np.asarray(bs_price(jnp.float64(S), jnp.array(strikes),
+                                 jnp.float64(T), jnp.float64(r),
+                                 jnp.array(true_iv), True))
+    df = pd.DataFrame({
+        "symbol": [f"btc-27mar23-{int(k)}-c" for k in strikes],
+        "date": pd.Timestamp("2023-03-20"),
+        "iv": np.nan,
+        "underlying_price": S,
+        "time_to_maturity": T,
+        "mark_price": prices,
+        "interest_rate": r,
+    })
+    chains = build_chains(df)
+    assert len(chains) == 1
+    np.testing.assert_allclose(np.sort(chains[0]["iv"]),
+                               np.sort(true_iv), atol=1e-6)
