@@ -140,3 +140,54 @@ def test_volume_imputation(rng):
     v = np.asarray(got["volume"])
     np.testing.assert_allclose(v[:10], 7.5)
     assert (v[10:] > 0).all()
+
+
+def test_trend_following_matches_sequential_oracle(rng):
+    """trend_following: the order-5 lookback recurrence must match a
+    sequential NumPy re-implementation of ohlcv_converter.py:292-332
+    consuming the same draws."""
+    L = 200
+    base = 20000 + np.cumsum(rng.normal(size=L)) * 10
+    base[50:55] = np.nan  # skipped rows
+    valid = np.ones(L, bool)
+    key = jax.random.key(21)
+    got = synthesize_ohlcv(jnp.array(base), jnp.full(L, 5.0),
+                           jnp.array(valid), key,
+                           strategy="trend_following")
+    # replicate the key split + noise draws
+    _, k1, *_ = jax.random.split(key, 6)
+    ok = valid & np.isfinite(base) & (base > 0)
+    base_safe = np.where(ok, base, 1.0)
+    noise = np.asarray(jax.random.normal(k1, (L,), jnp.float64)) \
+        * (base_safe * 0.001)
+
+    closes_hist = []
+    for i in range(L):
+        if not ok[i]:
+            continue
+        b = base[i]
+        lookback = min(5, len(closes_hist))
+        trend = 0.0
+        if lookback > 0:
+            recent = closes_hist[-lookback:]
+            if len(recent) > 1:
+                trend = (recent[-1] - recent[0]) / len(recent)
+        open_ = b + trend * 0.6 + noise[i]
+        close = b + trend * 0.6 * 1.2 + noise[i]
+        if trend > 0:
+            high = max(open_, close) + abs(trend) * 0.5
+            low = min(open_, close) - abs(trend) * 0.2
+        else:
+            high = max(open_, close) + abs(trend) * 0.2
+            low = min(open_, close) - abs(trend) * 0.5
+        closes_hist.append(close)
+        np.testing.assert_allclose(float(got["open"][i]), round(open_, 4),
+                                   atol=2e-4, err_msg=f"open row {i}")
+        np.testing.assert_allclose(float(got["close"][i]), round(close, 4),
+                                   atol=2e-4, err_msg=f"close row {i}")
+        np.testing.assert_allclose(float(got["high"][i]), round(high, 4),
+                                   atol=2e-4, err_msg=f"high row {i}")
+        np.testing.assert_allclose(float(got["low"][i]), round(low, 4),
+                                   atol=2e-4, err_msg=f"low row {i}")
+    # skipped rows invalid
+    assert not np.asarray(got["valid"][50:55]).any()
