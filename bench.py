@@ -22,11 +22,19 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:  # persistent compile cache: reruns skip the 1-2 min first-compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/ivtpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 TARGET = 10_000.0  # surfaces/sec north star (BASELINE.md)
 E, N_K, N_GRID = 30, 50, 50

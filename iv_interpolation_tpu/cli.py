@@ -130,11 +130,15 @@ def main(argv=None) -> int:
 
     if args.check:
         from iv_interpolation_tpu.pipeline.check_results import (
-            check_candle_results, check_interpolation_results, quick_summary)
+            check_candle_results, check_interpolation_results,
+            quick_summary)
         _emit(args, quick_summary(runner.store), "quick summary")
         _emit(args, check_interpolation_results(runner.store),
               "task 1 audit")
         _emit(args, check_candle_results(runner.store), "task 2 audit")
+        from iv_interpolation_tpu.pipeline.check_results import (
+            check_surface_results)
+        _emit(args, check_surface_results(runner.store), "surface audit")
         return 0
 
     if args.visualize:

@@ -139,3 +139,28 @@ def quick_summary(store) -> dict:
     out["pipeline_complete"] = all(v["rows"] > 0 for k, v in out.items()
                                    if isinstance(v, dict))
     return out
+
+
+def check_surface_results(store) -> dict:
+    """Vol-surface audit (new capability; no reference analogue): per
+    underlying arbitrage flags, iv sanity ranges, grid coverage."""
+    from iv_interpolation_tpu.pipeline.surface_task import SURFACES
+    surf = store.read(SURFACES)
+    if surf.empty:
+        return {"ok": False, "reason": "no fitted surfaces"}
+    per = surf.groupby("underlying").agg(
+        rows=("iv", "size"),
+        butterfly_ok=("butterfly_ok", "first"),
+        calendar_ok=("calendar_ok", "first"),
+        iv_min=("iv", "min"), iv_max=("iv", "max"),
+        expiries=("expiry_t", "nunique"))
+    sane_iv = bool(((per["iv_min"] > 0) & (per["iv_max"] < 5)).all())
+    return {
+        "ok": sane_iv,
+        "surfaces": len(per),
+        "grid_rows": len(surf),
+        "butterfly_ok": int(per["butterfly_ok"].sum()),
+        "calendar_ok": int(per["calendar_ok"].sum()),
+        "iv_range": (float(per["iv_min"].min()), float(per["iv_max"].max())),
+        "per_underlying": per.to_dict("index"),
+    }

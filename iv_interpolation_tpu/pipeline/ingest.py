@@ -230,7 +230,9 @@ def unpack_interpolated(batch: PackedBatch, filled: np.ndarray,
     dates = pd.to_datetime(
         (batch.t0_minutes[sel_b] + sel_pos * freq_minutes) * _MINUTE_NS)
     rows = gather_rows(np.asarray(filled), sel_b, sel_pos)
-    data = {"symbol": np.asarray(batch.symbols, object)[sel_b],
+    # categorical symbol column: integer codes instead of millions of
+    # Python string objects (the dominant host cost at scale)
+    data = {"symbol": pd.Categorical.from_codes(sel_b, categories=batch.symbols),
             "date": dates}
     for c, col in enumerate(batch.columns):
         data[col] = rows[:, c]

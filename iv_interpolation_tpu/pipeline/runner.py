@@ -293,7 +293,8 @@ class PipelineRunner:
             (batch.t0_minutes[sel_b] + sel_pos * freq_minutes)
             * 60_000_000_000)
         return pd.DataFrame({
-            "symbol": np.asarray(batch.symbols, object)[sel_b],
+            "symbol": pd.Categorical.from_codes(sel_b,
+                                                categories=batch.symbols),
             "timestamp": ts,
             "open": ohlcv["open"][sel_b, sel_pos],
             "high": ohlcv["high"][sel_b, sel_pos],
@@ -457,7 +458,8 @@ class PipelineRunner:
         ts = pd.to_datetime(
             (base_bucket[sel_b] + sel_pos) * freq * 60_000_000_000)
         return pd.DataFrame({
-            "symbol": np.asarray(batch.symbols, object)[sel_b],
+            "symbol": pd.Categorical.from_codes(sel_b,
+                                                categories=batch.symbols),
             "timestamp": ts,
             "open": agg.open[sel_b, sel_pos],
             "high": agg.high[sel_b, sel_pos],

@@ -204,3 +204,17 @@ def test_surface_from_prices_when_iv_missing(rng):
     assert len(chains) == 1
     np.testing.assert_allclose(np.sort(chains[0]["iv"]),
                                np.sort(true_iv), atol=1e-6)
+
+
+def test_check_surface_results(ran_store):
+    from iv_interpolation_tpu.pipeline.check_results import (
+        check_surface_results)
+    from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
+    cfg, store = ran_store
+    rep0 = check_surface_results(store)
+    assert not rep0["ok"] and "no fitted surfaces" in rep0["reason"]
+    run_surface_fit(cfg, store)
+    rep = check_surface_results(store)
+    if rep.get("surfaces", 0):  # chains may be too thin on tiny fixtures
+        assert rep["ok"]
+        assert rep["iv_range"][0] > 0
