@@ -48,6 +48,12 @@ def push(state: RingState, rows: jax.Array,
     """
     B, C, L = state.data.shape
     K = rows.shape[-1]
+    if K > L:
+        # only the newest L rows can survive; truncating keeps the scatter
+        # free of duplicate slot writes (whose order is unspecified)
+        dropped = K - L
+        out = push(state, rows[..., dropped:], rows_valid[..., dropped:])
+        return out._replace(count=out.count + dropped)
     idx = (state.cursor + jnp.arange(K)) % L
     data = state.data.at[:, :, idx].set(rows)
     valid = state.valid.at[:, idx].set(rows_valid)

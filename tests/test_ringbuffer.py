@@ -67,3 +67,17 @@ def test_donation_streaming_loop(rng):
     assert int(ring.cursor) == total % L
     _, valid = window(ring)
     assert bool(valid.all())
+
+
+def test_push_larger_than_capacity(rng):
+    B, C, L = 2, 3, 8
+    ring = make_ring(B, C, L)
+    K = 20
+    rows = np.arange(B * C * K, dtype=np.float32).reshape(B, C, K)
+    import jax.numpy as jnp
+    ring = push(ring, jnp.asarray(rows), jnp.ones((B, K), bool))
+    assert int(ring.count) == K
+    data, valid = window(ring)
+    assert bool(valid.all())
+    # window holds the NEWEST 8 rows in order
+    np.testing.assert_allclose(np.asarray(data[0, 0]), rows[0, 0, -8:])
