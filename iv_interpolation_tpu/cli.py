@@ -127,6 +127,7 @@ def main(argv=None) -> int:
         return 0
 
     runner = PipelineRunner(config)
+    runner.install_signal_handler()
 
     if args.check:
         from iv_interpolation_tpu.pipeline.check_results import (

@@ -67,6 +67,25 @@ class PipelineRunner:
                          "bfloat16": np.float32}[config.processing.dtype]
         self.dtype = {"float32": jnp.float32, "float64": jnp.float64,
                       "bfloat16": jnp.bfloat16}[config.processing.dtype]
+        # cooperative stop flag, checked between bucket batches (the
+        # reference checked a SIGINT flag between symbols,
+        # complete_pipeline.py:52-58); unfinished symbols stay 'pending'
+        # in the manifest, so --resume picks them up
+        self.stop_requested = False
+
+    def request_stop(self) -> None:
+        self.stop_requested = True
+
+    def install_signal_handler(self) -> None:
+        """SIGINT -> graceful stop after the current bucket."""
+        import signal
+
+        def handler(signum, frame):
+            self.log.warning("interrupt received — stopping after the "
+                             "current batch (resume with --resume)")
+            self.stop_requested = True
+
+        signal.signal(signal.SIGINT, handler)
 
 
     def _attempt(self, label: str, fn):
@@ -128,6 +147,8 @@ class PipelineRunner:
         max_gap = cfg.max_gap_hours * 60 if cfg.max_gap_hours else 0
         n_rows_out = 0
         for batch in packed.batches:
+            if self.stop_requested:
+                break
             t0 = time.time()
 
             def process(batch=batch):
@@ -222,6 +243,8 @@ class PipelineRunner:
         )
         root_key = jax.random.key(cfg.seed)
         for batch in packed.batches:
+            if self.stop_requested:
+                break
             t0 = time.time()
 
             def process(batch=batch):
@@ -327,6 +350,8 @@ class PipelineRunner:
         created_at = pd.Timestamp.now()
 
         for batch in packed:
+            if self.stop_requested:
+                break
             t0 = time.time()
 
             def process(batch=batch):
@@ -557,6 +582,8 @@ class PipelineRunner:
                         break
 
         for batch in packed.batches:
+            if self.stop_requested:
+                break
             t0 = time.time()
             B_pad = batch.values.shape[0]
             L = batch.bucket_len

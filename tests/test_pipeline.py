@@ -368,3 +368,34 @@ def test_empty_tickers_summary(cfg):
     assert s["total_symbols"] == 0
     s = runner.run_pipeline_fused()
     assert s["task1"]["total_symbols"] == 0
+
+
+def test_graceful_stop_leaves_resumable_manifest(cfg, monkeypatch):
+    """request_stop between buckets: processed symbols complete, the rest
+    stay pending, and --resume finishes them."""
+    # force multiple small batches
+    cfg.processing.batch_size = 16
+    tickers = generate_sample_tickers(num_symbols=40, hours=8)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+
+    orig = runner._attempt
+    calls = {"n": 0}
+
+    def stopping_attempt(label, fn):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            runner.request_stop()  # stop after the FIRST bucket
+        return orig(label, fn)
+
+    monkeypatch.setattr(runner, "_attempt", stopping_attempt)
+    s1 = runner.run_task1()
+    done = s1["by_status"].get("completed", 0)
+    pending = s1["by_status"].get("pending", 0)
+    assert done >= 16 and pending > 0 and done + pending == 40
+
+    runner2 = PipelineRunner(cfg, store=store)
+    s2 = runner2.run_task1(resume_batch_id=s1["batch_id"])
+    assert s2["by_status"].get("completed") == 40
