@@ -229,7 +229,8 @@ def _dispatch(args, runner, limit):
                                           limit=limit)}
     elif args.task == "pipeline":
         # fused: stages chained on-device, no storage round-trips between
-        out = runner.run_pipeline_fused(limit=limit)
+        out = runner.run_pipeline_fused(limit=limit,
+                                        resume_batch_id=args.resume)
     else:  # all (staged via storage)
         out = runner.run_all(limit=limit)
     return out

@@ -501,7 +501,8 @@ class PipelineRunner:
     # Fused pipeline — all three stages chained on-device per batch
     # ------------------------------------------------------------------
     def run_pipeline_fused(self, symbols: Optional[List[str]] = None,
-                           limit: Optional[int] = None) -> dict:
+                           limit: Optional[int] = None,
+                           resume_batch_id: Optional[int] = None) -> dict:
         """interpolate -> bridge -> aggregate per bucket batch with NO
         storage round-trip between stages — the north star's
         "eliminating the data_bridge/database round-trips on the hot
@@ -517,10 +518,18 @@ class PipelineRunner:
         ccfg = self.config.candle_reconstruction
         manifests = {
             name: RunManifest(
-                self.config.checkpoint.manifest_dir, name, None,
+                self.config.checkpoint.manifest_dir, name, resume_batch_id,
                 flush_interval=self.config.checkpoint.checkpoint_interval)
             for name in ("interpolation", "bridge", "candles")
         }
+        if resume_batch_id is not None:
+            # a symbol is done only when ALL three stages completed it
+            pending = set()
+            for m in manifests.values():
+                pending.update(m.pending_symbols())
+            symbols = sorted(pending)
+            self.log.info("fused resume batch %s: %d pending symbols",
+                          resume_batch_id, len(symbols))
         if symbols is None:
             symbols = self.store.list_symbols(st.TICKERS)
         if limit:

@@ -399,3 +399,23 @@ def test_graceful_stop_leaves_resumable_manifest(cfg, monkeypatch):
     runner2 = PipelineRunner(cfg, store=store)
     s2 = runner2.run_task1(resume_batch_id=s1["batch_id"])
     assert s2["by_status"].get("completed") == 40
+
+
+def test_fused_skips_and_resume(cfg, monkeypatch):
+    tickers = generate_sample_tickers(num_symbols=4, hours=10)
+    few = tickers[tickers["symbol"] == tickers["symbol"].iloc[0]].head(3)
+    few = few.assign(symbol="btc-tiny-1-c")
+    store = MemoryStore()
+    store.write(st.TICKERS, pd.concat([tickers, few]))
+    cfg.interpolation.min_data_points = 10
+    runner = PipelineRunner(cfg, store=store)
+    s = runner.run_pipeline_fused()
+    assert s["task1"]["by_status"].get("skipped") == 1
+    assert s["task2"]["by_status"].get("skipped") == 1
+    assert s["task1"]["by_status"].get("completed") == 4
+    # resume with everything done -> nothing pending, summary intact
+    s2 = runner.run_pipeline_fused(
+        resume_batch_id=s["task1"]["batch_id"])
+    total = sum(s2["task1"]["by_status"].values())
+    assert s2["task1"]["by_status"].get("pending", 0) == 0
+    assert total == 5
