@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native IV interpolation & candle pipeline")
     p.add_argument("--task",
                    choices=["interpolation", "bridge", "candles", "both",
-                            "pipeline", "all", "surface"],
+                            "pipeline", "all", "surface", "stream"],
                    default="all",
                    help="stage(s) to run; 'pipeline' = fused on-device "
                         "chain, 'all' = staged via storage")
@@ -227,6 +227,11 @@ def _dispatch(args, runner, limit):
         from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
         out = {"surface": run_surface_fit(runner.config, runner.store,
                                           limit=limit)}
+    elif args.task == "stream":
+        from iv_interpolation_tpu.pipeline.stream_service import (
+            run_stream_replay)
+        out = {"stream": run_stream_replay(
+            runner.config, n_underlyings=limit or 64)}
     elif args.task == "pipeline":
         # fused: stages chained on-device, no storage round-trips between
         out = runner.run_pipeline_fused(limit=limit,

@@ -118,3 +118,56 @@ class StreamingSession:
                                          self.ring.data.shape[-1])),
             "latest_minute": self.latest_minute,
         }
+
+
+def run_stream_replay(config, n_underlyings: int = 64,
+                      window_minutes: int = 256, chunks: int = 8,
+                      ticks_per_chunk: int = 200, seed: int = 0) -> dict:
+    """Synthetic streaming replay: GBM ticks ingested chunk by chunk with a
+    refit after each — the CLI-visible demonstration of the streaming
+    engine (`--task stream`). Returns throughput + diagnostics."""
+    import time as _time
+
+    rng = np.random.default_rng(seed)
+    unds = [f"u{i:04d}" for i in range(n_underlyings)]
+    E, n = 4, 12
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (n_underlyings, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E), (n_underlyings, E))
+    iv = 0.5 + 0.05 * k * k
+    sess = StreamingSession(unds, k, iv, T, window_minutes=window_minutes,
+                            tick_capacity=4 * window_minutes,
+                            n_grid=config.surface.grid_strikes)
+    per_min = 0.5 / np.sqrt(365.25 * 24 * 60)
+    paths = 100.0 * np.exp(np.cumsum(
+        rng.normal(0, per_min, (n_underlyings, window_minutes)), axis=-1))
+
+    total_ticks = 0
+    refit_s = []
+    span = window_minutes // chunks
+    out = None
+    for c in range(chunks):
+        lo, hi = c * span, (c + 1) * span
+        frames = []
+        for i, u in enumerate(unds):
+            minutes = np.sort(rng.integers(lo, hi, ticks_per_chunk))
+            frames.append(pd.DataFrame({
+                "underlying": u, "minute": minutes,
+                "price": paths[i, minutes],
+                "size": rng.uniform(0, 5, ticks_per_chunk)}))
+        total_ticks += sess.ingest_ticks(pd.concat(frames,
+                                                   ignore_index=True))
+        t0 = _time.perf_counter()
+        out = sess.refit(now_minute=hi - 1)
+        jax.block_until_ready(out.iv_grid)
+        refit_s.append(_time.perf_counter() - t0)
+
+    return {
+        "underlyings": n_underlyings,
+        "chunks": chunks,
+        "ticks_ingested": total_ticks,
+        "warm_refit_ms": round(sorted(refit_s)[len(refit_s) // 2] * 1e3, 1),
+        "realized_vol_mean": round(
+            float(np.asarray(out.realized_vol).mean()), 4),
+        "butterfly_ok": int(np.asarray(out.butterfly_ok).sum()),
+        "stats": sess.stats(),
+    }

@@ -69,3 +69,15 @@ def test_incremental_ingest_accumulates(session, rng):
     # all four chunks are inside the 256-minute window
     c1 = np.asarray(out.candles_1m.valid).sum()
     assert c1 > 3 * 200  # plenty of populated minute bars across 3 unds
+
+
+def test_stream_replay(rng):
+    from iv_interpolation_tpu.config import get_config
+    from iv_interpolation_tpu.pipeline.stream_service import run_stream_replay
+    cfg = get_config("testing")
+    cfg.surface.grid_strikes = 12
+    rep = run_stream_replay(cfg, n_underlyings=8, window_minutes=128,
+                            chunks=4, ticks_per_chunk=100)
+    assert rep["ticks_ingested"] == 8 * 4 * 100
+    assert rep["butterfly_ok"] == 8
+    assert 0.1 < rep["realized_vol_mean"] < 1.5
