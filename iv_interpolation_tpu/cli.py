@@ -34,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native IV interpolation & candle pipeline")
     p.add_argument("--task",
                    choices=["interpolation", "bridge", "candles", "both",
-                            "pipeline", "all", "surface", "stream"],
+                            "pipeline", "all", "surface", "stream",
+                            "serve"],
                    default="all",
                    help="stage(s) to run; 'pipeline' = fused on-device "
                         "chain, 'all' = staged via storage")
@@ -71,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output directory for --visualize figures")
     p.add_argument("--json", action="store_true",
                    help="machine-readable summaries")
+    p.add_argument("--serve-port", type=int, default=8787,
+                   help="TCP port for --task serve (0 = auto)")
     p.add_argument("--profile", action="store_true",
                    help="wrap the run in a jax.profiler trace "
                         "(written to monitoring.profiler_dir)")
@@ -227,6 +230,11 @@ def _dispatch(args, runner, limit):
         from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
         out = {"surface": run_surface_fit(runner.config, runner.store,
                                           limit=limit)}
+    elif args.task == "serve":
+        from iv_interpolation_tpu.pipeline.serve import run_serve
+        run_serve(runner.config, runner.store, port=args.serve_port,
+                  n_underlyings=limit or 64)
+        out = {"serve": "stopped"}
     elif args.task == "stream":
         from iv_interpolation_tpu.pipeline.stream_service import (
             run_stream_replay)
