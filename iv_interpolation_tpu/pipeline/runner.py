@@ -52,6 +52,60 @@ def parse_frequency(freq: str) -> int:
     raise ValueError(f"Unsupported frequency: {freq}")
 
 
+def _split_by_obs_count(batch: ingest.PackedBatch):
+    """Sub-bucket a packed batch by observation count (uniform k is what
+    the batched cubic spline needs). Padding rows (n_obs == 0) ride along
+    with any group — their timeline_mask is all-False."""
+    counts = np.unique(batch.n_obs[batch.n_obs > 0])
+    if len(counts) <= 1:
+        return [batch]
+    out = []
+    for k in counts:
+        rows = np.flatnonzero(batch.n_obs == k)
+        out.append(ingest.PackedBatch(
+            bucket_len=batch.bucket_len,
+            symbols=[batch.symbols[i] for i in rows if i < len(batch.symbols)],
+            t0_minutes=batch.t0_minutes[rows],
+            valid_len=batch.valid_len[rows],
+            values=batch.values[rows],
+            obs_mask=batch.obs_mask[rows],
+            timeline_mask=batch.timeline_mask[rows],
+            n_obs=batch.n_obs[rows],
+            const_cols={c: [v[i] for i in rows]
+                        for c, v in batch.const_cols.items()},
+            columns=batch.columns,
+        ))
+    return out
+
+
+def _obs_positions(batch: ingest.PackedBatch):
+    """(B, k) observation grid positions for a uniform-count batch, plus a
+    cleanliness flag (no NaN among the interpolated columns at the
+    observations). Padding rows get row 0's positions (outputs masked)."""
+    k = int(batch.n_obs.max())
+    B = batch.obs_mask.shape[0]
+    pos = np.zeros((B, max(k, 2)), np.int64)
+    clean = True
+    first_real = None
+    for i in range(B):
+        p = np.flatnonzero(batch.obs_mask[i])
+        if len(p) == 0:
+            continue
+        if first_real is None:
+            first_real = p
+        if len(p) != k:
+            return None, False  # non-uniform (shouldn't happen post-split)
+        pos[i, :k] = p
+        if not np.isfinite(batch.values[i, :3][:, p]).all():
+            clean = False
+    if k < 2:
+        return None, False
+    if first_real is not None:
+        empty = ~batch.obs_mask.any(axis=1)
+        pos[empty, :k] = first_real[:k]
+    return jnp.asarray(pos[:, :k]), clean
+
+
 class PipelineRunner:
     """End-to-end three-stage pipeline over a storage adapter."""
 
@@ -146,7 +200,11 @@ class PipelineRunner:
 
         max_gap = cfg.max_gap_hours * 60 if cfg.max_gap_hours else 0
         n_rows_out = 0
-        for batch in packed.batches:
+        batches = packed.batches
+        if cfg.method == "cubic":
+            batches = [b for orig in batches
+                       for b in _split_by_obs_count(orig)]
+        for batch in batches:
             if self.stop_requested:
                 break
             t0 = time.time()
@@ -159,13 +217,27 @@ class PipelineRunner:
                     str(c).lower() in ("c", "call")
                     for c in batch.const_cols.get("callput", [])
                 ])
+                method = cfg.method
+                obs_pos = None
+                if method == "cubic":
+                    obs_pos, clean = _obs_positions(batch)
+                    if not clean:
+                        # NaN at an observation: pandas would drop that
+                        # knot per column (ragged) — fall back to linear
+                        # for the whole sub-batch and say so
+                        self.log.warning(
+                            "cubic: NaN at observations in bucket "
+                            "L=%d — falling back to linear",
+                            batch.bucket_len)
+                        method, obs_pos = "linear", None
                 out = tasks.interpolate_batch(
                     jnp.asarray(batch.values), jnp.asarray(batch.obs_mask),
                     jnp.asarray(batch.timeline_mask),
                     strike, jnp.asarray(callput),
-                    method=cfg.method, max_gap_minutes=max_gap,
+                    method=method, max_gap_minutes=max_gap,
                     compute_greeks=cfg.compute_greeks,
                     extrapolate=cfg.extrapolate,
+                    obs_pos=obs_pos,
                 )
                 jax.block_until_ready(out)
                 out_np = jax.tree.map(np.asarray, out)

@@ -32,7 +32,8 @@ def interpolate_batch(values: jax.Array, obs_mask: jax.Array,
                       strike: jax.Array, is_call: jax.Array,
                       method: str = "linear", max_gap_minutes: int = 0,
                       compute_greeks: bool = True,
-                      extrapolate: bool = False):
+                      extrapolate: bool = False,
+                      obs_pos: jax.Array | None = None):
     """Task-1 kernel: fill the minute grid for a batch of symbols.
 
     Args:
@@ -49,10 +50,28 @@ def interpolate_batch(values: jax.Array, obs_mask: jax.Array,
       inputs are missing) — populating the columns the reference reserved
       but never filled (schema.py:36-41).
     """
-    interp_part = masked_interp(values[:, :_N_INTERP], timeline_mask[:, None],
-                                method=method,
-                                max_gap_minutes=max_gap_minutes,
-                                extrapolate=extrapolate)
+    if method == "cubic":
+        # spline through the observation grid (pandas method='cubic'
+        # parity; requires uniform observation count per batch — the
+        # runner sub-buckets by count). Columns must be NaN-free at the
+        # observations; the runner validates and falls back to linear.
+        from iv_interpolation_tpu.ops.interp import cubic_resample
+        if obs_pos is None:
+            raise ValueError("method='cubic' requires obs_pos")
+        L = values.shape[-1]
+        vals_at_obs = jnp.take_along_axis(
+            values[:, :_N_INTERP], obs_pos[:, None, :], axis=-1)
+        interp_part = cubic_resample(
+            jnp.broadcast_to(obs_pos[:, None, :], vals_at_obs.shape),
+            vals_at_obs, L)
+        interp_part = jnp.where(timeline_mask[:, None], interp_part,
+                                jnp.nan)
+    else:
+        interp_part = masked_interp(values[:, :_N_INTERP],
+                                    timeline_mask[:, None],
+                                    method=method,
+                                    max_gap_minutes=max_gap_minutes,
+                                    extrapolate=extrapolate)
     ffill_part = masked_interp(values[:, _N_INTERP:], timeline_mask[:, None],
                                method="ffill")
     filled = jnp.concatenate([interp_part, ffill_part], axis=1)

@@ -419,3 +419,42 @@ def test_fused_skips_and_resume(cfg, monkeypatch):
     total = sum(s2["task1"]["by_status"].values())
     assert s2["task1"]["by_status"].get("pending", 0) == 0
     assert total == 5
+
+
+def test_task1_cubic_matches_pandas(cfg):
+    """method='cubic': pipeline output matches the reference algorithm
+    with pandas Series.interpolate(method='cubic')."""
+    tickers = generate_sample_tickers(num_symbols=3, hours=12)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    cfg.interpolation.method = "cubic"
+    cfg.interpolation.max_gap_hours = 0
+    runner = PipelineRunner(cfg, store=store)
+    summary = runner.run_task1()
+    assert summary["by_status"].get("completed") == 3
+    out = store.read(st.INTERPOLATED)
+    for symbol, sub in tickers.groupby("symbol"):
+        sd = sub.sort_values("date").reset_index(drop=True)
+        timeline = pd.date_range(sd["date"].min(), sd["date"].max(),
+                                 freq="1min")
+        merged = pd.DataFrame({"date": timeline}).merge(sd, on="date",
+                                                        how="left")
+        got = out[out["symbol"] == symbol].sort_values("date")
+        for col in ("iv", "underlying_price", "time_to_maturity"):
+            expected = merged[col].interpolate(method="cubic").to_numpy()
+            np.testing.assert_allclose(
+                got[col].to_numpy(float), expected, atol=1e-6,
+                err_msg=f"{symbol}:{col}")
+
+
+def test_task1_cubic_nan_at_obs_falls_back(cfg, caplog):
+    tickers = generate_sample_tickers(num_symbols=2, hours=12)
+    tickers.loc[tickers.index[3], "iv"] = np.nan  # NaN at an observation
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    cfg.interpolation.method = "cubic"
+    runner = PipelineRunner(cfg, store=store)
+    summary = runner.run_task1()
+    assert summary["by_status"].get("completed") == 2  # linear fallback ran
