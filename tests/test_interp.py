@@ -170,3 +170,60 @@ def test_cubic_resample_batched(rng):
         expected = pd.Series(series).interpolate(method="cubic").to_numpy()
         np.testing.assert_allclose(got[b], expected, atol=1e-8,
                                    equal_nan=True)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_linear_fuzz_vs_pandas(seed):
+    """Randomised gap patterns across several seeds — broad parity net."""
+    r = np.random.default_rng(seed)
+    L = int(r.integers(20, 400))
+    vals = r.normal(size=L)
+    vals[r.uniform(size=L) < r.uniform(0.2, 0.95)] = np.nan
+    if not np.isfinite(vals).any():
+        vals[L // 2] = 1.0
+    expected = pd.Series(vals).interpolate(method="linear").to_numpy()
+    got = np.asarray(masked_interp(jnp.array(vals), jnp.ones(L, bool)))
+    np.testing.assert_allclose(got, expected, atol=1e-12, equal_nan=True)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_aggregate_fuzz_vs_pandas(seed):
+    """Random timestamps/frequencies through the segment aggregation."""
+    from iv_interpolation_tpu.ops.segment_ohlcv import aggregate_ohlcv
+    r = np.random.default_rng(100 + seed)
+    freq = int(r.choice([3, 5, 7, 15]))
+    n = int(r.integers(50, 400))
+    minutes = np.sort(r.choice(2000, size=n, replace=False)) + int(
+        r.integers(0, 50))
+    o = r.normal(size=n) + 50
+    h = o + r.uniform(0, 1, n)
+    l = o - r.uniform(0, 1, n)
+    c = l + r.uniform(0, 1, n) * (h - l)
+    v = r.uniform(0, 10, n)
+    # pandas dt.floor anchors at the Unix epoch, so the kernel must see
+    # EPOCH minutes (exactly what pipeline ingest passes) — a relative
+    # anchor diverges whenever freq does not divide the origin offset
+    epoch0 = int(pd.Timestamp("2024-01-01").value // 60_000_000_000)
+    minutes = minutes + epoch0
+    df = pd.DataFrame({
+        "timestamp": pd.to_datetime(minutes * 60_000_000_000),
+        "open": o, "high": h, "low": l, "close": c, "volume": v})
+    data = df.copy()
+    data["g"] = data["timestamp"].dt.floor(f"{freq}min")
+    agg = data.groupby("g").agg(open=("open", "first"), high=("high", "max"),
+                                low=("low", "min"), close=("close", "last"),
+                                volume=("volume", "sum"))
+    counts = data.groupby("g").size()
+    agg = agg[counts >= min(freq, 3)]
+    base = int(minutes[0]) // freq
+    nseg = int(minutes[-1]) // freq - base + 1
+    got = aggregate_ohlcv(jnp.array(minutes), *map(jnp.array, (o, h, l, c, v)),
+                          jnp.ones(n, bool), jnp.int32(freq),
+                          jnp.int32(base), num_segments=nseg,
+                          min_count=min(freq, 3))
+    sel = np.flatnonzero(np.asarray(got.valid))
+    assert len(sel) == len(agg)
+    for col in ("open", "high", "low", "close", "volume"):
+        np.testing.assert_allclose(np.asarray(getattr(got, col))[sel],
+                                   agg[col].to_numpy(), atol=1e-10,
+                                   err_msg=f"seed{seed}:{col}")
