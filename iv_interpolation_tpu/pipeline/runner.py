@@ -631,6 +631,11 @@ class PipelineRunner:
                 m.skip_symbol(sym, reason)
 
         max_gap = icfg.max_gap_hours * 60 if icfg.max_gap_hours else 0
+        if icfg.method == "cubic":
+            # cubic needs observation-count sub-bucketing, which the
+            # staged run_task1 implements; the fused path runs linear
+            self.log.warning("fused pipeline uses linear interpolation; "
+                             "run --task all for method='cubic'")
         params = BridgeParams(
             base_spread_percent=bcfg.base_spread_percent,
             volatility_factor=bcfg.volatility_factor,
@@ -662,75 +667,86 @@ class PipelineRunner:
                                                f"async write failed: {e}")
                         break
 
-        for batch in packed.batches:
-            if self.stop_requested:
-                break
-            t0 = time.time()
+        def dispatch(batch):
+            """Device phase: enqueue all three stages WITHOUT blocking —
+            dispatch is async, so the next batch's compute overlaps this
+            batch's host unpack (SURVEY §7.1: double-buffering replaces
+            the reference's streaming cursors)."""
             B_pad = batch.values.shape[0]
             L = batch.bucket_len
+            values = jnp.asarray(batch.values)
+            obs_mask = jnp.asarray(batch.obs_mask)
+            strike = jnp.asarray(pd.to_numeric(
+                pd.Series(batch.const_cols.get("strike", [])),
+                errors="coerce").to_numpy(self.np_dtype))
+            callput = np.asarray([
+                str(c).lower() in ("c", "call")
+                for c in batch.const_cols.get("callput", [])
+            ])
+            out = tasks.interpolate_batch(
+                values, obs_mask, jnp.asarray(batch.timeline_mask),
+                strike, jnp.asarray(callput),
+                method=icfg.method if icfg.method != "cubic" else "linear",
+                max_gap_minutes=max_gap,
+                compute_greeks=icfg.compute_greeks,
+                extrapolate=icfg.extrapolate)
+            price_col = tasks.select_price_columns(values, obs_mask)
+            hashes = [abs(hash(s)) % (2**31) for s in batch.symbols]
+            hashes += [0] * (B_pad - len(hashes))
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                root_key, jnp.asarray(hashes))
+            ohlcv = tasks.bridge_batch(
+                out["filled"], out["valid"], keys, params=params,
+                price_col=price_col,
+                strategy=bcfg.conversion_strategy)
+            minutes = (jnp.asarray(batch.t0_minutes)[:, None]
+                       + jnp.arange(L)[None, :] * freq)
+            base_bucket = jnp.asarray(batch.t0_minutes) * freq // tgt_freq
+            agg = tasks.candles_batch(
+                minutes, ohlcv, jnp.int32(tgt_freq), base_bucket,
+                num_segments=L * freq // tgt_freq + 1,
+                min_count=ccfg.min_candles_required)
+            return out, ohlcv, agg
 
-            def process(batch=batch, B_pad=B_pad, L=L):
-                values = jnp.asarray(batch.values)
-                obs_mask = jnp.asarray(batch.obs_mask)
-                strike = jnp.asarray(pd.to_numeric(
-                    pd.Series(batch.const_cols.get("strike", [])),
-                    errors="coerce").to_numpy(self.np_dtype))
-                callput = np.asarray([
-                    str(c).lower() in ("c", "call")
-                    for c in batch.const_cols.get("callput", [])
-                ])
-                # stage 1: interpolate (device)
-                out = tasks.interpolate_batch(
-                    values, obs_mask, jnp.asarray(batch.timeline_mask),
-                    strike, jnp.asarray(callput),
-                    method=icfg.method, max_gap_minutes=max_gap,
-                    compute_greeks=icfg.compute_greeks,
-                    extrapolate=icfg.extrapolate)
-                # stage 2: bridge (device, consumes stage-1 grids directly)
-                price_col = tasks.select_price_columns(values, obs_mask)
-                hashes = [abs(hash(s)) % (2**31) for s in batch.symbols]
-                hashes += [0] * (B_pad - len(hashes))
-                keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                    root_key, jnp.asarray(hashes))
-                ohlcv = tasks.bridge_batch(
-                    out["filled"], out["valid"], keys, params=params,
-                    price_col=price_col,
-                    strategy=bcfg.conversion_strategy)
-                # stage 3: aggregate (device, consumes stage-2 grids)
-                minutes = (jnp.asarray(batch.t0_minutes)[:, None]
-                           + jnp.arange(L)[None, :] * freq)
-                base_bucket = jnp.asarray(batch.t0_minutes) * freq // tgt_freq
-                agg = tasks.candles_batch(
-                    minutes, ohlcv, jnp.int32(tgt_freq), base_bucket,
-                    num_segments=L * freq // tgt_freq + 1,
-                    min_count=ccfg.min_candles_required)
-                jax.block_until_ready(agg)
-                out_np = jax.tree.map(np.asarray, out)
-                interp_df = ingest.unpack_interpolated(
-                    batch, out_np["filled"], out_np["valid"],
-                    out_np["is_interpolated"],
-                    manifests["interpolation"].batch_id,
-                    greeks=out_np.get("greeks"), freq_minutes=freq)
-                ohlcv_np = jax.tree.map(np.asarray, ohlcv)
-                candle_df = self._unpack_candles(batch, ohlcv_np,
-                                                 freq_minutes=freq)
-                # _unpack_aggregated expects t0 in src-interval units;
-                # here t0 is epoch minutes and src == freq
-                agg_np = jax.tree.map(np.asarray, agg)
-                recon_df = self._unpack_aggregated(
-                    batch, agg_np, tgt_freq, freq,
-                    ccfg.target_frequency, created_at)
-                return interp_df, candle_df, recon_df
+        def finish(batch, dev):
+            out, ohlcv, agg = dev
+            jax.block_until_ready(agg)
+            out_np = jax.tree.map(np.asarray, out)
+            interp_df = ingest.unpack_interpolated(
+                batch, out_np["filled"], out_np["valid"],
+                out_np["is_interpolated"],
+                manifests["interpolation"].batch_id,
+                greeks=out_np.get("greeks"), freq_minutes=freq)
+            ohlcv_np = jax.tree.map(np.asarray, ohlcv)
+            candle_df = self._unpack_candles(batch, ohlcv_np,
+                                             freq_minutes=freq)
+            # _unpack_aggregated expects t0 in src-interval units;
+            # here t0 is epoch minutes and src == freq
+            agg_np = jax.tree.map(np.asarray, agg)
+            recon_df = self._unpack_aggregated(
+                batch, agg_np, tgt_freq, freq,
+                ccfg.target_frequency, created_at)
+            return interp_df, candle_df, recon_df
+
+        from collections import deque
+        pending = deque()  # (batch, dev_or_None, t0) — depth-2 pipeline
+
+        def complete_one():
+            batch, dev, t0 = pending.popleft()
+
+            def closure(batch=batch, dev=dev):
+                d = dev if dev is not None else dispatch(batch)
+                return finish(batch, d)
 
             with self.metrics.step(f"fused/L{batch.bucket_len}",
                                    items=batch.batch):
                 result, err = self._attempt(
-                    f"fused bucket L={batch.bucket_len}", process)
+                    f"fused bucket L={batch.bucket_len}", closure)
             if err is not None:
                 for sym in batch.symbols:
                     for m in manifests.values():
                         m.error_symbol(sym, str(err), time.time() - t0)
-                continue
+                return
             interp_df, candle_df, recon_df = result
             drain(0)  # previous write-set must land before queueing more
             inflight.append((list(batch.symbols), [
@@ -763,6 +779,20 @@ class PipelineRunner:
                 manifests["candles"].complete_symbol(
                     sym, int(per["bridge"].get(sym, 0)),
                     int(per["candles"].get(sym, 0)), dt / batch.batch)
+
+        for batch in packed.batches:
+            if self.stop_requested:
+                break
+            t0 = time.time()
+            try:
+                dev = dispatch(batch)
+            except Exception:  # noqa: BLE001 — retried with fresh dispatch
+                dev = None
+            pending.append((batch, dev, t0))
+            while len(pending) >= 2:
+                complete_one()
+        while pending:
+            complete_one()
         drain(0)
         writer.shutdown(wait=True)
         for m in manifests.values():
