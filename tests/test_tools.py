@@ -218,3 +218,37 @@ def test_check_surface_results(ran_store):
     if rep.get("surfaces", 0):  # chains may be too thin on tiny fixtures
         assert rep["ok"]
         assert rep["iv_range"][0] > 0
+
+
+def test_cli_sample_candles_to_task2_flow(tmp_path, monkeypatch, capsys):
+    """Reference flow: generate sample 1-min candles, reconstruct 5-min
+    (main.py --generate-sample-candles + --task candles, which was broken
+    in the reference, SURVEY §2.1.1)."""
+    from iv_interpolation_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "data")
+    assert cli.main(["--generate-sample-candles", "--symbols", "3",
+                     "--env", "development", "--json",
+                     "--data-root", root]) == 0
+    assert cli.main(["--task", "candles", "--env", "development",
+                     "--json", "--data-root", root]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["task2"]["by_status"]["completed"] == 3
+    # 24h of 1-min bars -> 288 five-minute bars per symbol
+    assert payload["status"]["reconstructed_candles"]["rows"] == 3 * 288
+
+
+def test_cli_both_flow(tmp_path, monkeypatch, capsys):
+    from iv_interpolation_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "data")
+    cli.main(["--generate-sample-tickers", "--symbols", "2",
+              "--env", "development", "--json", "--data-root", root])
+    cli.main(["--generate-sample-candles", "--symbols", "2",
+              "--env", "development", "--json", "--data-root", root])
+    assert cli.main(["--task", "both", "--env", "development", "--json",
+                     "--data-root", root]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["task1"]["by_status"]["completed"] == 2
+    assert payload["task2"]["by_status"]["completed"] == 2
