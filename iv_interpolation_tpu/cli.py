@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output directory for --visualize figures")
     p.add_argument("--json", action="store_true",
                    help="machine-readable summaries")
+    p.add_argument("--yes", action="store_true",
+                   help="skip interactive confirmations (large runs)")
     p.add_argument("--serve-port", type=int, default=8787,
                    help="TCP port for --task serve (0 = auto)")
     p.add_argument("--profile", action="store_true",
@@ -206,8 +208,29 @@ def main(argv=None) -> int:
     return 0
 
 
+def _confirm_large_run(args, runner, limit) -> bool:
+    """Reference operator guard (main.py:345-377: >100-symbol prompt;
+    production_main.py:231-241: >1M-row prompt), active only on a TTY and
+    bypassed by --yes/--test."""
+    import sys as _sys
+    if args.yes or args.test or not _sys.stdin.isatty():
+        return True
+    from iv_interpolation_tpu.pipeline import storage as st
+    n = len(runner.store.list_symbols(st.TICKERS))
+    if limit:
+        n = min(n, limit)
+    if n <= 100:
+        return True
+    answer = input(f"process {n} symbols? [y/N] ").strip().lower()
+    return answer in ("y", "yes")
+
+
 def _dispatch(args, runner, limit):
     from iv_interpolation_tpu.pipeline import storage as st
+
+    if args.task in ("interpolation", "both", "pipeline", "all") \
+            and not _confirm_large_run(args, runner, limit):
+        return {"aborted": "user declined large run"}
 
     if args.task == "interpolation":
         out = {"task1": runner.run_task1(resume_batch_id=args.resume,

@@ -252,3 +252,24 @@ def test_cli_both_flow(tmp_path, monkeypatch, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["task1"]["by_status"]["completed"] == 2
     assert payload["task2"]["by_status"]["completed"] == 2
+
+
+def test_large_run_confirmation(tmp_path, monkeypatch, capsys):
+    """>100 symbols on a TTY prompts; 'n' aborts; --yes bypasses."""
+    from iv_interpolation_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "data")
+    cli.main(["--generate-sample-tickers", "--symbols", "120",
+              "--env", "development", "--json", "--data-root", root])
+    monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+    monkeypatch.setattr("builtins.input", lambda *_: "n")
+    cli.main(["--task", "interpolation", "--env", "development", "--json",
+              "--data-root", root])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload.get("aborted")
+    monkeypatch.setattr("builtins.input",
+                        lambda *_: pytest.fail("--yes must skip prompt"))
+    cli.main(["--task", "interpolation", "--yes", "--env", "development",
+              "--json", "--data-root", root])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["task1"]["by_status"]["completed"] == 120
