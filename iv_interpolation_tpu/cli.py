@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="estimate processing time, then exit")
     p.add_argument("--monitor", action="store_true",
                    help="live progress dashboard for the latest batch")
+    p.add_argument("--with-monitor", action="store_true",
+                   help="run the dashboard in a side process during the "
+                        "task (reference production_main.py:246-252)")
     p.add_argument("--generate-sample-candles", action="store_true",
                    help="write synthetic 1-min candles to storage")
     p.add_argument("--generate-sample-tickers", action="store_true",
@@ -192,6 +195,13 @@ def main(argv=None) -> int:
         return 0
 
     limit = 3 if args.test else args.symbols
+    monitor_proc = None
+    if args.with_monitor:
+        import multiprocessing as mp
+        from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
+        monitor_proc = mp.Process(
+            target=RealtimeMonitor(config).run, daemon=True)
+        monitor_proc.start()
     t0 = time.time()
     from contextlib import nullcontext
     from iv_interpolation_tpu.monitoring.metrics import profile_trace
@@ -204,6 +214,10 @@ def main(argv=None) -> int:
     out["status"] = runner.status()
     if profiling:
         out["profile_dir"] = config.monitoring.profiler_dir
+    if monitor_proc is not None:
+        monitor_proc.join(timeout=2 * config.monitoring.refresh_interval_s)
+        if monitor_proc.is_alive():
+            monitor_proc.terminate()
     _emit(args, out, f"task={args.task} complete")
     return 0
 

@@ -273,3 +273,16 @@ def test_large_run_confirmation(tmp_path, monkeypatch, capsys):
               "--json", "--data-root", root])
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["task1"]["by_status"]["completed"] == 120
+
+
+def test_with_monitor_side_process(tmp_path, monkeypatch, capsys):
+    from iv_interpolation_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "data")
+    cli.main(["--generate-sample-tickers", "--symbols", "2",
+              "--env", "development", "--json", "--data-root", root])
+    rc = cli.main(["--task", "interpolation", "--with-monitor",
+                   "--env", "development", "--json", "--data-root", root])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["task1"]["by_status"]["completed"] == 2
