@@ -197,9 +197,12 @@ def main(argv=None) -> int:
     limit = 3 if args.test else args.symbols
     monitor_proc = None
     if args.with_monitor:
+        # spawn (not fork): forking a process whose JAX runtime already
+        # started threads can deadlock
         import multiprocessing as mp
         from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
-        monitor_proc = mp.Process(
+        ctx = mp.get_context("spawn")
+        monitor_proc = ctx.Process(
             target=RealtimeMonitor(config).run, daemon=True)
         monitor_proc.start()
     t0 = time.time()
