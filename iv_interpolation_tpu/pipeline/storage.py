@@ -93,7 +93,11 @@ class ParquetStore:
     ``_meta.json`` sidecar remembers the table's upsert keys.
     """
 
-    def __init__(self, root: str, compact_after: int = 32):
+    def __init__(self, root: str, compact_after: int = 0):
+        """``compact_after > 0`` auto-compacts a table once it accumulates
+        that many parts. Off by default: a mid-run compaction rewrites the
+        whole table (measured ~minutes at 14M rows) while reads stay fast
+        for dozens of parts; run ``compact()`` as maintenance instead."""
         self.root = root
         self.compact_after = compact_after
         os.makedirs(root, exist_ok=True)
@@ -159,7 +163,7 @@ class ParquetStore:
         tmp = os.path.join(d, f".part-{n:06d}.tmp")
         df.to_parquet(tmp, index=False)
         os.replace(tmp, os.path.join(d, f"part-{n:06d}.parquet"))
-        if len(parts) + 1 >= self.compact_after:
+        if self.compact_after and len(parts) + 1 >= self.compact_after:
             self.compact(table)
         return len(df)
 
@@ -176,17 +180,18 @@ class ParquetStore:
             os.remove(p)
         os.replace(tmp, os.path.join(d, "part-000000.parquet"))
 
-    def count(self, table: str) -> int:
+    def count(self, table: str, exact: bool = False) -> int:
+        """Row count from part metadata (fast). With upserted duplicates
+        across parts this can overcount; pass ``exact=True`` to pay for
+        the dedup'd read (the audits in check_results read full frames
+        anyway, so the census paths keep the fast default)."""
         import pyarrow.parquet as pq
         parts = self._parts(table)
         if not parts:
             return 0
-        total = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-        if len(parts) > 1 and self._keys(table):
-            # duplicates across parts are possible under upsert: exact
-            # count needs the dedup'd view
+        if exact and len(parts) > 1 and self._keys(table):
             return len(self.read(table))
-        return total
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
 
     def drop(self, table: str) -> None:
         d = self._dir(table)

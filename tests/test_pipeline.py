@@ -218,7 +218,11 @@ def test_storage_adapters(tmp_path, store_cls):
         "open": [5.0]})])
     store.write("t", df3, upsert_keys=["symbol", "timestamp"])
     out = store.read("t")
-    assert store.count("t") == 4
+    # fast count may overcount across un-compacted upsert parts
+    exact = (store.count("t", exact=True)
+             if store_cls == "parquet" else store.count("t"))
+    assert exact == 4
+    assert len(out) == 4
     assert out[(out["symbol"] == "a")].sort_values("timestamp")["open"].iloc[0] == 9.0
     out_a = store.read("t", symbols=["a"])
     assert set(out_a["symbol"]) == {"a"}

@@ -153,11 +153,13 @@ def test_parquet_parts_and_compaction(tmp_path):
     store.write("t", pd.DataFrame({
         "symbol": ["a"], "timestamp": [pd.Timestamp("2023-01-01")],
         "open": [99.0]}), upsert_keys=["symbol", "timestamp"])
-    # 4th part triggered compaction
+    # 4th part triggered compaction (explicitly enabled on this store)
     assert len(store._parts("t")) == 1
     out = store.read("t").sort_values("timestamp")
     assert len(out) == 3
     assert out["open"].iloc[0] == 99.0
+    # fast count equals exact count after compaction
+    assert store.count("t") == store.count("t", exact=True) == 3
 
 
 def test_monitor_alerts_thresholds(ran_store):
