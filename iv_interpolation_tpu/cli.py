@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output directory for --visualize figures")
     p.add_argument("--json", action="store_true",
                    help="machine-readable summaries")
+    p.add_argument("--compact", action="store_true",
+                   help="compact parquet tables (merge parts, apply "
+                        "upsert dedup), then exit")
     p.add_argument("--yes", action="store_true",
                    help="skip interactive confirmations (large runs)")
     p.add_argument("--serve-port", type=int, default=8787,
@@ -136,6 +139,19 @@ def main(argv=None) -> int:
 
     runner = PipelineRunner(config)
     runner.install_signal_handler()
+
+    if args.compact:
+        if not hasattr(runner.store, "compact"):
+            _emit(args, {"ok": False,
+                         "reason": "backend has no compaction"}, "compact")
+            return 1
+        report = {}
+        for table in runner.store.tables():
+            before = len(runner.store._parts(table))
+            runner.store.compact(table)
+            report[table] = {"parts_before": before, "parts_after": 1}
+        _emit(args, report, "compaction complete")
+        return 0
 
     if args.check:
         from iv_interpolation_tpu.pipeline.check_results import (

@@ -288,3 +288,17 @@ def test_with_monitor_side_process(tmp_path, monkeypatch, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["task1"]["by_status"]["completed"] == 2
+
+
+def test_cli_compact(tmp_path, monkeypatch, capsys):
+    from iv_interpolation_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "data")
+    cli.main(["--generate-sample-tickers", "--symbols", "2",
+              "--env", "development", "--json", "--data-root", root])
+    cli.main(["--generate-sample-tickers", "--symbols", "2",
+              "--env", "development", "--json", "--data-root", root])
+    rc = cli.main(["--compact", "--json", "--data-root", root])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["trading_tickers"]["parts_after"] == 1
