@@ -95,3 +95,19 @@ def test_linear_data_gives_linear_spline(rng):
     iv = 0.1 + 0.05 * k
     M = fit_cubic_spline(jnp.array(k), jnp.array(iv), bc_type="natural")
     np.testing.assert_allclose(np.asarray(M), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("bc", ["natural", "not-a-knot"])
+def test_fuzz_vs_scipy(seed, bc):
+    r = np.random.default_rng(1000 + seed)
+    n = int(r.integers(4, 80))
+    k = np.sort(r.uniform(-2, 2, n))
+    k += np.arange(n) * 1e-9
+    y = r.normal(size=n)
+    t = np.sort(r.uniform(k[0] - 0.5, k[-1] + 0.5, 60))
+    M = fit_cubic_spline(jnp.array(k), jnp.array(y), bc_type=bc)
+    got = eval_cubic_spline(jnp.array(k), jnp.array(y), M, jnp.array(t))
+    ref = CubicSpline(k, y, bc_type=BC_MAP[bc])(t)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-7,
+                               err_msg=f"seed={seed} n={n} bc={bc}")

@@ -207,3 +207,22 @@ def test_quasi_init_recovers_clean_slice():
     p0 = svi_quasi_init(k, w)
     w0 = svi_total_variance(p0, k)
     assert float(jnp.max(jnp.abs(w0 - w))) < 0.05 * float(jnp.max(w))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_svi_fuzz_random_params(seed):
+    """Random admissible SVI params round-trip through quasi-init + LM."""
+    r = np.random.default_rng(2000 + seed)
+    p_true = jnp.array([
+        r.uniform(0.001, 0.1),   # a
+        r.uniform(0.05, 0.8),    # b
+        r.uniform(-0.9, 0.9),    # rho
+        r.uniform(-0.5, 0.5),    # m
+        r.uniform(0.05, 0.8),    # sigma
+    ])
+    k = jnp.linspace(-1.5, 1.5, 50)
+    w = svi_total_variance(p_true, k)
+    fit = fit_svi_batched(k[None], w[None], max_iters=150, init="quasi")
+    w_fit = svi_total_variance(fit.params[0], k)
+    np.testing.assert_allclose(np.asarray(w_fit), np.asarray(w), atol=5e-6,
+                               err_msg=f"seed={seed}: {np.asarray(p_true)}")
