@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output directory for --visualize figures")
     p.add_argument("--json", action="store_true",
                    help="machine-readable summaries")
+    p.add_argument("--start-date", default=None,
+                   help="restrict task-1 observations to >= this date")
+    p.add_argument("--end-date", default=None,
+                   help="restrict task-1 observations to <= this date")
     p.add_argument("--compact", action="store_true",
                    help="compact parquet tables (merge parts, apply "
                         "upsert dedup), then exit")
@@ -267,7 +271,9 @@ def _dispatch(args, runner, limit):
 
     if args.task == "interpolation":
         out = {"task1": runner.run_task1(resume_batch_id=args.resume,
-                                         limit=limit)}
+                                         limit=limit,
+                                         start_date=args.start_date,
+                                         end_date=args.end_date)}
     elif args.task == "bridge":
         syms = (runner.store.list_symbols(st.INTERPOLATED)[:limit]
                 if limit else None)

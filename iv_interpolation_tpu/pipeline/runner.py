@@ -164,7 +164,12 @@ class PipelineRunner:
     # ------------------------------------------------------------------
     def run_task1(self, symbols: Optional[List[str]] = None,
                   resume_batch_id: Optional[int] = None,
-                  limit: Optional[int] = None) -> dict:
+                  limit: Optional[int] = None,
+                  start_date=None, end_date=None) -> dict:
+        """``start_date``/``end_date`` (any pandas-parseable timestamp)
+        restrict the observation window — the reference's symbol-discovery
+        date filter (batch_processor.py:28-51, default window
+        2023-03-15..26) generalised to arbitrary bounds."""
         cfg = self.config.interpolation
         manifest = RunManifest(
             self.config.checkpoint.manifest_dir, "interpolation",
@@ -185,6 +190,10 @@ class PipelineRunner:
         t_start = time.time()
         self.perf.log_batch_start(manifest.batch_id, len(symbols))
         df = self.store.read(st.TICKERS, symbols=symbols)
+        if start_date is not None and len(df):
+            df = df[pd.to_datetime(df["date"]) >= pd.to_datetime(start_date)]
+        if end_date is not None and len(df):
+            df = df[pd.to_datetime(df["date"]) <= pd.to_datetime(end_date)]
         freq = parse_frequency(cfg.frequency)
         packed = ingest.pack_symbols(
             df, self.config.processing.bucket_sizes,

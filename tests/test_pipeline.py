@@ -462,3 +462,21 @@ def test_task1_cubic_nan_at_obs_falls_back(cfg, caplog):
     runner = PipelineRunner(cfg, store=store)
     summary = runner.run_task1()
     assert summary["by_status"].get("completed") == 2  # linear fallback ran
+
+
+def test_task1_date_window(cfg):
+    """Date-window filter (reference batch_processor.py:28-51): only
+    observations inside [start, end] feed the interpolation."""
+    tickers = generate_sample_tickers(num_symbols=2, hours=24)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    s = runner.run_task1(start_date="2023-03-20 12:00",
+                         end_date="2023-03-20 20:00")
+    assert s["by_status"].get("completed") == 2
+    out = store.read(st.INTERPOLATED)
+    assert out["date"].min() >= pd.Timestamp("2023-03-20 12:00")
+    assert out["date"].max() <= pd.Timestamp("2023-03-20 20:00")
+    # 8h window of hourly obs -> 481 minutes per symbol
+    assert len(out) == 2 * (8 * 60 + 1)
