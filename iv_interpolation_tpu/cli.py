@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output directory for --visualize figures")
     p.add_argument("--json", action="store_true",
                    help="machine-readable summaries")
+    p.add_argument("--batch-id", type=int, default=None,
+                   help="bridge only: convert rows from this task-1 batch "
+                        "(reference ohlcv_converter.py:31-55)")
     p.add_argument("--start-date", default=None,
                    help="restrict task-1 observations to >= this date")
     p.add_argument("--end-date", default=None,
@@ -278,6 +281,7 @@ def _dispatch(args, runner, limit):
         syms = (runner.store.list_symbols(st.INTERPOLATED)[:limit]
                 if limit else None)
         out = {"bridge": runner.run_bridge(symbols=syms,
+                                           batch_id=args.batch_id,
                                            resume_batch_id=args.resume)}
     elif args.task == "candles":
         syms = (runner.store.list_symbols(st.MINUTE_CANDLES)[:limit]

@@ -480,3 +480,17 @@ def test_task1_date_window(cfg):
     assert out["date"].max() <= pd.Timestamp("2023-03-20 20:00")
     # 8h window of hourly obs -> 481 minutes per symbol
     assert len(out) == 2 * (8 * 60 + 1)
+
+
+def test_bridge_batch_id_filter(cfg):
+    """run_bridge(batch_id=...) converts only that task-1 batch's rows
+    (reference get_interpolated_symbols batch filter)."""
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(num_symbols=2, hours=8))
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    s1 = runner.run_task1()
+    res = runner.run_bridge(batch_id=s1["batch_id"] + 999)  # no such batch
+    assert res["by_status"].get("completed", 0) == 0
+    res = runner.run_bridge(batch_id=s1["batch_id"])
+    assert res["by_status"].get("completed") == 2
