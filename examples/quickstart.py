@@ -1,0 +1,88 @@
+"""Library quickstart: fit surfaces, price greeks, stream refits.
+
+Run from the repo root:  python examples/quickstart.py
+(works on CPU or TPU; first TPU compiles take ~30s each)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    # ------------------------------------------------------------------
+    # 1. Fit a batch of vol surfaces (choose any smile family)
+    # ------------------------------------------------------------------
+    from iv_interpolation_tpu.surface import eval_surface, fit_eval_surface
+
+    B, E, n = 32, 12, 40                      # surfaces x expiries x strikes
+    k = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.05, 1.5, E), (B, E))
+    iv = 0.35 + 0.08 * k**2 + 0.01 * jnp.asarray(rng.normal(size=(B, 1, 1)))
+
+    out = fit_eval_surface(k, iv, T, method="cubic_spline", n_grid=50)
+    print("surface grid:", out["w_grid"].shape,
+          "| butterfly-free:", int(out["butterfly_ok"].sum()), "/", B,
+          "| calendar-free:", int(out["calendar_ok"].sum()), "/", B)
+
+    # arbitrary-point queries (total variance, linear in maturity)
+    w_q = eval_surface(out["fit"], jnp.zeros((B, 1)), jnp.full((B, 1), 0.7))
+    print("w(k=0, T=0.7) sample:", float(w_q[0, 0]))
+
+    # ------------------------------------------------------------------
+    # 2. Greek surfaces from the fit
+    # ------------------------------------------------------------------
+    from iv_interpolation_tpu.surface.greeks import greek_surfaces
+
+    g = greek_surfaces(out["k_grid"], out["iv_grid"], out["fit"].expiries,
+                       jnp.full((B,), 25_000.0), 0.03, is_call=True)
+    print("delta grid:", g["delta"].shape,
+          "| atm delta sample:", round(float(g["delta"][0, 0, 25]), 4))
+
+    # ------------------------------------------------------------------
+    # 3. SVI / SABR / smoothing-spline smile calibration
+    # ------------------------------------------------------------------
+    from iv_interpolation_tpu.models.svi import fit_svi_batched, svi_total_variance
+    from iv_interpolation_tpu.models.spline import fit_smoothing_spline_autolam
+
+    w_slices = iv**2 * T[..., None]
+    svi = fit_svi_batched(k, w_slices, max_iters=60, init="quasi")
+    resid = svi_total_variance(svi.params, k) - w_slices
+    print("svi max |residual|:", float(jnp.max(jnp.abs(resid))))
+
+    noisy = w_slices[0] + 0.002 * jnp.asarray(rng.normal(size=(E, n)))
+    smoothed = fit_smoothing_spline_autolam(
+        k[0], noisy, jnp.array([1e-8, 1e-5, 1e-3, 1e-1]))
+    print("auto-lam smoothing: max adjustment",
+          float(jnp.max(jnp.abs(smoothed.g - noisy))))
+
+    # ------------------------------------------------------------------
+    # 4. Streaming: ticks -> candles -> realized vol -> refit, in one jit
+    # ------------------------------------------------------------------
+    import pandas as pd
+    from iv_interpolation_tpu.pipeline.stream_service import StreamingSession
+
+    unds = [f"u{i}" for i in range(8)]
+    sess = StreamingSession(unds, k[:8], iv[:8], T[:8],
+                            window_minutes=256, n_grid=20)
+    per_min = 0.5 / np.sqrt(365.25 * 24 * 60)   # 50% annualised vol
+    frames = []
+    for u in unds:
+        minutes = np.sort(rng.integers(0, 256, 1000))
+        path = 100 * np.exp(np.cumsum(rng.normal(0, per_min, 256)))
+        frames.append(pd.DataFrame({
+            "underlying": u, "minute": minutes,
+            "price": path[minutes],      # ticks sample the minute path
+            "size": rng.uniform(0, 5, 1000)}))
+    ticks = pd.concat(frames, ignore_index=True)
+    sess.ingest_ticks(ticks)
+    refit = sess.refit()
+    print("streaming refit:", refit.iv_grid.shape,
+          "| realized vol mean:",
+          round(float(np.asarray(refit.realized_vol).mean()), 3))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,5 +20,6 @@ from iv_interpolation_tpu.ops.smoothing_spline import (  # noqa: F401
     eval_smoothing_spline_derivs,
     fit_eval_smoothed_smile,
     fit_smoothing_spline,
+    fit_smoothing_spline_autolam,
 )
 from iv_interpolation_tpu.ops.interp import cubic_resample  # noqa: F401
