@@ -39,6 +39,18 @@ from iv_interpolation_tpu.monitoring.metrics import StepMetrics
 _FREQ_MIN = {"1min": 1, "5min": 5, "15min": 15, "30min": 30, "1h": 60}
 
 
+def symbol_fold(symbol: str) -> int:
+    """Stable 31-bit fold-in value for a symbol's bridge PRNG key.
+
+    Python's ``hash()`` is PYTHONHASHSEED-salted per process, which would
+    make synthetic OHLCV differ between a run and its ``--resume`` (a new
+    process) — breaking the bridge's determinism contract
+    (ops/bridge.py). CRC32 is process-stable and platform-stable."""
+    import zlib
+
+    return zlib.crc32(symbol.encode("utf-8")) & 0x7FFFFFFF
+
+
 def parse_frequency(freq: str) -> int:
     """'5min'/'5m'/'1h' -> minutes (reference core.py:27-34 parser)."""
     if freq in _FREQ_MIN:
@@ -339,10 +351,11 @@ class PipelineRunner:
                     jnp.zeros((batch.batch,), bool),
                     method="ffill", compute_greeks=False)
                 price_col = tasks.select_price_columns(values, jnp.asarray(batch.obs_mask))
-                # one deterministic key per symbol name hash — order-free;
-                # padded rows (batch dim is shape-padded) get a dummy key
+                # one deterministic key per symbol name hash — order-free
+                # and process-stable (CRC32, not salted hash()); padded
+                # rows (batch dim is shape-padded) get a dummy key
                 B_pad = batch.values.shape[0]
-                hashes = [abs(hash(s)) % (2**31) for s in batch.symbols]
+                hashes = [symbol_fold(s) for s in batch.symbols]
                 hashes += [0] * (B_pad - len(hashes))
                 keys = jax.vmap(jax.random.fold_in, (None, 0))(
                     root_key, jnp.asarray(hashes))
@@ -700,7 +713,7 @@ class PipelineRunner:
                 compute_greeks=icfg.compute_greeks,
                 extrapolate=icfg.extrapolate)
             price_col = tasks.select_price_columns(values, obs_mask)
-            hashes = [abs(hash(s)) % (2**31) for s in batch.symbols]
+            hashes = [symbol_fold(s) for s in batch.symbols]
             hashes += [0] * (B_pad - len(hashes))
             keys = jax.vmap(jax.random.fold_in, (None, 0))(
                 root_key, jnp.asarray(hashes))

@@ -180,6 +180,65 @@ def test_bridge_determinism(cfg):
     pd.testing.assert_frame_equal(results[0], results[1])
 
 
+_XPROC_BRIDGE_SCRIPT = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+from iv_interpolation_tpu.config import get_config
+from iv_interpolation_tpu.pipeline import PipelineRunner
+from iv_interpolation_tpu.pipeline import storage as st
+from iv_interpolation_tpu.pipeline.storage import ParquetStore
+from iv_interpolation_tpu.pipeline.sample_data import generate_sample_tickers
+
+out_dir = sys.argv[1]
+cfg = get_config("testing")
+cfg.checkpoint.manifest_dir = out_dir + "/runs"
+cfg.monitoring.log_dir = out_dir + "/logs"
+cfg.processing.dtype = "float64"
+cfg.interpolation.min_data_points = 5
+store = ParquetStore(out_dir + "/data")
+store.write(st.TICKERS, generate_sample_tickers(num_symbols=2, hours=8))
+r = PipelineRunner(cfg, store=store)
+r.run_task1()
+r.run_bridge()
+"""
+
+
+def test_bridge_determinism_across_processes(tmp_path):
+    """Two fresh interpreters with different PYTHONHASHSEED must write
+    byte-identical candle tables — the bridge PRNG keys derive from a
+    stable CRC32 fold, not salted hash() (ADVICE r1, high). This is the
+    property --resume relies on: a resumed run (a new process) rewrites
+    resumed symbols with the same draws as the original run."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "xproc_bridge.py"
+    script.write_text(_XPROC_BRIDGE_SCRIPT)
+    results = []
+    for seed in ("1", "20771"):
+        out_dir = tmp_path / f"run_{seed}"
+        env = dict(os.environ)
+        env["PYTHONHASHSEED"] = seed
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (repo, env.get("PYTHONPATH", "")) if p)
+        proc = subprocess.run(
+            [sys.executable, str(script), str(out_dir)],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        from iv_interpolation_tpu.pipeline.storage import ParquetStore
+        store = ParquetStore(str(out_dir / "data"))
+        results.append(store.read(st.MINUTE_CANDLES)
+                       .sort_values(["symbol", "timestamp"])
+                       .reset_index(drop=True))
+    pd.testing.assert_frame_equal(results[0], results[1])
+
+
 def test_sample_candles_match_reference_shape():
     df = generate_sample_candles(num_symbols=5, hours=24)
     assert len(df) == 5 * 24 * 60
