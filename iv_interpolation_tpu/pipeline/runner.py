@@ -463,7 +463,10 @@ class PipelineRunner:
                     if not bool(ok_in):
                         raise ValueError("invalid input candle data")
                 base_bucket = jnp.asarray(batch.t0_minutes) * src_freq // freq
-                num_segments = batch.bucket_len * src_freq // freq + 1
+                # ceil so a misaligned t0 keeps its trailing partial bucket
+                # (filtered only by min_count, not silently dropped)
+                num_segments = (batch.bucket_len * src_freq
+                                + freq - 1) // freq + 1
                 agg = tasks.candles_batch(
                     minutes, {
                         "open": grids["open"], "high": grids["high"],
@@ -726,7 +729,7 @@ class PipelineRunner:
             base_bucket = jnp.asarray(batch.t0_minutes) * freq // tgt_freq
             agg = tasks.candles_batch(
                 minutes, ohlcv, jnp.int32(tgt_freq), base_bucket,
-                num_segments=L * freq // tgt_freq + 1,
+                num_segments=(L * freq + tgt_freq - 1) // tgt_freq + 1,
                 min_count=ccfg.min_candles_required)
             return out, ohlcv, agg
 

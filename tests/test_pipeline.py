@@ -408,6 +408,34 @@ def test_task2_alternative_frequencies(cfg):
         assert (got["source_candles"] == 15).all()
 
 
+def test_task2_misaligned_t0_keeps_trailing_bucket(cfg):
+    """A symbol whose first timestamp is not aligned to the target
+    frequency must keep its trailing partial bucket when
+    min_candles_required allows it (ADVICE r1, medium: the old segment
+    grid was one slot short and silently dropped the tail)."""
+    ts = pd.date_range("2023-03-20 00:14", periods=64, freq="1min")
+    minute = pd.DataFrame({
+        "symbol": "btc-test-opt",
+        "timestamp": ts,
+        "open": 100.0, "high": 101.0, "low": 99.0, "close": 100.5,
+        "volume": 1.0,
+    })
+    store = MemoryStore()
+    store.write(st.MINUTE_CANDLES, minute)
+    cfg.candle_reconstruction.target_frequency = "15min"
+    cfg.candle_reconstruction.min_candles_required = 1
+    runner = PipelineRunner(cfg, store=store)
+    summary = runner.run_task2()
+    assert summary["by_status"].get("completed") == 1
+    recon = store.read(st.RECONSTRUCTED).sort_values("timestamp")
+    data = minute.copy()
+    data["g"] = data["timestamp"].dt.floor("15min")
+    oracle = data.groupby("g").agg(volume=("volume", "sum"))
+    assert len(recon) == len(oracle)
+    np.testing.assert_allclose(recon["volume"].to_numpy(float),
+                               oracle["volume"].to_numpy(float))
+
+
 def test_duplicate_ticker_rows_keep_last(cfg):
     """(symbol, date) duplicates keep the last observation — the
     reference's left-merge would have duplicated timeline rows
