@@ -8,8 +8,12 @@ window of candles lives in HBM and is updated in place — ``push`` is a
 jit with donated buffers, so XLA reuses the same memory every step and
 the host only ever sees the aggregates it asks for.
 
-Layout: (B, C, L) ring with a device scalar cursor. Slots advance modulo
-L; reads return the window in chronological order.
+Layout: (B, C, L) ring with a **per-stream** cursor. Ingest blocks are
+padded to the per-call max tick count, so streams receive ragged valid
+runs; each stream compacts its valid ticks and advances its own cursor
+by its own count — a sparse stream's older ticks are never overwritten
+by another stream's padding (ADVICE r1). Reads return each stream's
+window in its own chronological order.
 """
 
 from __future__ import annotations
@@ -24,8 +28,8 @@ import jax.numpy as jnp
 class RingState(NamedTuple):
     data: jax.Array     # (B, C, L) rolling window
     valid: jax.Array    # (B, L) slot has real data
-    cursor: jax.Array   # () int32 — next write slot
-    count: jax.Array    # () int32 — total rows ever pushed (per stream)
+    cursor: jax.Array   # (B,) int32 — next write slot per stream
+    count: jax.Array    # (B,) int32 — total ticks ever pushed per stream
 
 
 def make_ring(batch: int, channels: int, length: int,
@@ -33,45 +37,64 @@ def make_ring(batch: int, channels: int, length: int,
     return RingState(
         data=jnp.full((batch, channels, length), jnp.nan, dtype),
         valid=jnp.zeros((batch, length), bool),
-        cursor=jnp.zeros((), jnp.int32),
-        count=jnp.zeros((), jnp.int32),
+        cursor=jnp.zeros((batch,), jnp.int32),
+        count=jnp.zeros((batch,), jnp.int32),
     )
+
+
+def _push_row(data, valid, cursor, count, rows, rows_valid):
+    """One stream's push: compact the valid ticks of (C, K) ``rows`` to a
+    prefix, keep the newest <= L, scatter at this stream's cursor."""
+    C, L = data.shape
+    K = rows.shape[-1]
+    n = jnp.sum(rows_valid.astype(jnp.int32))
+    # order-preserving compaction: valid tick j lands at rank cumsum-1;
+    # padding scatters out of bounds and is dropped
+    rank = jnp.cumsum(rows_valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(rows_valid, rank, K)
+    staged = jnp.zeros_like(rows).at[:, tgt].set(rows, mode="drop")
+    # only the newest L compacted ticks can survive; truncating keeps the
+    # scatter free of duplicate slot writes (whose order is unspecified)
+    out_k = min(K, L)
+    drop = jnp.maximum(n - out_k, 0)
+    take = jnp.arange(out_k) + drop
+    gathered = staged[:, jnp.clip(take, 0, max(K - 1, 0))]
+    g_valid = jnp.arange(out_k) < (n - drop)
+    idx = (cursor + jnp.arange(out_k)) % L
+    data = data.at[:, idx].set(
+        jnp.where(g_valid[None, :], gathered, data[:, idx]))
+    valid = valid.at[idx].set(jnp.where(g_valid, True, valid[idx]))
+    return data, valid, (cursor + n - drop) % L, count + n
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def push(state: RingState, rows: jax.Array,
          rows_valid: jax.Array) -> RingState:
-    """Append ``rows`` (B, C, K) at the cursor, wrapping modulo L.
+    """Append ``rows`` (B, C, K) with validity (B, K), each stream at its
+    own cursor, wrapping modulo L.
 
     The state is donated: XLA updates the HBM buffers in place, so a
     streaming loop allocates nothing per step.
     """
-    B, C, L = state.data.shape
-    K = rows.shape[-1]
-    if K > L:
-        # only the newest L rows can survive; truncating keeps the scatter
-        # free of duplicate slot writes (whose order is unspecified)
-        dropped = K - L
-        out = push(state, rows[..., dropped:], rows_valid[..., dropped:])
-        return out._replace(count=out.count + dropped)
-    idx = (state.cursor + jnp.arange(K)) % L
-    data = state.data.at[:, :, idx].set(rows)
-    valid = state.valid.at[:, idx].set(rows_valid)
-    return RingState(
-        data=data, valid=valid,
-        cursor=(state.cursor + K) % L,
-        count=state.count + K,
-    )
+    data, valid, cursor, count = jax.vmap(_push_row)(
+        state.data, state.valid, state.cursor, state.count,
+        rows, rows_valid)
+    return RingState(data=data, valid=valid, cursor=cursor, count=count)
+
+
+def _window_row(data, valid, cursor, count):
+    L = valid.shape[-1]
+    start = jnp.where(count >= L, cursor, 0)
+    idx = (start + jnp.arange(L)) % L
+    return data[:, idx], valid[idx]
 
 
 @jax.jit
 def window(state: RingState):
-    """The ring contents in chronological order: (data, valid) with the
-    oldest slot first. Slots never written stay NaN/False."""
-    L = state.data.shape[-1]
-    start = jnp.where(state.count >= L, state.cursor, 0)
-    idx = (start + jnp.arange(L)) % L
-    return state.data[:, :, idx], state.valid[:, idx]
+    """Each stream's ring contents in chronological order: (data, valid)
+    with the oldest slot first. Slots never written stay NaN/False."""
+    return jax.vmap(_window_row)(state.data, state.valid,
+                                 state.cursor, state.count)
 
 
 @partial(jax.jit, static_argnames=("bucket_minutes", "num_segments",

@@ -115,7 +115,7 @@ class StreamingSession:
             "ticks_seen": self.n_ticks_seen,
             "ring_capacity": int(self.ring.data.shape[-1]),
             "ring_fill": int(jnp.minimum(self.ring.count,
-                                         self.ring.data.shape[-1])),
+                                         self.ring.data.shape[-1]).max()),
             "latest_minute": self.latest_minute,
         }
 

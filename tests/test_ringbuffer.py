@@ -63,8 +63,8 @@ def test_donation_streaming_loop(rng):
         rows = jnp.asarray(rng.normal(size=(B, C, K)).astype(np.float32))
         ring = push(ring, rows, jnp.ones((B, K), bool))
         total += K
-    assert int(ring.count) == total
-    assert int(ring.cursor) == total % L
+    np.testing.assert_array_equal(np.asarray(ring.count), total)
+    np.testing.assert_array_equal(np.asarray(ring.cursor), total % L)
     _, valid = window(ring)
     assert bool(valid.all())
 
@@ -76,8 +76,50 @@ def test_push_larger_than_capacity(rng):
     rows = np.arange(B * C * K, dtype=np.float32).reshape(B, C, K)
     import jax.numpy as jnp
     ring = push(ring, jnp.asarray(rows), jnp.ones((B, K), bool))
-    assert int(ring.count) == K
+    np.testing.assert_array_equal(np.asarray(ring.count), K)
     data, valid = window(ring)
     assert bool(valid.all())
     # window holds the NEWEST 8 rows in order
     np.testing.assert_allclose(np.asarray(data[0, 0]), rows[0, 0, -8:])
+
+
+def test_sparse_stream_keeps_history_under_padded_pushes(rng):
+    """Padded multi-stream pushes must not erode a sparse stream's window:
+    stream 1 gets 1 real tick per push while stream 0 gets 8, and after
+    many pushes stream 1 still holds its full history (ADVICE r1: the old
+    shared cursor overwrote sparse streams' valid slots with padding)."""
+    B, C, L, K = 2, 1, 32, 8
+    ring = make_ring(B, C, L)
+    for i in range(4):
+        rows = np.zeros((B, C, K), np.float32)
+        valid = np.zeros((B, K), bool)
+        rows[0, 0] = np.arange(K) + 100 * i
+        valid[0] = True
+        rows[1, 0, 0] = float(i)   # one real tick, rest is padding
+        valid[1, 0] = True
+        ring = push(ring, jnp.asarray(rows), jnp.asarray(valid))
+    data, valid = window(ring)
+    # stream 1 pushed 4 ticks total; all 4 must be present, in order
+    assert int(valid[1].sum()) == 4
+    np.testing.assert_allclose(np.asarray(data[1, 0, :4]),
+                               np.arange(4, dtype=np.float32))
+    # stream 0's 32 ticks fill its ring exactly
+    assert int(valid[0].sum()) == 32
+    np.testing.assert_array_equal(np.asarray(ring.count), [32, 4])
+    np.testing.assert_array_equal(np.asarray(ring.cursor), [0, 4])
+
+
+def test_ragged_push_compacts_mid_block_padding(rng):
+    """Validity holes inside a push block are compacted away — ticks keep
+    their relative order and land contiguously at the stream's cursor."""
+    B, C, L, K = 1, 2, 16, 6
+    ring = make_ring(B, C, L)
+    rows = np.zeros((B, C, K), np.float32)
+    rows[0, 0] = [1, -9, 2, -9, 3, -9]
+    rows[0, 1] = [10, -9, 20, -9, 30, -9]
+    valid = np.asarray([[True, False, True, False, True, False]])
+    ring = push(ring, jnp.asarray(rows), jnp.asarray(valid))
+    data, v = window(ring)
+    assert int(v.sum()) == 3
+    np.testing.assert_allclose(np.asarray(data[0, 0, :3]), [1, 2, 3])
+    np.testing.assert_allclose(np.asarray(data[0, 1, :3]), [10, 20, 30])
