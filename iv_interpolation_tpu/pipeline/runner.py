@@ -316,11 +316,15 @@ class PipelineRunner:
         df = self.store.read(st.INTERPOLATED, symbols=symbols)
         if batch_id is not None and "batch_id" in df.columns:
             df = df[df["batch_id"] == batch_id]
-        df = df.rename(columns={"date": "date"})
+        # interpolated rows are spaced interpolation.frequency apart; the
+        # grid (and the emitted candle timestamps) must use the same
+        # spacing or the staged path diverges from the fused one
+        freq = parse_frequency(self.config.interpolation.frequency)
         packed = ingest.pack_symbols(
             df, self.config.processing.bucket_sizes,
             min_points=1, max_span_days=self.config.interpolation.max_span_days,
             max_timeline_points=self.config.interpolation.max_timeline_points,
+            freq_minutes=freq,
             max_batch=self.config.processing.batch_size,
             dtype=self.np_dtype,
         )
@@ -377,7 +381,8 @@ class PipelineRunner:
                     if not bool(all_ok):
                         raise ValueError("OHLCV quality gate failed")
                 ohlcv_np = jax.tree.map(np.asarray, ohlcv)
-                result_df = self._unpack_candles(batch, ohlcv_np)
+                result_df = self._unpack_candles(batch, ohlcv_np,
+                                                 freq_minutes=freq)
                 self.store.write(st.MINUTE_CANDLES, result_df,
                                  upsert_keys=["symbol", "timestamp"])
                 return result_df
@@ -572,8 +577,10 @@ class PipelineRunner:
     @staticmethod
     def _unpack_aggregated(batch: ingest.PackedBatch, agg, freq: int,
                            src_freq: int, freq_name: str,
-                           created_at) -> pd.DataFrame:
-        base_bucket = batch.t0_minutes * src_freq // freq
+                           created_at, base_bucket=None) -> pd.DataFrame:
+        if base_bucket is None:
+            # staged task2 convention: t0_minutes is in src-interval units
+            base_bucket = batch.t0_minutes * src_freq // freq
         sel_b, sel_pos = np.nonzero(np.asarray(agg.valid))
         if not len(sel_b):
             return pd.DataFrame()
@@ -724,9 +731,11 @@ class PipelineRunner:
                 out["filled"], out["valid"], keys, params=params,
                 price_col=price_col,
                 strategy=bcfg.conversion_strategy)
+            # here t0_minutes is epoch minutes (pack_symbols convention),
+            # not src-interval units like the staged task2 path
             minutes = (jnp.asarray(batch.t0_minutes)[:, None]
                        + jnp.arange(L)[None, :] * freq)
-            base_bucket = jnp.asarray(batch.t0_minutes) * freq // tgt_freq
+            base_bucket = jnp.asarray(batch.t0_minutes) // tgt_freq
             agg = tasks.candles_batch(
                 minutes, ohlcv, jnp.int32(tgt_freq), base_bucket,
                 num_segments=(L * freq + tgt_freq - 1) // tgt_freq + 1,
@@ -745,12 +754,13 @@ class PipelineRunner:
             ohlcv_np = jax.tree.map(np.asarray, ohlcv)
             candle_df = self._unpack_candles(batch, ohlcv_np,
                                              freq_minutes=freq)
-            # _unpack_aggregated expects t0 in src-interval units;
-            # here t0 is epoch minutes and src == freq
+            # t0 here is epoch minutes, so pass the dispatch-side bucket
+            # base explicitly (the default assumes src-interval units)
             agg_np = jax.tree.map(np.asarray, agg)
             recon_df = self._unpack_aggregated(
                 batch, agg_np, tgt_freq, freq,
-                ccfg.target_frequency, created_at)
+                ccfg.target_frequency, created_at,
+                base_bucket=batch.t0_minutes // tgt_freq)
             return interp_df, candle_df, recon_df
 
         from collections import deque

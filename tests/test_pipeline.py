@@ -345,9 +345,17 @@ def test_manifest_flush_interval(tmp_path):
     assert len(m2.records()) == 4
 
 
-def test_fused_pipeline_matches_staged(cfg):
+@pytest.mark.parametrize("frequency", ["1min", "5min"])
+def test_fused_pipeline_matches_staged(cfg, frequency):
     """run_pipeline_fused must produce identical tables to staged run_all
-    (deterministic bridge keys make the chain order-free)."""
+    (deterministic bridge keys make the chain order-free) — including at
+    a non-default interpolation frequency (ADVICE r1: the staged bridge
+    used to unpack at hardcoded 1min spacing)."""
+    if frequency != "1min":
+        cfg.interpolation.frequency = frequency
+        cfg.candle_reconstruction.source_frequency = frequency
+        cfg.candle_reconstruction.target_frequency = "15min"
+        cfg.candle_reconstruction.min_candles_required = 3
     tickers = generate_sample_tickers(num_symbols=3, hours=10)
 
     stores = {}
