@@ -64,26 +64,41 @@ def parse_frequency(freq: str) -> int:
     raise ValueError(f"Unsupported frequency: {freq}")
 
 
-def _split_by_obs_count(batch: ingest.PackedBatch):
+def _split_by_obs_count(batch: ingest.PackedBatch,
+                        max_batch: Optional[int] = None):
     """Sub-bucket a packed batch by observation count (uniform k is what
-    the batched cubic spline needs). Padding rows (n_obs == 0) ride along
-    with any group — their timeline_mask is all-False."""
+    the batched cubic spline needs). Each sub-batch is re-padded to the
+    same geometric shape schedule as the original packing
+    (``ingest.batch_pad``) with all-masked padding rows, so the split
+    does not introduce arbitrary batch dims that defeat the compile
+    cache (ADVICE r1)."""
     counts = np.unique(batch.n_obs[batch.n_obs > 0])
     if len(counts) <= 1:
         return [batch]
     out = []
     for k in counts:
-        rows = np.flatnonzero(batch.n_obs == k)
+        rows = np.flatnonzero(batch.n_obs == k)  # real rows only (pad has 0)
+        B_real = len(rows)
+        B = ingest.batch_pad(B_real, max_batch) if max_batch else B_real
+        pad = B - B_real
+
+        def take(a, fill=0):
+            sel = a[rows]
+            if pad:
+                tail = np.full((pad,) + sel.shape[1:], fill, sel.dtype)
+                sel = np.concatenate([sel, tail])
+            return sel
+
         out.append(ingest.PackedBatch(
             bucket_len=batch.bucket_len,
             symbols=[batch.symbols[i] for i in rows if i < len(batch.symbols)],
-            t0_minutes=batch.t0_minutes[rows],
-            valid_len=batch.valid_len[rows],
-            values=batch.values[rows],
-            obs_mask=batch.obs_mask[rows],
-            timeline_mask=batch.timeline_mask[rows],
-            n_obs=batch.n_obs[rows],
-            const_cols={c: [v[i] for i in rows]
+            t0_minutes=take(batch.t0_minutes),
+            valid_len=take(batch.valid_len),
+            values=take(batch.values, fill=np.nan),
+            obs_mask=take(batch.obs_mask),
+            timeline_mask=take(batch.timeline_mask),
+            n_obs=take(batch.n_obs),
+            const_cols={c: [v[i] for i in rows] + [None] * pad
                         for c, v in batch.const_cols.items()},
             columns=batch.columns,
         ))
@@ -224,7 +239,8 @@ class PipelineRunner:
         batches = packed.batches
         if cfg.method == "cubic":
             batches = [b for orig in batches
-                       for b in _split_by_obs_count(orig)]
+                       for b in _split_by_obs_count(
+                           orig, self.config.processing.batch_size)]
         for batch in batches:
             if self.stop_requested:
                 break

@@ -559,6 +559,38 @@ def test_task1_cubic_nan_at_obs_falls_back(cfg, caplog):
     assert summary["by_status"].get("completed") == 2  # linear fallback ran
 
 
+def test_split_by_obs_count_repads_to_shape_schedule(cfg):
+    """Cubic sub-batches re-pad to ingest.batch_pad sizes so each distinct
+    obs-count group hits the same compiled shape as regular batches."""
+    from iv_interpolation_tpu.pipeline.runner import _split_by_obs_count
+    from iv_interpolation_tpu.pipeline import ingest
+
+    B, C, L = 24, 8, 32
+    n_obs = np.zeros(B, np.int64)
+    n_obs[:20] = 7
+    n_obs[20:23] = 5  # 3 rows of a second obs count
+    obs_mask = np.zeros((B, L), bool)
+    for i in range(23):
+        obs_mask[i, : n_obs[i]] = True
+    batch = ingest.PackedBatch(
+        bucket_len=L, symbols=[f"s{i}" for i in range(23)],
+        t0_minutes=np.zeros(B, np.int64), valid_len=np.full(B, L, np.int64),
+        values=np.zeros((B, C, L), np.float32), obs_mask=obs_mask,
+        timeline_mask=np.ones((B, L), bool), n_obs=n_obs,
+        const_cols={"strike": [1.0] * 23 + [None]},
+    )
+    subs = _split_by_obs_count(batch, max_batch=256)
+    assert sorted(s.values.shape[0] for s in subs) == [16, 32]
+    for s in subs:
+        B_pad = s.values.shape[0]
+        assert s.obs_mask.shape[0] == B_pad
+        assert len(s.const_cols["strike"]) == B_pad
+        pad_rows = B_pad - len(s.symbols)
+        if pad_rows:
+            assert not s.obs_mask[len(s.symbols):].any()
+            assert np.isnan(s.values[len(s.symbols):]).all()
+
+
 def test_task1_date_window(cfg):
     """Date-window filter (reference batch_processor.py:28-51): only
     observations inside [start, end] feed the interpolation."""
