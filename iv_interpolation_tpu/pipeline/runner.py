@@ -169,6 +169,29 @@ class PipelineRunner:
         signal.signal(signal.SIGINT, handler)
 
 
+    @staticmethod
+    def _quality_failures(symbols, ok_rows, reason: str) -> Dict[str, str]:
+        """Per-symbol verdicts from a per-row validity mask: symbol i
+        fails if any of its row's entries are bad. Padding rows (beyond
+        len(symbols)) are ignored."""
+        sym_ok = np.asarray(jnp.all(ok_rows, axis=tuple(
+            range(1, ok_rows.ndim))))
+        return {s: reason for i, s in enumerate(symbols) if not sym_ok[i]}
+
+    @staticmethod
+    def _mask_failed_rows(symbols, failed: Dict[str, str],
+                          valid: np.ndarray) -> np.ndarray:
+        """Validity mask with failed symbols' rows zeroed, so their
+        output rows never reach storage. Returns a writable copy when a
+        change is needed (device-backed arrays are read-only views)."""
+        if not failed:
+            return valid
+        valid = np.array(valid)
+        for i, s in enumerate(symbols):
+            if s in failed:
+                valid[i] = False
+        return valid
+
     def _attempt(self, label: str, fn):
         """Run a bucket computation with retry (wires the reference's
         declared-but-unused max_retries, config_production.py:79-80 /
@@ -383,6 +406,7 @@ class PipelineRunner:
                     filled["filled"], filled["valid"] & jnp.asarray(batch.obs_mask),
                     keys, params=params, price_col=price_col,
                     strategy=cfg.conversion_strategy)
+                failed: Dict[str, str] = {}
                 if cfg.enable_quality_checks:
                     base = jnp.take_along_axis(
                         filled["filled"],
@@ -390,31 +414,41 @@ class PipelineRunner:
                         axis=1)[:, 0]
                     from iv_interpolation_tpu.ops.bridge import (
                         validate_bridge_quality)
-                    all_ok, _ = validate_bridge_quality(
+                    _, ok = validate_bridge_quality(
                         ohlcv["open"], ohlcv["high"], ohlcv["low"],
                         ohlcv["close"], base, ohlcv["valid"],
                         max_spread_frac=cfg.max_spread_percent)
-                    if not bool(all_ok):
-                        raise ValueError("OHLCV quality gate failed")
+                    failed = self._quality_failures(
+                        batch.symbols, ok, "OHLCV quality gate failed")
                 ohlcv_np = jax.tree.map(np.asarray, ohlcv)
+                ohlcv_np["valid"] = self._mask_failed_rows(
+                    batch.symbols, failed, ohlcv_np["valid"])
                 result_df = self._unpack_candles(batch, ohlcv_np,
                                                  freq_minutes=freq)
                 self.store.write(st.MINUTE_CANDLES, result_df,
                                  upsert_keys=["symbol", "timestamp"])
-                return result_df
+                return result_df, failed
 
             with self.metrics.step(f"bridge/L{batch.bucket_len}",
                                    items=batch.batch):
-                result_df, err = self._attempt(
+                result, err = self._attempt(
                     f"bridge bucket L={batch.bucket_len}", process)
             if err is not None:
                 for sym in batch.symbols:
                     manifest.error_symbol(sym, str(err), time.time() - t0)
                 continue
+            result_df, failed = result
             dt = time.time() - t0
             per_sym = (result_df.groupby("symbol").size()
                        if len(result_df) else pd.Series(dtype=int))
             for i, sym in enumerate(batch.symbols):
+                if sym in failed:
+                    # deterministic validation failure: isolate the symbol
+                    # (reference per-symbol isolation,
+                    # batch_processor.py:132-142) — no retries wasted
+                    manifest.error_symbol(sym, failed[sym],
+                                          dt / batch.batch)
+                    continue
                 manifest.complete_symbol(
                     sym, int(batch.n_obs[i]),
                     int(per_sym.get(sym, 0)), dt / batch.batch)
@@ -477,12 +511,20 @@ class PipelineRunner:
                 grids = {c: jnp.asarray(batch.values[:, j])
                          for j, c in enumerate(batch.columns)}
                 valid_in = jnp.asarray(batch.obs_mask)
+                failed: Dict[str, str] = {}
                 if cfg.validate_ohlc:
-                    ok_in, _ = validate_ohlcv(
+                    _, ok_in = validate_ohlcv(
                         grids["open"], grids["high"], grids["low"],
                         grids["close"], grids["volume"], valid_in)
-                    if not bool(ok_in):
-                        raise ValueError("invalid input candle data")
+                    failed = self._quality_failures(
+                        batch.symbols, ok_in, "invalid input candle data")
+                    if failed:
+                        # exclude failed symbols' bars from aggregation
+                        sym_ok = np.ones(valid_in.shape[0], bool)
+                        for i, s in enumerate(batch.symbols):
+                            if s in failed:
+                                sym_ok[i] = False
+                        valid_in = valid_in & jnp.asarray(sym_ok)[:, None]
                 base_bucket = jnp.asarray(batch.t0_minutes) * src_freq // freq
                 # ceil so a misaligned t0 keeps its trailing partial bucket
                 # (filtered only by min_count, not silently dropped)
@@ -497,31 +539,40 @@ class PipelineRunner:
                     num_segments=num_segments,
                     min_count=cfg.min_candles_required)
                 if cfg.validate_ohlc:
-                    ok_out, _ = validate_ohlcv(
+                    _, ok_out = validate_ohlcv(
                         agg.open, agg.high, agg.low, agg.close,
                         agg.volume, agg.valid)
-                    if not bool(ok_out):
-                        raise ValueError("invalid reconstructed candle data")
+                    failed.update(self._quality_failures(
+                        batch.symbols, ok_out,
+                        "invalid reconstructed candle data"))
+                agg_np = jax.tree.map(np.asarray, agg)
+                agg_np = agg_np._replace(valid=self._mask_failed_rows(
+                    batch.symbols, failed, agg_np.valid))
                 result_df = self._unpack_aggregated(
-                    batch, jax.tree.map(np.asarray, agg), freq, src_freq,
+                    batch, agg_np, freq, src_freq,
                     cfg.target_frequency, created_at)
                 self.store.write(st.RECONSTRUCTED, result_df,
                                  upsert_keys=["symbol", "timestamp",
                                               "frequency"])
-                return result_df
+                return result_df, failed
 
             with self.metrics.step(f"candles/L{batch.bucket_len}",
                                    items=batch.batch):
-                result_df, err = self._attempt(
+                result, err = self._attempt(
                     f"candles bucket L={batch.bucket_len}", process)
             if err is not None:
                 for sym in batch.symbols:
                     manifest.error_symbol(sym, str(err), time.time() - t0)
                 continue
+            result_df, failed = result
             dt = time.time() - t0
             per_sym = (result_df.groupby("symbol").size()
                        if len(result_df) else pd.Series(dtype=int))
             for i, sym in enumerate(batch.symbols):
+                if sym in failed:
+                    manifest.error_symbol(sym, failed[sym],
+                                          dt / batch.batch)
+                    continue
                 manifest.complete_symbol(
                     sym, int(batch.n_obs[i]),
                     int(per_sym.get(sym, 0)), dt / batch.batch)
@@ -747,6 +798,18 @@ class PipelineRunner:
                 out["filled"], out["valid"], keys, params=params,
                 price_col=price_col,
                 strategy=bcfg.conversion_strategy)
+            quality_ok = None
+            if bcfg.enable_quality_checks:
+                from iv_interpolation_tpu.ops.bridge import (
+                    validate_bridge_quality)
+                base = jnp.take_along_axis(
+                    out["filled"],
+                    price_col[:, None, None].astype(jnp.int32),
+                    axis=1)[:, 0]
+                _, quality_ok = validate_bridge_quality(
+                    ohlcv["open"], ohlcv["high"], ohlcv["low"],
+                    ohlcv["close"], base, ohlcv["valid"],
+                    max_spread_frac=bcfg.max_spread_percent)
             # here t0_minutes is epoch minutes (pack_symbols convention),
             # not src-interval units like the staged task2 path
             minutes = (jnp.asarray(batch.t0_minutes)[:, None]
@@ -756,10 +819,10 @@ class PipelineRunner:
                 minutes, ohlcv, jnp.int32(tgt_freq), base_bucket,
                 num_segments=(L * freq + tgt_freq - 1) // tgt_freq + 1,
                 min_count=ccfg.min_candles_required)
-            return out, ohlcv, agg
+            return out, ohlcv, agg, quality_ok
 
         def finish(batch, dev):
-            out, ohlcv, agg = dev
+            out, ohlcv, agg, quality_ok = dev
             jax.block_until_ready(agg)
             out_np = jax.tree.map(np.asarray, out)
             interp_df = ingest.unpack_interpolated(
@@ -767,17 +830,28 @@ class PipelineRunner:
                 out_np["is_interpolated"],
                 manifests["interpolation"].batch_id,
                 greeks=out_np.get("greeks"), freq_minutes=freq)
+            # symbol-level quality isolation, same gate as the staged
+            # bridge: failed symbols keep their interpolated rows but
+            # write no candles at either frequency
+            failed: Dict[str, str] = {}
+            if quality_ok is not None:
+                failed = self._quality_failures(
+                    batch.symbols, quality_ok, "OHLCV quality gate failed")
             ohlcv_np = jax.tree.map(np.asarray, ohlcv)
+            ohlcv_np["valid"] = self._mask_failed_rows(
+                batch.symbols, failed, ohlcv_np["valid"])
             candle_df = self._unpack_candles(batch, ohlcv_np,
                                              freq_minutes=freq)
             # t0 here is epoch minutes, so pass the dispatch-side bucket
             # base explicitly (the default assumes src-interval units)
             agg_np = jax.tree.map(np.asarray, agg)
+            agg_np = agg_np._replace(valid=self._mask_failed_rows(
+                batch.symbols, failed, agg_np.valid))
             recon_df = self._unpack_aggregated(
                 batch, agg_np, tgt_freq, freq,
                 ccfg.target_frequency, created_at,
                 base_bucket=batch.t0_minutes // tgt_freq)
-            return interp_df, candle_df, recon_df
+            return interp_df, candle_df, recon_df, failed
 
         from collections import deque
         pending = deque()  # (batch, dev_or_None, t0) — depth-2 pipeline
@@ -798,7 +872,7 @@ class PipelineRunner:
                     for m in manifests.values():
                         m.error_symbol(sym, str(err), time.time() - t0)
                 return
-            interp_df, candle_df, recon_df = result
+            interp_df, candle_df, recon_df, failed = result
             drain(0)  # previous write-set must land before queueing more
             inflight.append((list(batch.symbols), [
                 writer.submit(self.store.write, st.INTERPOLATED, interp_df,
@@ -824,6 +898,12 @@ class PipelineRunner:
                 manifests["interpolation"].complete_symbol(
                     sym, n_in, int(per["interpolation"].get(sym, 0)),
                     dt / batch.batch)
+                if sym in failed:
+                    manifests["bridge"].error_symbol(sym, failed[sym],
+                                                     dt / batch.batch)
+                    manifests["candles"].error_symbol(sym, failed[sym],
+                                                      dt / batch.batch)
+                    continue
                 manifests["bridge"].complete_symbol(
                     sym, int(per["interpolation"].get(sym, 0)),
                     int(per["bridge"].get(sym, 0)), dt / batch.batch)

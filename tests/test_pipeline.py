@@ -387,6 +387,51 @@ def test_fused_pipeline_matches_staged(cfg, frequency):
                                       b.drop(columns=drop))
 
 
+@pytest.mark.parametrize("mode", ["staged", "fused"])
+def test_quality_gate_isolates_single_symbol(cfg, mode):
+    """One poisoned symbol in a bucket errors alone; the rest complete
+    and their candles are written (VERDICT r1 item 4 — the reference
+    isolated failures per symbol, batch_processor.py:132-142). The
+    deterministic validation failure must not burn retries."""
+    tickers = generate_sample_tickers(num_symbols=8, hours=6)
+    syms = sorted(tickers["symbol"].unique())
+    victim = syms[3]
+    # a 1-minute alternating price series drives the spread-simulation
+    # close recurrence negative -> candles are emitted but fail the
+    # gate's positivity check (valid-but-bad, the gate's purpose)
+    n = 30
+    poison = pd.DataFrame({
+        "symbol": victim,
+        "date": pd.date_range("2023-03-20 09:00", periods=n, freq="1min"),
+        "iv": 0.5,
+        "underlying_price": np.where(np.arange(n) % 2 == 0, 100.0, 10.0),
+        "time_to_maturity": 0.1,
+        "strike": 24500.0,
+        "callput": "c",
+    })
+    tickers = pd.concat(
+        [tickers[tickers["symbol"] != victim], poison], ignore_index=True)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    if mode == "staged":
+        res = runner.run_all()
+    else:
+        res = runner.run_pipeline_fused()
+    assert res["task1"]["by_status"].get("completed") == 8
+    assert res["bridge"]["by_status"].get("completed") == 7
+    assert res["bridge"]["by_status"].get("error") == 1
+    candles = store.read(st.MINUTE_CANDLES)
+    assert victim not in set(candles["symbol"].unique())
+    assert len(set(candles["symbol"].unique())) == 7
+    m = RunManifest(cfg.checkpoint.manifest_dir, "bridge",
+                    res["bridge"]["batch_id"])
+    rec = m.records()[victim]
+    assert rec.status == "error"
+    assert "quality gate" in rec.error_message
+
+
 def test_task2_alternative_frequencies(cfg):
     """15-minute reconstruction matches the pandas oracle (the reference
     parameterised target_frequency but was only ever run at 5min)."""
