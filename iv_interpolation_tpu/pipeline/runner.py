@@ -730,11 +730,6 @@ class PipelineRunner:
                 m.skip_symbol(sym, reason)
 
         max_gap = icfg.max_gap_hours * 60 if icfg.max_gap_hours else 0
-        if icfg.method == "cubic":
-            # cubic needs observation-count sub-bucketing, which the
-            # staged run_task1 implements; the fused path runs linear
-            self.log.warning("fused pipeline uses linear interpolation; "
-                             "run --task all for method='cubic'")
         params = BridgeParams(
             base_spread_percent=bcfg.base_spread_percent,
             volatility_factor=bcfg.volatility_factor,
@@ -782,13 +777,26 @@ class PipelineRunner:
                 str(c).lower() in ("c", "call")
                 for c in batch.const_cols.get("callput", [])
             ])
+            # cubic rides the obs-count sub-bucketing applied below (same
+            # scheme as the staged run_task1); NaN-at-observation batches
+            # fall back to linear, matching the staged behavior
+            method = icfg.method
+            obs_pos = None
+            if method == "cubic":
+                obs_pos, clean = _obs_positions(batch)
+                if not clean:
+                    self.log.warning(
+                        "cubic: NaN at observations in bucket L=%d — "
+                        "falling back to linear", batch.bucket_len)
+                    method, obs_pos = "linear", None
             out = tasks.interpolate_batch(
                 values, obs_mask, jnp.asarray(batch.timeline_mask),
                 strike, jnp.asarray(callput),
-                method=icfg.method if icfg.method != "cubic" else "linear",
+                method=method,
                 max_gap_minutes=max_gap,
                 compute_greeks=icfg.compute_greeks,
-                extrapolate=icfg.extrapolate)
+                extrapolate=icfg.extrapolate,
+                obs_pos=obs_pos)
             price_col = tasks.select_price_columns(values, obs_mask)
             hashes = [symbol_fold(s) for s in batch.symbols]
             hashes += [0] * (B_pad - len(hashes))
@@ -911,7 +919,12 @@ class PipelineRunner:
                     sym, int(per["bridge"].get(sym, 0)),
                     int(per["candles"].get(sym, 0)), dt / batch.batch)
 
-        for batch in packed.batches:
+        fused_batches = packed.batches
+        if icfg.method == "cubic":
+            fused_batches = [b for orig in fused_batches
+                             for b in _split_by_obs_count(
+                                 orig, self.config.processing.batch_size)]
+        for batch in fused_batches:
             if self.stop_requested:
                 break
             t0 = time.time()
