@@ -40,6 +40,34 @@ def host_memory_stats() -> dict:
         return {}
 
 
+def host_system_census() -> dict:
+    """Full host census: per-core CPU, disk usage + IO counters, network
+    counters, process RSS — the reference monitor's system snapshot
+    (performance_monitor.py:115-165), via psutil when present."""
+    try:
+        import os
+
+        import psutil
+        proc = psutil.Process(os.getpid())
+        disk = psutil.disk_usage("/")
+        dio = psutil.disk_io_counters()
+        nio = psutil.net_io_counters()
+        return {
+            "cpu_percent_per_core": psutil.cpu_percent(percpu=True),
+            "cpu_percent": psutil.cpu_percent(),
+            "load_avg": list(os.getloadavg()),
+            "disk_used_pct": disk.percent,
+            "disk_free_gb": disk.free / 2**30,
+            "disk_read_mb": (dio.read_bytes / 2**20) if dio else None,
+            "disk_write_mb": (dio.write_bytes / 2**20) if dio else None,
+            "net_sent_mb": nio.bytes_sent / 2**20,
+            "net_recv_mb": nio.bytes_recv / 2**20,
+            "process_rss_gb": proc.memory_info().rss / 2**30,
+        }
+    except Exception:
+        return {}
+
+
 @dataclass
 class StepMetrics:
     """Accumulates per-step timings and emits snapshots."""

@@ -18,6 +18,7 @@ from typing import Optional
 from iv_interpolation_tpu.monitoring.metrics import (
     device_memory_stats,
     host_memory_stats,
+    host_system_census,
 )
 from iv_interpolation_tpu.pipeline.manifest import RunManifest
 
@@ -31,6 +32,28 @@ class RealtimeMonitor:
         self.batch_id = batch_id
         self.interval = interval_s or config.monitoring.refresh_interval_s
         self._seen_alerts = set()
+        self._prev_poll = None  # (ts, rows_out, symbols_done)
+
+    def throughput(self, summary: dict) -> dict:
+        """rows/s, symbols/min and ETA from consecutive polls (reference
+        performance_monitor.py:226-265). First poll returns {}."""
+        by = summary["by_status"]
+        done = by.get("completed", 0) + by.get("skipped", 0) \
+            + by.get("error", 0)
+        now = time.time()
+        prev, self._prev_poll = self._prev_poll, (
+            now, summary["output_rows"], done)
+        if prev is None:
+            return {}
+        dt = now - prev[0]
+        if dt <= 0:
+            return {}
+        rows_s = (summary["output_rows"] - prev[1]) / dt
+        sym_min = (done - prev[2]) / dt * 60.0
+        remaining = by.get("pending", 0) + by.get("processing", 0)
+        eta_s = remaining / (sym_min / 60.0) if sym_min > 0 else None
+        return {"rows_per_sec": rows_s, "symbols_per_min": sym_min,
+                "eta_s": eta_s}
 
     def _latest_manifest(self) -> Optional[RunManifest]:
         d = self.config.checkpoint.manifest_dir
@@ -98,6 +121,13 @@ class RealtimeMonitor:
             f"(expansion {s['expansion_ratio']:.1f}x)  "
             f"avg {s['avg_symbol_time'] * 1e3:.1f} ms/symbol",
         ]
+        tp = self.throughput(s)
+        if tp:
+            eta = (time.strftime("%H:%M:%S", time.gmtime(tp["eta_s"]))
+                   if tp.get("eta_s") else "--")
+            lines.append(
+                f"  throughput {tp['rows_per_sec']:,.0f} rows/s, "
+                f"{tp['symbols_per_min']:,.1f} symbols/min, ETA {eta}")
         dev = device_memory_stats()
         if dev:
             lines.append(
@@ -120,6 +150,7 @@ class RealtimeMonitor:
             "summary": manifest.summary(),
             "device": device_memory_stats(),
             "host": host_memory_stats(),
+            "system": host_system_census(),
         }
         path = os.path.join(
             d, f"progress_snapshot_{manifest.batch_id}.json")

@@ -100,6 +100,37 @@ def test_monitor_render(ran_store, capsys):
     assert "batch complete" in out  # finished runs auto-exit
 
 
+def test_monitor_throughput_and_eta(ran_store):
+    """Throughput/ETA come from consecutive polls (reference
+    performance_monitor.py:226-265): first poll primes, second reports;
+    a stalled batch with pending symbols gets no ETA."""
+    cfg, _ = ran_store
+    from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
+    mon = RealtimeMonitor(cfg)
+    s1 = {"by_status": {"completed": 10, "pending": 20}, "output_rows": 100}
+    assert mon.throughput(s1) == {}
+    import time as _t
+    _t.sleep(0.01)
+    s2 = {"by_status": {"completed": 20, "pending": 10}, "output_rows": 300}
+    tp = mon.throughput(s2)
+    assert tp["rows_per_sec"] > 0
+    assert tp["symbols_per_min"] > 0
+    # 10 done in dt, 10 remaining -> ETA ~ dt
+    assert tp["eta_s"] is not None and tp["eta_s"] > 0
+    _t.sleep(0.01)
+    tp3 = mon.throughput(s2)  # no progress since last poll
+    assert tp3["eta_s"] is None
+
+
+def test_host_system_census_shape():
+    from iv_interpolation_tpu.monitoring.metrics import host_system_census
+    c = host_system_census()
+    assert "cpu_percent_per_core" in c
+    assert "disk_used_pct" in c
+    assert "net_recv_mb" in c
+    assert c["process_rss_gb"] > 0
+
+
 def test_cli_end_to_end(tmp_path, monkeypatch, capsys):
     from iv_interpolation_tpu import cli
     monkeypatch.chdir(tmp_path)
