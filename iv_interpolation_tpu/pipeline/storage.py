@@ -201,21 +201,56 @@ class ParquetStore:
             os.rmdir(d)
 
 
+def _ident(name: str) -> str:
+    """Validate-and-quote a SQL identifier. Table/column names come from
+    our own schema constants or DataFrame columns, but quoting costs
+    nothing and closes the injection/reserved-word hole of naked
+    f-string interpolation."""
+    if not name or not all(c.isalnum() or c == "_" for c in name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return f'"{name}"'
+
+
 class PostgresStore:
     """Drop-in adapter for reference deployments (same tables/queries as
     src/database/connection.py). Requires psycopg2, which this image does
-    not ship — constructing it without psycopg2 raises ImportError."""
+    not ship — constructing it without psycopg2 raises ImportError.
 
-    def __init__(self, host, database, user, password, port=5432):
+    * identifiers are validated and quoted (``_ident``);
+    * the pipeline DDL (pipeline/schema.py — same constraints as the
+      reference's SchemaManager) is applied on first write per table;
+    * ``read_iter`` streams with a server-side named cursor (the
+      reference's streaming reads, optimized_connection.py:113-129).
+    """
+
+    def __init__(self, host, database, user, password, port=5432,
+                 connect_test: bool = False):
         import psycopg2  # noqa: F401 — gate on availability
         import psycopg2.extras
         self._psycopg2 = psycopg2
         self._extras = psycopg2.extras
         self._dsn = dict(host=host, database=database, user=user,
                          password=password, port=port)
+        self._ensured: set = set()
+        if connect_test:  # reference connection self-test (connection.py:18-27)
+            with self._connect() as conn, conn.cursor() as cur:
+                cur.execute("SELECT version()")
+                cur.fetchone()
 
     def _connect(self):
         return self._psycopg2.connect(**self._dsn)
+
+    def ensure_schema(self, table: str) -> None:
+        """Idempotently apply the pipeline DDL for a known table."""
+        if table in self._ensured:
+            return
+        from iv_interpolation_tpu.pipeline.schema import DDL
+        ddl = DDL.get(table)
+        if ddl is not None:
+            with self._connect() as conn, conn.cursor() as cur:
+                cur.execute(ddl)
+                conn.commit()
+        self._ensured.add(table)
 
     def tables(self) -> List[str]:
         q = ("SELECT tablename FROM pg_tables WHERE schemaname='public' "
@@ -226,11 +261,12 @@ class PostgresStore:
 
     def list_symbols(self, table: str) -> List[str]:
         with self._connect() as conn, conn.cursor() as cur:
-            cur.execute(f"SELECT DISTINCT symbol FROM {table} ORDER BY symbol")
+            cur.execute(f"SELECT DISTINCT symbol FROM {_ident(table)} "
+                        f"ORDER BY symbol")
             return [r[0] for r in cur.fetchall()]
 
     def read(self, table: str, symbols: Optional[List[str]] = None) -> pd.DataFrame:
-        q = f"SELECT * FROM {table}"
+        q = f"SELECT * FROM {_ident(table)}"
         params = None
         if symbols is not None:
             q += " WHERE symbol = ANY(%s)"
@@ -238,18 +274,45 @@ class PostgresStore:
         with self._connect() as conn:
             return pd.read_sql(q, conn, params=params)
 
+    def read_iter(self, table: str, symbols: Optional[List[str]] = None,
+                  chunk_rows: int = 100_000):
+        """Stream a table in chunks via a server-side named cursor, so a
+        32M+-row table never materialises in host RAM at once."""
+        q = f"SELECT * FROM {_ident(table)}"
+        params = None
+        if symbols is not None:
+            q += " WHERE symbol = ANY(%s)"
+            params = (list(symbols),)
+        q += " ORDER BY symbol"
+        with self._connect() as conn:
+            with conn.cursor(name="ivtpu_stream") as cur:
+                cur.itersize = chunk_rows
+                cur.execute(q, params)
+                cols = None
+                while True:
+                    rows = cur.fetchmany(chunk_rows)
+                    if not rows:
+                        break
+                    if cols is None:
+                        cols = [d[0] for d in cur.description]
+                    yield pd.DataFrame(rows, columns=cols)
+
     def write(self, table: str, df: pd.DataFrame,
               upsert_keys: Optional[List[str]] = None) -> int:
         if df is None or df.empty:
             return 0
+        self.ensure_schema(table)
         cols = list(df.columns)
         conflict = ""
         if upsert_keys:
             updates = ", ".join(
-                f"{c} = EXCLUDED.{c}" for c in cols if c not in upsert_keys)
-            conflict = (f" ON CONFLICT ({', '.join(upsert_keys)}) "
-                        f"DO UPDATE SET {updates}")
-        q = f"INSERT INTO {table} ({', '.join(cols)}) VALUES %s{conflict}"
+                f"{_ident(c)} = EXCLUDED.{_ident(c)}"
+                for c in cols if c not in upsert_keys)
+            keys = ", ".join(_ident(k) for k in upsert_keys)
+            conflict = f" ON CONFLICT ({keys}) DO UPDATE SET {updates}"
+        col_list = ", ".join(_ident(c) for c in cols)
+        q = (f"INSERT INTO {_ident(table)} ({col_list}) "
+             f"VALUES %s{conflict}")
         rows = [tuple(r) for r in df.itertuples(index=False)]
         with self._connect() as conn, conn.cursor() as cur:
             self._extras.execute_values(cur, q, rows, page_size=1000)
@@ -258,13 +321,14 @@ class PostgresStore:
 
     def count(self, table: str) -> int:
         with self._connect() as conn, conn.cursor() as cur:
-            cur.execute(f"SELECT COUNT(*) FROM {table}")
+            cur.execute(f"SELECT COUNT(*) FROM {_ident(table)}")
             return cur.fetchone()[0]
 
     def drop(self, table: str) -> None:
         with self._connect() as conn, conn.cursor() as cur:
-            cur.execute(f"DROP TABLE IF EXISTS {table}")
+            cur.execute(f"DROP TABLE IF EXISTS {_ident(table)}")
             conn.commit()
+        self._ensured.discard(table)
 
 
 def get_store(cfg) -> "MemoryStore | ParquetStore | PostgresStore":

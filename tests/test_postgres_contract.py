@@ -82,11 +82,37 @@ def test_write_emits_upsert(pg):
                     upsert_keys=["symbol", "timestamp"])
     assert n == 2
     sql = pg["executed"][-1][0]
-    assert "INSERT INTO minute_candles" in sql
-    assert "ON CONFLICT (symbol, timestamp) DO UPDATE" in sql
-    assert "open = EXCLUDED.open" in sql
-    assert "symbol = EXCLUDED" not in sql  # keys never updated
+    assert 'INSERT INTO "minute_candles"' in sql
+    assert 'ON CONFLICT ("symbol", "timestamp") DO UPDATE' in sql
+    assert '"open" = EXCLUDED."open"' in sql
+    assert '"symbol" = EXCLUDED' not in sql  # keys never updated
     assert len(pg["value_batches"][-1]) == 2
+
+
+def test_write_applies_ddl_first(pg):
+    """First write per table runs the pipeline DDL (reference lazy table
+    creation, main.py:46-163); later writes skip it."""
+    from iv_interpolation_tpu.pipeline.storage import PostgresStore
+    store = PostgresStore("h", "db", "u", "p")
+    df = pd.DataFrame({"symbol": ["a"],
+                       "timestamp": [pd.Timestamp("2023-01-01")],
+                       "open": [1.0]})
+    store.write("minute_candles", df, upsert_keys=["symbol", "timestamp"])
+    ddl = [sql for sql, _ in pg["executed"] if "CREATE TABLE" in sql]
+    assert len(ddl) == 1 and "minute_candles" in ddl[0]
+    assert "valid_ohlc" in ddl[0]
+    store.write("minute_candles", df, upsert_keys=["symbol", "timestamp"])
+    ddl = [sql for sql, _ in pg["executed"] if "CREATE TABLE" in sql]
+    assert len(ddl) == 1  # not re-run
+
+
+def test_identifiers_are_validated():
+    from iv_interpolation_tpu.pipeline.storage import _ident
+    assert _ident("minute_candles") == '"minute_candles"'
+    with pytest.raises(ValueError):
+        _ident("bad; DROP TABLE x")
+    with pytest.raises(ValueError):
+        _ident('evil"name')
 
 
 def test_list_symbols_and_count(pg):
@@ -94,7 +120,7 @@ def test_list_symbols_and_count(pg):
     store = PostgresStore("h", "db", "u", "p")
     pg["fetch_rows"][:] = [("a",), ("b",)]
     assert store.list_symbols("trading_tickers") == ["a", "b"]
-    assert "SELECT DISTINCT symbol FROM trading_tickers" in \
+    assert 'SELECT DISTINCT symbol FROM "trading_tickers"' in \
         pg["executed"][-1][0]
     pg["fetch_rows"][:] = [(42,)]
     assert store.count("trading_tickers") == 42
@@ -118,4 +144,4 @@ def test_drop_table(pg):
     from iv_interpolation_tpu.pipeline.storage import PostgresStore
     store = PostgresStore("h", "db", "u", "p")
     store.drop("minute_candles")
-    assert "DROP TABLE IF EXISTS minute_candles" in pg["executed"][-1][0]
+    assert 'DROP TABLE IF EXISTS "minute_candles"' in pg["executed"][-1][0]

@@ -1,0 +1,113 @@
+"""Live-PostgreSQL integration test, gated on ``IVTPU_PG_TEST_DSN``.
+
+Set e.g. ``IVTPU_PG_TEST_DSN=host=localhost dbname=test user=postgres
+password=pw`` and run ``pytest -m pg_live``. Skipped (not failed) when
+no server is configured or psycopg2 is absent — this image ships
+neither (ROADMAP #2); the adapter's SQL is still covered by
+tests/test_postgres_contract.py.
+
+Exercises the full adapter surface against a real server: DDL on first
+write, upsert overwrite semantics, CHECK-constraint enforcement
+(valid_ohlc — reference candle_schema.py:41-48), streaming reads, and a
+small end-to-end pipeline run through the PostgresStore.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.pg_live
+
+_DSN = os.environ.get("IVTPU_PG_TEST_DSN")
+
+
+def _store():
+    pytest.importorskip("psycopg2")
+    if not _DSN:
+        pytest.skip("IVTPU_PG_TEST_DSN not set")
+    from iv_interpolation_tpu.pipeline.storage import PostgresStore
+    parts = dict(kv.split("=", 1) for kv in _DSN.split())
+    return PostgresStore(
+        host=parts.get("host", "localhost"),
+        database=parts.get("dbname", parts.get("database", "test")),
+        user=parts.get("user", "postgres"),
+        password=parts.get("password", ""),
+        port=int(parts.get("port", 5432)),
+        connect_test=True,
+    )
+
+
+@pytest.fixture
+def live_store():
+    store = _store()
+    from iv_interpolation_tpu.pipeline import storage as st
+    for t in (st.TICKERS, st.INTERPOLATED, st.MINUTE_CANDLES,
+              st.RECONSTRUCTED):
+        store.drop(t)
+    yield store
+    for t in (st.TICKERS, st.INTERPOLATED, st.MINUTE_CANDLES,
+              st.RECONSTRUCTED):
+        store.drop(t)
+
+
+def test_upsert_overwrites(live_store):
+    from iv_interpolation_tpu.pipeline import storage as st
+    df = pd.DataFrame({
+        "symbol": ["a"], "timestamp": [pd.Timestamp("2023-01-01")],
+        "open": [1.0], "high": [2.0], "low": [0.5], "close": [1.5],
+        "volume": [3.0]})
+    live_store.write(st.MINUTE_CANDLES, df,
+                     upsert_keys=["symbol", "timestamp"])
+    df2 = df.assign(close=9.0)  # high must still dominate? no: high=2<9
+    df2["high"] = 10.0
+    live_store.write(st.MINUTE_CANDLES, df2,
+                     upsert_keys=["symbol", "timestamp"])
+    out = live_store.read(st.MINUTE_CANDLES)
+    assert len(out) == 1
+    assert float(out["close"].iloc[0]) == 9.0
+
+
+def test_check_constraint_rejects_bad_ohlc(live_store):
+    from iv_interpolation_tpu.pipeline import storage as st
+    bad = pd.DataFrame({
+        "symbol": ["a"], "timestamp": [pd.Timestamp("2023-01-01")],
+        "open": [1.0], "high": [0.1], "low": [0.5], "close": [1.5],
+        "volume": [3.0]})  # high < low violates valid_ohlc
+    with pytest.raises(Exception):
+        live_store.write(st.MINUTE_CANDLES, bad,
+                         upsert_keys=["symbol", "timestamp"])
+
+
+def test_read_iter_streams_chunks(live_store):
+    from iv_interpolation_tpu.pipeline import storage as st
+    n = 5000
+    df = pd.DataFrame({
+        "symbol": np.repeat(["a", "b"], n // 2),
+        "timestamp": pd.date_range("2023-01-01", periods=n, freq="1min"),
+        "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5, "volume": 1.0})
+    live_store.write(st.MINUTE_CANDLES, df,
+                     upsert_keys=["symbol", "timestamp"])
+    chunks = list(live_store.read_iter(st.MINUTE_CANDLES, chunk_rows=1000))
+    assert len(chunks) >= 5
+    assert sum(len(c) for c in chunks) == n
+
+
+def test_pipeline_end_to_end_on_postgres(live_store, tmp_path):
+    from iv_interpolation_tpu.config import get_config
+    from iv_interpolation_tpu.pipeline import PipelineRunner
+    from iv_interpolation_tpu.pipeline import storage as st
+    from iv_interpolation_tpu.pipeline.sample_data import (
+        generate_sample_tickers)
+
+    cfg = get_config("testing")
+    cfg.checkpoint.manifest_dir = str(tmp_path / "runs")
+    cfg.monitoring.log_dir = str(tmp_path / "logs")
+    cfg.interpolation.min_data_points = 5
+    live_store.write(st.TICKERS,
+                     generate_sample_tickers(num_symbols=2, hours=6))
+    runner = PipelineRunner(cfg, store=live_store)
+    res = runner.run_all()
+    assert res["task1"]["by_status"].get("completed") == 2
+    assert live_store.count(st.RECONSTRUCTED) > 0
