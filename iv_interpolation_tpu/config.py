@@ -51,6 +51,10 @@ class ProcessingConfig:
 
     batch_size: int = 256  # symbols (series) per device step
     bucket_sizes: tuple = (64, 256, 1024, 4096, 16384)  # padded series lengths
+    # symbols per storage read: bounds host RAM at 32M+-row scale (the
+    # reference's streaming cursors, optimized_connection.py:113-129);
+    # 0 = read all requested symbols at once
+    read_chunk_symbols: int = 2048
     mesh_shape: Optional[tuple] = None  # None -> (num_devices,)
     mesh_axis_names: tuple = ("data",)
     donate_buffers: bool = True

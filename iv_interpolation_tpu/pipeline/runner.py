@@ -169,6 +169,30 @@ class PipelineRunner:
         signal.signal(signal.SIGINT, handler)
 
 
+    def _symbol_chunks(self, symbols: List[str]):
+        """Chunk the requested symbols so each storage read is bounded
+        (VERDICT r1 item 8 — the reference streamed with server-side
+        cursors at 32M+-row scale; here the unit is a symbol group)."""
+        n = self.config.processing.read_chunk_symbols
+        if not n or n >= len(symbols):
+            yield symbols
+            return
+        for lo in range(0, len(symbols), n):
+            yield symbols[lo:lo + n]
+
+    def _device_grids(self, batch: ingest.PackedBatch):
+        """(values, obs_mask, timeline_mask) on device. Compact batches
+        scatter on device (tasks.scatter_batch) — the host never
+        materialises or ships the mostly-empty grid."""
+        if batch.values is not None:
+            return (jnp.asarray(batch.values), jnp.asarray(batch.obs_mask),
+                    jnp.asarray(batch.timeline_mask))
+        return tasks.scatter_batch(
+            jnp.asarray(batch.obs_vals), jnp.asarray(batch.obs_row),
+            jnp.asarray(batch.obs_pos), jnp.asarray(batch.valid_len),
+            B=batch.batch_padded, C=len(batch.columns),
+            L=batch.bucket_len)
+
     @staticmethod
     def _quality_failures(symbols, ok_rows, reason: str) -> Dict[str, str]:
         """Per-symbol verdicts from a per-row validity mask: symbol i
@@ -239,32 +263,42 @@ class PipelineRunner:
 
         t_start = time.time()
         self.perf.log_batch_start(manifest.batch_id, len(symbols))
-        df = self.store.read(st.TICKERS, symbols=symbols)
-        if start_date is not None and len(df):
-            df = df[pd.to_datetime(df["date"]) >= pd.to_datetime(start_date)]
-        if end_date is not None and len(df):
-            df = df[pd.to_datetime(df["date"]) <= pd.to_datetime(end_date)]
         freq = parse_frequency(cfg.frequency)
-        packed = ingest.pack_symbols(
-            df, self.config.processing.bucket_sizes,
-            min_points=cfg.min_data_points,
-            max_span_days=cfg.max_span_days,
-            max_timeline_points=cfg.max_timeline_points,
-            freq_minutes=freq,
-            max_batch=self.config.processing.batch_size,
-            dtype=self.np_dtype,
-        )
-        for sym, reason in packed.skipped.items():
-            manifest.skip_symbol(sym, reason)
-
         max_gap = cfg.max_gap_hours * 60 if cfg.max_gap_hours else 0
         n_rows_out = 0
-        batches = packed.batches
-        if cfg.method == "cubic":
-            batches = [b for orig in batches
-                       for b in _split_by_obs_count(
-                           orig, self.config.processing.batch_size)]
-        for batch in batches:
+
+        def iter_batches():
+            """Read + pack one bounded symbol chunk at a time, so host
+            RAM never holds the whole input table."""
+            for chunk_syms in self._symbol_chunks(symbols):
+                df = self.store.read(st.TICKERS, symbols=chunk_syms)
+                if start_date is not None and len(df):
+                    df = df[pd.to_datetime(df["date"])
+                            >= pd.to_datetime(start_date)]
+                if end_date is not None and len(df):
+                    df = df[pd.to_datetime(df["date"])
+                            <= pd.to_datetime(end_date)]
+                packed = ingest.pack_symbols(
+                    df, self.config.processing.bucket_sizes,
+                    min_points=cfg.min_data_points,
+                    max_span_days=cfg.max_span_days,
+                    max_timeline_points=cfg.max_timeline_points,
+                    freq_minutes=freq,
+                    max_batch=self.config.processing.batch_size,
+                    dtype=self.np_dtype,
+                    # cubic's obs-count splitting walks host-side masks
+                    compact=(cfg.method != "cubic"),
+                )
+                for sym, reason in packed.skipped.items():
+                    manifest.skip_symbol(sym, reason)
+                bs = packed.batches
+                if cfg.method == "cubic":
+                    bs = [b for orig in bs
+                          for b in _split_by_obs_count(
+                              orig, self.config.processing.batch_size)]
+                yield from bs
+
+        for batch in iter_batches():
             if self.stop_requested:
                 break
             t0 = time.time()
@@ -290,9 +324,9 @@ class PipelineRunner:
                             "L=%d — falling back to linear",
                             batch.bucket_len)
                         method, obs_pos = "linear", None
+                values, obs_mask, timeline_mask = self._device_grids(batch)
                 out = tasks.interpolate_batch(
-                    jnp.asarray(batch.values), jnp.asarray(batch.obs_mask),
-                    jnp.asarray(batch.timeline_mask),
+                    values, obs_mask, timeline_mask,
                     strike, jnp.asarray(callput),
                     method=method, max_gap_minutes=max_gap,
                     compute_greeks=cfg.compute_greeks,
@@ -352,23 +386,36 @@ class PipelineRunner:
         if not symbols:
             return manifest.summary()
 
-        df = self.store.read(st.INTERPOLATED, symbols=symbols)
-        if batch_id is not None and "batch_id" in df.columns:
-            df = df[df["batch_id"] == batch_id]
         # interpolated rows are spaced interpolation.frequency apart; the
         # grid (and the emitted candle timestamps) must use the same
         # spacing or the staged path diverges from the fused one
         freq = parse_frequency(self.config.interpolation.frequency)
-        packed = ingest.pack_symbols(
-            df, self.config.processing.bucket_sizes,
-            min_points=1, max_span_days=self.config.interpolation.max_span_days,
-            max_timeline_points=self.config.interpolation.max_timeline_points,
-            freq_minutes=freq,
-            max_batch=self.config.processing.batch_size,
-            dtype=self.np_dtype,
-        )
-        for sym, reason in packed.skipped.items():
-            manifest.skip_symbol(sym, reason)
+        # column pruning: the bridge needs the numeric grid + identity
+        # columns, not the Greeks/flags written by task 1
+        read_cols = ["symbol", "date"] + list(ingest.ALL_COLS)
+        if batch_id is not None:
+            read_cols.append("batch_id")
+
+        def iter_batches():
+            for chunk_syms in self._symbol_chunks(symbols):
+                df = self.store.read(st.INTERPOLATED, symbols=chunk_syms,
+                                     columns=read_cols)
+                if batch_id is not None and "batch_id" in df.columns:
+                    df = df[df["batch_id"] == batch_id]
+                packed = ingest.pack_symbols(
+                    df, self.config.processing.bucket_sizes,
+                    min_points=1,
+                    max_span_days=self.config.interpolation.max_span_days,
+                    max_timeline_points=self.config
+                    .interpolation.max_timeline_points,
+                    freq_minutes=freq,
+                    max_batch=self.config.processing.batch_size,
+                    dtype=self.np_dtype,
+                    compact=True,
+                )
+                for sym, reason in packed.skipped.items():
+                    manifest.skip_symbol(sym, reason)
+                yield from packed.batches
 
         params = BridgeParams(
             base_spread_percent=cfg.base_spread_percent,
@@ -378,32 +425,31 @@ class PipelineRunner:
             base_volume=cfg.base_volume,
         )
         root_key = jax.random.key(cfg.seed)
-        for batch in packed.batches:
+        for batch in iter_batches():
             if self.stop_requested:
                 break
             t0 = time.time()
 
             def process(batch=batch):
-                values = jnp.asarray(batch.values)
-                mask = jnp.asarray(batch.timeline_mask)
+                values, b_obs_mask, mask = self._device_grids(batch)
                 # interpolated rows are stored post-fill; on the grid they
                 # appear at obs positions (obs_mask), padding in between
                 filled = tasks.interpolate_batch(
-                    values, jnp.asarray(batch.obs_mask), mask,
+                    values, b_obs_mask, mask,
                     jnp.full((values.shape[0],), jnp.nan, self.dtype),
                     jnp.zeros((batch.batch,), bool),
                     method="ffill", compute_greeks=False)
-                price_col = tasks.select_price_columns(values, jnp.asarray(batch.obs_mask))
+                price_col = tasks.select_price_columns(values, b_obs_mask)
                 # one deterministic key per symbol name hash — order-free
                 # and process-stable (CRC32, not salted hash()); padded
                 # rows (batch dim is shape-padded) get a dummy key
-                B_pad = batch.values.shape[0]
+                B_pad = batch.batch_padded
                 hashes = [symbol_fold(s) for s in batch.symbols]
                 hashes += [0] * (B_pad - len(hashes))
                 keys = jax.vmap(jax.random.fold_in, (None, 0))(
                     root_key, jnp.asarray(hashes))
                 ohlcv = tasks.bridge_batch(
-                    filled["filled"], filled["valid"] & jnp.asarray(batch.obs_mask),
+                    filled["filled"], filled["valid"] & b_obs_mask,
                     keys, params=params, price_col=price_col,
                     strategy=cfg.conversion_strategy)
                 failed: Dict[str, str] = {}
@@ -492,13 +538,16 @@ class PipelineRunner:
         if not symbols:
             return manifest.summary()
 
-        df = self.store.read(st.MINUTE_CANDLES, symbols=symbols)
         freq = parse_frequency(cfg.target_frequency)
         src_freq = parse_frequency(cfg.source_frequency)
-        packed = self._pack_candles(df, src_freq)
         created_at = pd.Timestamp.now()
 
-        for batch in packed:
+        def iter_batches():
+            for chunk_syms in self._symbol_chunks(symbols):
+                df = self.store.read(st.MINUTE_CANDLES, symbols=chunk_syms)
+                yield from self._pack_candles(df, src_freq)
+
+        for batch in iter_batches():
             if self.stop_requested:
                 break
             t0 = time.time()
@@ -508,9 +557,10 @@ class PipelineRunner:
                 # slot j is (t0 + j) * src_freq
                 minutes = (jnp.asarray(batch.t0_minutes)[:, None]
                            + jnp.arange(batch.bucket_len)[None, :]) * src_freq
-                grids = {c: jnp.asarray(batch.values[:, j])
+                values, b_obs_mask, _ = self._device_grids(batch)
+                grids = {c: values[:, j]
                          for j, c in enumerate(batch.columns)}
-                valid_in = jnp.asarray(batch.obs_mask)
+                valid_in = b_obs_mask
                 failed: Dict[str, str] = {}
                 if cfg.validate_ohlc:
                     _, ok_in = validate_ohlcv(
@@ -606,10 +656,6 @@ class PipelineRunner:
                 chunk = items[lo:lo + maxb]
                 B_real = len(chunk)
                 B = ingest.batch_pad(B_real, maxb)
-                values = np.full((B, len(cols), bucket), np.nan,
-                                 self.np_dtype)
-                obs_mask = np.zeros((B, bucket), bool)
-                tl_mask = np.zeros((B, bucket), bool)
                 t0 = np.zeros(B, np.int64)
                 vlen = np.zeros(B, np.int64)
                 n_obs = np.zeros(B, np.int64)
@@ -617,8 +663,7 @@ class PipelineRunner:
                 t0[:B_real] = [it["obs"][0] for it in chunk]
                 vlen[:B_real] = [it["L"] for it in chunk]
                 n_obs[:B_real] = [len(it["obs"]) for it in chunk]
-                tl_mask[np.arange(bucket)[None, :] < vlen[:, None]] = True
-                # one vectorised scatter across the whole chunk
+                # compact form: the dense grid is scattered on device
                 row_sym = np.repeat(np.arange(B_real), n_obs[:B_real])
                 obs_all = np.concatenate([it["obs"] for it in chunk])
                 pos = (obs_all - t0[row_sym]).astype(np.int64)
@@ -626,19 +671,17 @@ class PipelineRunner:
                 colmat = np.stack([
                     pd.to_numeric(subs[c], errors="coerce")
                     .to_numpy(self.np_dtype) for c in cols], axis=1)
-                used_native = False
-                if self.np_dtype == np.float32:
-                    from iv_interpolation_tpu import native
-                    used_native = native.scatter_pack(
-                        colmat, row_sym.astype(np.int32), pos,
-                        np.ones(len(pos), np.uint8), values, obs_mask)
-                if not used_native:
-                    values[row_sym, :, pos] = colmat
-                    obs_mask[row_sym, pos] = True
+                N = ingest.obs_pad(len(pos))
+                obs_vals = ingest.full_nan((N, len(cols)), self.np_dtype)
+                obs_vals[:len(pos)] = colmat
+                obs_row = np.full(N, B, np.int32)
+                obs_row[:len(pos)] = row_sym
+                obs_pos = np.zeros(N, np.int64)
+                obs_pos[:len(pos)] = pos
                 out.append(ingest.PackedBatch(
                     bucket_len=bucket, symbols=syms, t0_minutes=t0,
-                    valid_len=vlen, values=values, obs_mask=obs_mask,
-                    timeline_mask=tl_mask, n_obs=n_obs, columns=cols))
+                    valid_len=vlen, n_obs=n_obs, columns=cols,
+                    obs_vals=obs_vals, obs_row=obs_row, obs_pos=obs_pos))
         return out
 
     @staticmethod
@@ -713,21 +756,31 @@ class PipelineRunner:
                     "task2": manifests["candles"].summary(),
                     "fused": True}
 
-        df = self.store.read(st.TICKERS, symbols=symbols)
         freq = parse_frequency(icfg.frequency)
         tgt_freq = parse_frequency(ccfg.target_frequency)
-        packed = ingest.pack_symbols(
-            df, self.config.processing.bucket_sizes,
-            min_points=icfg.min_data_points,
-            max_span_days=icfg.max_span_days,
-            max_timeline_points=icfg.max_timeline_points,
-            freq_minutes=freq,
-            max_batch=self.config.processing.batch_size,
-            dtype=self.np_dtype,
-        )
-        for sym, reason in packed.skipped.items():
-            for m in manifests.values():
-                m.skip_symbol(sym, reason)
+
+        def iter_batches():
+            for chunk_syms in self._symbol_chunks(symbols):
+                df = self.store.read(st.TICKERS, symbols=chunk_syms)
+                packed = ingest.pack_symbols(
+                    df, self.config.processing.bucket_sizes,
+                    min_points=icfg.min_data_points,
+                    max_span_days=icfg.max_span_days,
+                    max_timeline_points=icfg.max_timeline_points,
+                    freq_minutes=freq,
+                    max_batch=self.config.processing.batch_size,
+                    dtype=self.np_dtype,
+                    compact=(icfg.method != "cubic"),
+                )
+                for sym, reason in packed.skipped.items():
+                    for m in manifests.values():
+                        m.skip_symbol(sym, reason)
+                bs = packed.batches
+                if icfg.method == "cubic":
+                    bs = [b for orig in bs
+                          for b in _split_by_obs_count(
+                              orig, self.config.processing.batch_size)]
+                yield from bs
 
         max_gap = icfg.max_gap_hours * 60 if icfg.max_gap_hours else 0
         params = BridgeParams(
@@ -766,10 +819,9 @@ class PipelineRunner:
             dispatch is async, so the next batch's compute overlaps this
             batch's host unpack (SURVEY §7.1: double-buffering replaces
             the reference's streaming cursors)."""
-            B_pad = batch.values.shape[0]
+            B_pad = batch.batch_padded
             L = batch.bucket_len
-            values = jnp.asarray(batch.values)
-            obs_mask = jnp.asarray(batch.obs_mask)
+            values, obs_mask, timeline_mask = self._device_grids(batch)
             strike = jnp.asarray(pd.to_numeric(
                 pd.Series(batch.const_cols.get("strike", [])),
                 errors="coerce").to_numpy(self.np_dtype))
@@ -790,7 +842,7 @@ class PipelineRunner:
                         "falling back to linear", batch.bucket_len)
                     method, obs_pos = "linear", None
             out = tasks.interpolate_batch(
-                values, obs_mask, jnp.asarray(batch.timeline_mask),
+                values, obs_mask, timeline_mask,
                 strike, jnp.asarray(callput),
                 method=method,
                 max_gap_minutes=max_gap,
@@ -919,12 +971,7 @@ class PipelineRunner:
                     sym, int(per["bridge"].get(sym, 0)),
                     int(per["candles"].get(sym, 0)), dt / batch.batch)
 
-        fused_batches = packed.batches
-        if icfg.method == "cubic":
-            fused_batches = [b for orig in fused_batches
-                             for b in _split_by_obs_count(
-                                 orig, self.config.processing.batch_size)]
-        for batch in fused_batches:
+        for batch in iter_batches():
             if self.stop_requested:
                 break
             t0 = time.time()

@@ -56,10 +56,13 @@ class MemoryStore:
             return []
         return sorted(df["symbol"].unique().tolist())
 
-    def read(self, table: str, symbols: Optional[List[str]] = None) -> pd.DataFrame:
+    def read(self, table: str, symbols: Optional[List[str]] = None,
+             columns: Optional[List[str]] = None) -> pd.DataFrame:
         df = self._tables.get(table, pd.DataFrame())
         if symbols is not None and not df.empty:
             df = df[df["symbol"].isin(symbols)]
+        if columns is not None and not df.empty:
+            df = df[[c for c in columns if c in df.columns]]
         return df.reset_index(drop=True).copy()
 
     def write(self, table: str, df: pd.DataFrame,
@@ -140,12 +143,21 @@ class ParquetStore:
             return []
         return sorted(df["symbol"].unique().tolist())
 
-    def read(self, table: str, symbols: Optional[List[str]] = None) -> pd.DataFrame:
+    def read(self, table: str, symbols: Optional[List[str]] = None,
+             columns: Optional[List[str]] = None) -> pd.DataFrame:
+        """``columns`` prunes at the parquet-reader level (never loads the
+        other columns); upsert-key columns are read regardless so the
+        dedup stays correct, then pruned from the result."""
         filters = [("symbol", "in", symbols)] if symbols is not None else None
-        df = self._read_raw(table, filters=filters)
         keys = self._keys(table)
+        read_cols = columns
+        if columns is not None and keys:
+            read_cols = list(dict.fromkeys(list(columns) + keys))
+        df = self._read_raw(table, columns=read_cols, filters=filters)
         if keys and not df.empty:
             df = df.drop_duplicates(subset=keys, keep="last")
+        if columns is not None and not df.empty:
+            df = df[[c for c in columns if c in df.columns]]
         return df.reset_index(drop=True)
 
     def write(self, table: str, df: pd.DataFrame,
@@ -265,8 +277,11 @@ class PostgresStore:
                         f"ORDER BY symbol")
             return [r[0] for r in cur.fetchall()]
 
-    def read(self, table: str, symbols: Optional[List[str]] = None) -> pd.DataFrame:
-        q = f"SELECT * FROM {_ident(table)}"
+    def read(self, table: str, symbols: Optional[List[str]] = None,
+             columns: Optional[List[str]] = None) -> pd.DataFrame:
+        col_sql = (", ".join(_ident(c) for c in columns)
+                   if columns else "*")
+        q = f"SELECT {col_sql} FROM {_ident(table)}"
         params = None
         if symbols is not None:
             q += " WHERE symbol = ANY(%s)"
