@@ -47,11 +47,23 @@ def _iv_batch(B, rng, k_row):
     return jnp.asarray(np.broadcast_to(iv, (B, E, N_K)).copy())
 
 
-def main():
+def _median_time(fn, inputs):
+    """Median wall time of fn over fresh inputs (last one warms up)."""
+    out = fn(*inputs[-1])
+    jax.block_until_ready(out)
+    times = []
+    for args in inputs[:-1]:
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def bench_spline(rng):
     from iv_interpolation_tpu.ops.spline_matrix import (
         build_surface_operators, fit_eval_surface_grid)
 
-    rng = np.random.default_rng(time.time_ns() % 2**31)
     k_row = np.linspace(-1.0, 1.0, N_K, dtype=np.float32)
     knots = jnp.asarray(np.broadcast_to(k_row, (E, N_K)).copy())
     queries = jnp.asarray(np.linspace(-1.0, 1.0, N_GRID, dtype=np.float32))
@@ -68,19 +80,83 @@ def main():
 
     best, best_B = 0.0, 0
     for B in (8192, 32768):
-        inputs = [_iv_batch(B, rng, k_row) for _ in range(6)]
-        out = step_jit(inputs[-1])
-        jax.block_until_ready(out)          # compile + warmup
-        times = []
-        for iv in inputs[:-1]:
-            t0 = time.perf_counter()
-            out = step_jit(iv)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]
+        inputs = [(_iv_batch(B, rng, k_row),) for _ in range(6)]
+        dt = _median_time(step_jit, inputs)
         sps = B / dt
         if sps > best:
             best, best_B = sps, B
+    return best, best_B
+
+
+def bench_svi(rng, B=2048, n_iters=32):
+    """SVI calibration at the production shape — B surfaces x 30 slices
+    (BASELINE config #3 "30 slices x thousands of surfaces") with the
+    quasi-explicit init (round-1 PERF measured only 64x30 at heuristic
+    init). Returns (slices_per_sec, mean_rmse)."""
+    from iv_interpolation_tpu.ops.svi import (fit_svi_batched,
+                                              svi_total_variance)
+
+    n = N_K
+    k_row = np.linspace(-1.2, 1.2, n, dtype=np.float32)
+
+    def make_inputs():
+        a = rng.uniform(0.01, 0.08, (B, E, 1)).astype(np.float32)
+        b = rng.uniform(0.05, 0.3, (B, E, 1)).astype(np.float32)
+        rho = rng.uniform(-0.6, 0.6, (B, E, 1)).astype(np.float32)
+        m = rng.uniform(-0.2, 0.2, (B, E, 1)).astype(np.float32)
+        sig = rng.uniform(0.1, 0.5, (B, E, 1)).astype(np.float32)
+        kk = k_row[None, None, :]
+        w = a + b * (rho * (kk - m)
+                     + np.sqrt((kk - m) ** 2 + sig ** 2))
+        w = w + rng.normal(0, 1e-4, w.shape).astype(np.float32)
+        k = np.broadcast_to(k_row, (B, E, n)).copy()
+        return jnp.asarray(k), jnp.asarray(w)
+
+    fit = jax.jit(lambda k, w: fit_svi_batched(
+        k, w, max_iters=n_iters, init="quasi"))
+    inputs = [make_inputs() for _ in range(4)]
+    dt = _median_time(fit, inputs)
+    res = fit(*inputs[0])
+    k, w = inputs[0]
+    pred = svi_total_variance(res.params, k)
+    rmse = float(jnp.sqrt(jnp.mean((pred - w) ** 2)))
+    return B * E / dt, rmse
+
+
+def bench_streaming(rng, B=1024, L_ticks=4096, n_minutes=512):
+    """Streaming chain (ticks -> 1-min -> 5-min -> surface refit) per
+    underlying — BASELINE config #5's 1k-underlying streaming batch."""
+    from iv_interpolation_tpu.pipeline.streaming import streaming_step
+
+    E_s, n_s = 4, 12
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n_s), (B, E_s, n_s))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E_s), (B, E_s))
+    iv = 0.5 + 0.05 * k * k
+
+    def make_inputs():
+        minute = np.sort(rng.integers(0, n_minutes, (B, L_ticks))
+                         ).astype(np.int32)
+        price = 100 + np.cumsum(
+            rng.normal(0, 0.01, (B, L_ticks)), axis=-1).astype(np.float32)
+        size = rng.uniform(0, 5, (B, L_ticks)).astype(np.float32)
+        valid = np.ones((B, L_ticks), bool)
+        return (jnp.asarray(minute), jnp.asarray(price),
+                jnp.asarray(size), jnp.asarray(valid))
+
+    step = jax.jit(lambda m, p, s, v: streaming_step(
+        m, p, s, v, k, iv, T, n_minutes=n_minutes))
+    inputs = [make_inputs() for _ in range(4)]
+    dt = _median_time(step, inputs)
+    return B / dt
+
+
+def main():
+    rng = np.random.default_rng(time.time_ns() % 2**31)
+
+    best, best_B = bench_spline(rng)
+    svi_sps, svi_rmse = bench_svi(rng)
+    stream_ups = bench_streaming(rng)
+
     value = round(best, 1)
     print(json.dumps({
         "metric": "surfaces_per_sec_fit_eval_30x50",
@@ -89,6 +165,13 @@ def main():
         "vs_baseline": round(value / TARGET, 3),
         "batch": best_B,
         "device": str(jax.devices()[0]),
+        "extra_metrics": [
+            {"metric": "svi_lm_slices_per_sec_2048x30_quasi32",
+             "value": round(svi_sps, 1), "unit": "slices/s",
+             "rmse": round(svi_rmse, 6)},
+            {"metric": "streaming_refit_underlyings_per_sec_1024",
+             "value": round(stream_ups, 1), "unit": "underlyings/s"},
+        ],
     }))
 
 
