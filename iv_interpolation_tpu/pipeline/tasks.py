@@ -25,6 +25,24 @@ _RATE = ALL_COLS.index("interest_rate")
 _VOLUME = ALL_COLS.index("volume")
 
 
+@partial(jax.jit, static_argnames=("B", "C", "L"))
+def scatter_batch(obs_vals: jax.Array, obs_row: jax.Array,
+                  obs_pos: jax.Array, valid_len: jax.Array,
+                  *, B: int, C: int, L: int):
+    """Compact observations -> dense (B, C, L) NaN grid + masks, built on
+    device. The host ships only the (N, C) observation block instead of a
+    mostly-empty grid (PackedBatch compact form); padding entries carry
+    the out-of-range row sentinel obs_row == B and are dropped.
+
+    Returns (values, obs_mask, timeline_mask)."""
+    grid = jnp.full((B, C, L), jnp.nan, obs_vals.dtype)
+    grid = grid.at[obs_row, :, obs_pos].set(obs_vals, mode="drop")
+    obs_mask = jnp.zeros((B, L), bool).at[obs_row, obs_pos].set(
+        True, mode="drop")
+    timeline_mask = jnp.arange(L)[None, :] < valid_len[:, None]
+    return grid, obs_mask, timeline_mask
+
+
 @partial(jax.jit, static_argnames=("method", "max_gap_minutes",
                                    "compute_greeks", "extrapolate"))
 def interpolate_batch(values: jax.Array, obs_mask: jax.Array,

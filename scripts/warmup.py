@@ -68,6 +68,15 @@ def main():
     print(f"surface benchmark kernels warm ({time.time() - t0:.0f}s)",
           flush=True)
 
+    # bench.py's SVI and streaming configurations
+    t0 = time.time()
+    import bench
+    rng = np.random.default_rng(0)
+    bench.bench_svi(rng)
+    bench.bench_streaming(rng)
+    print(f"svi/streaming benchmark kernels warm ({time.time() - t0:.0f}s)",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
