@@ -50,7 +50,14 @@ class ProcessingConfig:
     """
 
     batch_size: int = 256  # symbols (series) per device step
-    bucket_sizes: tuple = (64, 256, 1024, 4096, 16384)  # padded series lengths
+    # padded series lengths; 65536 covers the reference's full envelope
+    # (30-day span cap = 43200 minutes, core.py:37)
+    bucket_sizes: tuple = (64, 256, 1024, 4096, 16384, 65536)
+    # cap on batch x bucket_len grid slots per device step: compile time
+    # on this backend scales superlinearly with the grid size (measured
+    # ~2s at 65k slots, ~64s at 1M, ~20min at 4M — docs/PERF.md), so big
+    # buckets run with proportionally smaller batch dims
+    max_slots_per_batch: int = 1 << 20
     # symbols per storage read: bounds host RAM at 32M+-row scale (the
     # reference's streaming cursors, optimized_connection.py:113-129);
     # 0 = read all requested symbols at once

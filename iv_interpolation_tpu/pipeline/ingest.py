@@ -145,6 +145,17 @@ def batch_pad(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+def bucket_batch_cap(bucket: int, max_batch: int,
+                     max_slots: int = 1 << 20) -> int:
+    """Per-bucket batch-dim cap so batch x bucket_len never exceeds the
+    slot budget — XLA compile time on this backend scales superlinearly
+    with the grid size (docs/PERF.md), so long buckets trade batch width
+    for bounded compiles (and bounded HBM per step)."""
+    if not max_slots:
+        return max_batch
+    return max(16, min(max_batch, max_slots // bucket))
+
+
 def obs_pad(n: int) -> int:
     """Geometric schedule for the compact observation count N, for the
     same recompile-avoidance reason as ``batch_pad``. Padding entries use
@@ -162,7 +173,8 @@ def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
                  freq_minutes: int = 1,
                  max_batch: int = 4096,
                  dtype=np.float32,
-                 compact: bool = False) -> IngestResult:
+                 compact: bool = False,
+                 max_slots: int = 1 << 20) -> IngestResult:
     """Pack a tickers frame (reference ``trading_tickers`` layout: one row
     per (symbol, date) observation) into padded device batches.
 
@@ -209,10 +221,11 @@ def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
 
     batches: List[PackedBatch] = []
     for bucket, items in sorted(per_bucket.items()):
-        for lo in range(0, len(items), max_batch):
-            chunk = items[lo:lo + max_batch]
+        cap = bucket_batch_cap(bucket, max_batch, max_slots)
+        for lo in range(0, len(items), cap):
+            chunk = items[lo:lo + cap]
             B_real = len(chunk)
-            B = batch_pad(B_real, max_batch)
+            B = batch_pad(B_real, cap)
             C = len(ALL_COLS)
             symbols = [it["symbol"] for it in chunk]
             t0 = np.zeros(B, np.int64)

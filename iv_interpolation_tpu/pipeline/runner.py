@@ -285,6 +285,7 @@ class PipelineRunner:
                     max_timeline_points=cfg.max_timeline_points,
                     freq_minutes=freq,
                     max_batch=self.config.processing.batch_size,
+                    max_slots=self.config.processing.max_slots_per_batch,
                     dtype=self.np_dtype,
                     # cubic's obs-count splitting walks host-side masks
                     compact=(cfg.method != "cubic"),
@@ -295,7 +296,11 @@ class PipelineRunner:
                 if cfg.method == "cubic":
                     bs = [b for orig in bs
                           for b in _split_by_obs_count(
-                              orig, self.config.processing.batch_size)]
+                              orig, ingest.bucket_batch_cap(
+                                  orig.bucket_len,
+                                  self.config.processing.batch_size,
+                                  self.config.processing
+                                  .max_slots_per_batch))]
                 yield from bs
 
         for batch in iter_batches():
@@ -410,6 +415,7 @@ class PipelineRunner:
                     .interpolation.max_timeline_points,
                     freq_minutes=freq,
                     max_batch=self.config.processing.batch_size,
+                    max_slots=self.config.processing.max_slots_per_batch,
                     dtype=self.np_dtype,
                     compact=True,
                 )
@@ -651,11 +657,13 @@ class PipelineRunner:
             per_bucket.setdefault(bucket, []).append(
                 dict(symbol=symbol, obs=obs, sub=sub, L=L))
         maxb = self.config.processing.batch_size
+        max_slots = self.config.processing.max_slots_per_batch
         for bucket, items in sorted(per_bucket.items()):
-            for lo in range(0, len(items), maxb):
-                chunk = items[lo:lo + maxb]
+            cap = ingest.bucket_batch_cap(bucket, maxb, max_slots)
+            for lo in range(0, len(items), cap):
+                chunk = items[lo:lo + cap]
                 B_real = len(chunk)
-                B = ingest.batch_pad(B_real, maxb)
+                B = ingest.batch_pad(B_real, cap)
                 t0 = np.zeros(B, np.int64)
                 vlen = np.zeros(B, np.int64)
                 n_obs = np.zeros(B, np.int64)
@@ -769,6 +777,7 @@ class PipelineRunner:
                     max_timeline_points=icfg.max_timeline_points,
                     freq_minutes=freq,
                     max_batch=self.config.processing.batch_size,
+                    max_slots=self.config.processing.max_slots_per_batch,
                     dtype=self.np_dtype,
                     compact=(icfg.method != "cubic"),
                 )
@@ -779,7 +788,11 @@ class PipelineRunner:
                 if icfg.method == "cubic":
                     bs = [b for orig in bs
                           for b in _split_by_obs_count(
-                              orig, self.config.processing.batch_size)]
+                              orig, ingest.bucket_batch_cap(
+                                  orig.bucket_len,
+                                  self.config.processing.batch_size,
+                                  self.config.processing
+                                  .max_slots_per_batch))]
                 yield from bs
 
         max_gap = icfg.max_gap_hours * 60 if icfg.max_gap_hours else 0
