@@ -26,12 +26,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from iv_interpolation_tpu.ops.lm import LMResult, levenberg_marquardt
 
 # parameter order: (alpha, beta, rho, nu); beta usually fixed in [0, 1]
-SABR_LOWER = jnp.array([1e-6, 0.0, -0.9999, 1e-6])
-SABR_UPPER = jnp.array([10.0, 1.0, 0.9999, 10.0])
+# numpy on purpose — see ops/svi.py note on trace-linked module constants
+SABR_LOWER = np.array([1e-6, 0.0, -0.9999, 1e-6])
+SABR_UPPER = np.array([10.0, 1.0, 0.9999, 10.0])
 
 
 def sabr_vol(params: jax.Array, F, K, T) -> jax.Array:

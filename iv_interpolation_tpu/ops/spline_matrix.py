@@ -134,6 +134,9 @@ def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
     k_grid = jnp.broadcast_to(ops.queries[None], w_grid.shape)
 
     from iv_interpolation_tpu.surface.arbitrage import butterfly_g
+    # NB: this import is lazy to avoid a package-import cost at module
+    # load, but it can run during tracing — safe only because arbitrage/
+    # svi/sabr keep module-level constants as numpy (see ops/svi.py)
     g = butterfly_g(k_grid, w_grid, w1, w2)
     iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0) / jnp.maximum(T, 1e-12))
     butterfly_ok = jnp.all(g >= -1e-10, axis=(-2, -1))

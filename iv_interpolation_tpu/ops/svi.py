@@ -21,12 +21,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from iv_interpolation_tpu.ops.lm import LMResult, levenberg_marquardt
 
 # parameter order: (a, b, rho, m, sigma)
-SVI_LOWER = jnp.array([-10.0, 1e-6, -0.9999, -10.0, 1e-6])
-SVI_UPPER = jnp.array([10.0, 100.0, 0.9999, 10.0, 100.0])
+# numpy on purpose: module-level jnp constants become trace-linked if the
+# module is first imported inside a jit trace (a lazy import elsewhere),
+# leaking tracers into every later trace; numpy constants are immune
+SVI_LOWER = np.array([-10.0, 1e-6, -0.9999, -10.0, 1e-6])
+SVI_UPPER = np.array([10.0, 100.0, 0.9999, 10.0, 100.0])
 
 
 def svi_total_variance(params: jax.Array, k: jax.Array) -> jax.Array:
