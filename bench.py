@@ -47,15 +47,23 @@ def _iv_batch(B, rng, k_row):
     return jnp.asarray(np.broadcast_to(iv, (B, E, N_K)).copy())
 
 
+def _force(out):
+    """Fetch one element of the first output leaf. block_until_ready can
+    return before remote execution completes on this runtime (observed
+    2026-08-16: sub-ms 'completions' of multi-second programs unless a
+    value is fetched) — an actual d2h of a scalar is the only barrier
+    that is honest under both regimes."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(leaf.ravel()[0])
+
+
 def _median_time(fn, inputs):
     """Median wall time of fn over fresh inputs (last one warms up)."""
-    out = fn(*inputs[-1])
-    jax.block_until_ready(out)
+    _force(fn(*inputs[-1]))
     times = []
     for args in inputs[:-1]:
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
         times.append(time.perf_counter() - t0)
     return sorted(times)[len(times) // 2]
 
@@ -88,11 +96,13 @@ def bench_spline(rng):
     return best, best_B
 
 
-def bench_svi(rng, B=2048, n_iters=32):
+def bench_svi(rng, B=1024, n_iters=32, unroll=True):
     """SVI calibration at the production shape — B surfaces x 30 slices
     (BASELINE config #3 "30 slices x thousands of surfaces") with the
-    quasi-explicit init (round-1 PERF measured only 64x30 at heuristic
-    init). Returns (slices_per_sec, mean_rmse)."""
+    quasi-explicit init and unrolled LM (a looped LM is latency-bound at
+    ~1 ms/iteration on this runtime). B=1024 is the largest batch the
+    remote compile helper accepts for the unrolled program; larger
+    surface sets tile over it. Returns (slices_per_sec, mean_rmse)."""
     from iv_interpolation_tpu.ops.svi import (fit_svi_batched,
                                               svi_total_variance)
 
@@ -113,7 +123,7 @@ def bench_svi(rng, B=2048, n_iters=32):
         return jnp.asarray(k), jnp.asarray(w)
 
     fit = jax.jit(lambda k, w: fit_svi_batched(
-        k, w, max_iters=n_iters, init="quasi"))
+        k, w, max_iters=n_iters, init="quasi", unroll=unroll))
     inputs = [make_inputs() for _ in range(4)]
     dt = _median_time(fit, inputs)
     res = fit(*inputs[0])
@@ -166,7 +176,7 @@ def main():
         "batch": best_B,
         "device": str(jax.devices()[0]),
         "extra_metrics": [
-            {"metric": "svi_lm_slices_per_sec_2048x30_quasi32",
+            {"metric": "svi_lm_slices_per_sec_1024x30_quasi32",
              "value": round(svi_sps, 1), "unit": "slices/s",
              "rmse": round(svi_rmse, 6)},
             {"metric": "streaming_refit_underlyings_per_sec_1024",

@@ -140,6 +140,10 @@ class SurfaceConfig:
     # SVI batched Levenberg-Marquardt iteration budget
     lm_max_iters: int = 50
     svi_weighting: str = "uniform"  # 'uniform' | 'vega' residual weights
+    # inline the LM iterations (one straight-line program): ~30x faster
+    # at production batches on this runtime (a looped LM is
+    # latency-bound at ~1 ms/step) at the cost of a bigger compile
+    svi_unroll: bool = True
     smoothing_lam: float = 1e-4     # smoothing_spline curvature penalty
     # RBF / thin-plate
     rbf_smoothing: float = 1e-8

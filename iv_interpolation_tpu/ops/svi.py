@@ -124,17 +124,23 @@ def fit_svi(k: jax.Array, w: jax.Array, weights: jax.Array | None = None,
 
 
 @partial(jax.jit, static_argnames=("max_iters", "butterfly_penalty",
-                                   "init"))
+                                   "init", "unroll"))
 def fit_svi_batched(k: jax.Array, w: jax.Array,
                     weights: jax.Array | None = None,
                     max_iters: int = 64,
                     butterfly_penalty: float = 0.0,
-                    init: str = "heuristic") -> LMResult:
+                    init: str = "heuristic",
+                    unroll: bool = False) -> LMResult:
     """Batched SVI calibration: ``k``, ``w`` of shape (..., n_strikes).
 
     The whole batch (surfaces x expiries) runs as one vmapped LM — this is
     the benchmark configuration "30 slices x thousands of surfaces"
     (SURVEY.md §7.1).
+
+    ``unroll=True`` inlines the LM iterations — on this runtime an
+    on-device loop step costs ~1 ms regardless of width (docs/PERF.md),
+    so the looped form is latency-bound; unrolling trades a bigger
+    compile for ~30x faster execution at production batches.
     """
     if weights is None:
         weights = jnp.ones_like(w)
@@ -149,7 +155,7 @@ def fit_svi_batched(k: jax.Array, w: jax.Array,
     fit = jax.vmap(
         lambda p, kk, ww, wt: levenberg_marquardt(
             partial(_svi_residual, butterfly_penalty=butterfly_penalty),
-            p, kk, ww, wt, max_iters=max_iters,
+            p, kk, ww, wt, max_iters=max_iters, unroll=unroll,
             lower=SVI_LOWER.astype(w.dtype), upper=SVI_UPPER.astype(w.dtype),
         )
     )(p0, kf, wf, wtf)

@@ -204,6 +204,7 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 svi_iters=scfg.lm_max_iters,
                 svi_butterfly_penalty=scfg.butterfly_penalty,
                 svi_weighting=scfg.svi_weighting,
+                svi_unroll=scfg.svi_unroll,
                 smoothing_lam=scfg.smoothing_lam)
             results = [
                 {key: res_all[key][b:b + 1]

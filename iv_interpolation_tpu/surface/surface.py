@@ -63,7 +63,8 @@ class SurfaceFit:
 def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
                 svi_butterfly_penalty: float = 0.0,
                 svi_weighting: str = "uniform",
-                smoothing_lam: float = 0.0):
+                smoothing_lam: float = 0.0,
+                svi_unroll: bool = False):
     """Returns (knot values used by eval, coefficients). For
     'smoothing_spline' the knot values are the *smoothed* fit, not the
     observations."""
@@ -76,9 +77,12 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
         return fit.g, fit.M
     if method == "svi":
         weights = vega_weights(k, w) if svi_weighting == "vega" else None
+        # unroll: a looped LM is latency-bound (~1 ms/step) on this
+        # runtime; unrolling is ~30x faster at production batches
         return w, fit_svi_batched(
             k, w, weights=weights, max_iters=svi_iters,
-            butterfly_penalty=svi_butterfly_penalty).params
+            butterfly_penalty=svi_butterfly_penalty,
+            unroll=svi_unroll).params
     if method == "sabr":
         from iv_interpolation_tpu.ops.sabr import fit_sabr_batched
         # strikes on the forward-normalised axis: K = e^k, F = 1
@@ -93,12 +97,14 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
 
 @partial(jax.jit, static_argnames=("method", "svi_iters",
                                    "svi_butterfly_penalty",
-                                   "svi_weighting", "smoothing_lam"))
+                                   "svi_weighting", "smoothing_lam",
+                                   "svi_unroll"))
 def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                 method: str = "cubic_spline", svi_iters: int = 64,
                 svi_butterfly_penalty: float = 0.0,
                 svi_weighting: str = "uniform",
-                smoothing_lam: float = 0.0) -> SurfaceFit:
+                smoothing_lam: float = 0.0,
+                svi_unroll: bool = False) -> SurfaceFit:
     """Fit a batch of vol surfaces.
 
     Args:
@@ -110,7 +116,7 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     w = iv * iv * expiries[..., None]
     w_fit, coefs = _fit_slices(k, w, expiries, method, svi_iters,
                                svi_butterfly_penalty, svi_weighting,
-                               smoothing_lam)
+                               smoothing_lam, svi_unroll)
     return SurfaceFit(method=method, k=k, expiries=expiries, w=w_fit,
                       coefs=coefs)
 
@@ -189,13 +195,15 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("method", "n_grid", "svi_iters",
                                    "svi_butterfly_penalty",
-                                   "svi_weighting", "smoothing_lam"))
+                                   "svi_weighting", "smoothing_lam",
+                                   "svi_unroll"))
 def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                      method: str = "cubic_spline", n_grid: int = 50,
                      svi_iters: int = 64,
                      svi_butterfly_penalty: float = 0.0,
                      svi_weighting: str = "uniform",
-                     smoothing_lam: float = 0.0):
+                     smoothing_lam: float = 0.0,
+                     svi_unroll: bool = False):
     """Fused fit + dense-grid eval + arbitrage diagnostics — the benchmark
     hot path (fit + evaluate on the 30x50 grid).
 
@@ -206,7 +214,7 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     fit = fit_surface(k, iv, expiries, method=method, svi_iters=svi_iters,
                       svi_butterfly_penalty=svi_butterfly_penalty,
                       svi_weighting=svi_weighting,
-                      smoothing_lam=smoothing_lam)
+                      smoothing_lam=smoothing_lam, svi_unroll=svi_unroll)
     k_lo = jnp.max(k[..., 0], axis=-1)   # common support across expiries
     k_hi = jnp.min(k[..., -1], axis=-1)
     steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)
