@@ -126,11 +126,15 @@ def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
     else:
         T = expiries[..., None]
     w = iv * iv * T                       # (B, E, n)
-    dot = lambda M: jnp.einsum("ben,enm->bem", w, M,
-                               preferred_element_type=w.dtype)
-    w_grid = dot(ops.E0)
-    w1 = dot(ops.E1)
-    w2 = dot(ops.E2)
+    # one contraction against the concatenated (n, 3m) operator instead
+    # of three (n, m) ones: a single pass over w and a wider MXU tile
+    # (m=50 alone occupies <40% of a 128-lane tile); numerically
+    # identical — the same dot products, just batched
+    m = ops.E0.shape[-1]
+    EC = jnp.concatenate([ops.E0, ops.E1, ops.E2], axis=-1)  # (E, n, 3m)
+    out = jnp.einsum("ben,enq->beq", w, EC,
+                     preferred_element_type=w.dtype)
+    w_grid, w1, w2 = out[..., :m], out[..., m:2 * m], out[..., 2 * m:]
     k_grid = jnp.broadcast_to(ops.queries[None], w_grid.shape)
 
     from iv_interpolation_tpu.surface.arbitrage import butterfly_g
