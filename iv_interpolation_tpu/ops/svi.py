@@ -51,6 +51,34 @@ def svi_init(k: jax.Array, w: jax.Array) -> jax.Array:
     return jnp.array([a0, b0, 0.0, m0, 0.1 * span], w.dtype)
 
 
+def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 solve (Cramer / adjugate): pure
+    elementwise math instead of jnp.linalg.solve's batched LU — the
+    quasi-init solves G x batch tiny systems (millions at production
+    shapes) and the LU path dominated its wall time on TPU. The systems
+    are ridge-regularised normal equations, so the determinant is
+    bounded away from zero."""
+    a11, a12, a13 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a21, a22, a23 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a31, a32, a33 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = a22 * a33 - a23 * a32
+    c12 = a23 * a31 - a21 * a33
+    c13 = a21 * a32 - a22 * a31
+    det = a11 * c11 + a12 * c12 + a13 * c13
+    c21 = a13 * a32 - a12 * a33
+    c22 = a11 * a33 - a13 * a31
+    c23 = a12 * a31 - a11 * a32
+    c31 = a12 * a23 - a13 * a22
+    c32 = a13 * a21 - a11 * a23
+    c33 = a11 * a22 - a12 * a21
+    b1, b2, b3 = b[..., 0], b[..., 1], b[..., 2]
+    inv_det = 1.0 / det
+    x1 = (c11 * b1 + c21 * b2 + c31 * b3) * inv_det
+    x2 = (c12 * b1 + c22 * b2 + c32 * b3) * inv_det
+    x3 = (c13 * b1 + c23 * b2 + c33 * b3) * inv_det
+    return jnp.stack([x1, x2, x3], axis=-1)
+
+
 def svi_quasi_init(k: jax.Array, w: jax.Array, n_m: int = 8,
                    n_sigma: int = 8) -> jax.Array:
     """Quasi-explicit initialisation (Zeliade-style): for fixed (m, sigma)
@@ -74,7 +102,7 @@ def svi_quasi_init(k: jax.Array, w: jax.Array, n_m: int = 8,
     A = jnp.einsum("gni,gnj->gij", X, X)
     A = A + 1e-10 * jnp.eye(3, dtype=w.dtype)
     rhs = jnp.einsum("gni,n->gi", X, w)
-    sol = jnp.linalg.solve(A, rhs[..., None])[..., 0]    # (G, 3) = (a, c, d)
+    sol = _solve3x3(A, rhs)                              # (G, 3) = (a, c, d)
     # project into the valid cone: d >= |c| >= 0
     a_, c_, d_ = sol[:, 0], sol[:, 1], sol[:, 2]
     d_ = jnp.maximum(d_, 1e-8)
