@@ -35,10 +35,17 @@ def scatter_batch(obs_vals: jax.Array, obs_row: jax.Array,
     the out-of-range row sentinel obs_row == B and are dropped.
 
     Returns (values, obs_mask, timeline_mask)."""
+    # (row, pos) pairs are unique and lexicographically sorted (the
+    # packer emits row-major runs; padding rows carry the max sentinel).
+    # The hints matter enormously: an unhinted scatter lowers to a
+    # serial path on this backend (measured 90s vs sub-second for this
+    # exact shape — docs/PERF.md).
     grid = jnp.full((B, C, L), jnp.nan, obs_vals.dtype)
-    grid = grid.at[obs_row, :, obs_pos].set(obs_vals, mode="drop")
+    grid = grid.at[obs_row, :, obs_pos].set(
+        obs_vals, mode="drop", unique_indices=True,
+        indices_are_sorted=True)
     obs_mask = jnp.zeros((B, L), bool).at[obs_row, obs_pos].set(
-        True, mode="drop")
+        True, mode="drop", unique_indices=True, indices_are_sorted=True)
     timeline_mask = jnp.arange(L)[None, :] < valid_len[:, None]
     return grid, obs_mask, timeline_mask
 
