@@ -64,8 +64,9 @@ def levenberg_marquardt(residual_fn: Callable, params0: jax.Array, *args,
         p, lam, cost, n_acc, converged = state
         r = residual_fn(p, *args)
         J = jax.jacfwd(residual_fn)(p, *args)          # (M, P)
-        g = J.T @ r                                    # gradient (P,)
-        JtJ = J.T @ J
+        hp = jax.lax.Precision.HIGHEST  # full-f32 MXU (default is bf16)
+        g = jnp.matmul(J.T, r, precision=hp)           # gradient (P,)
+        JtJ = jnp.matmul(J.T, J, precision=hp)
         diag = jnp.diag(JtJ)
         # Marquardt scaling with a floor so flat directions stay regularised
         damp = lam * jnp.maximum(diag, 1e-12)

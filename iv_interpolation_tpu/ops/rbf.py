@@ -88,9 +88,10 @@ def eval_rbf(fit: dict, query: jax.Array, kernel: str = "thin_plate",
     """Evaluate a fitted RBF surface at ``query`` (M, 2) -> (M,)."""
     r = _pairwise_r(query, fit["points"])
     K = _kernel(r, kernel, epsilon)
-    out = K @ fit["coef"]
+    hp = jax.lax.Precision.HIGHEST  # full-f32 MXU (default truncates to bf16)
+    out = jnp.matmul(K, fit["coef"], precision=hp)
     poly = fit["poly"]
-    return out + poly[0] + query @ poly[1:]
+    return out + poly[0] + jnp.matmul(query, poly[1:], precision=hp)
 
 
 def fit_eval_rbf_batched(points, values, query, smoothing=0.0,

@@ -71,10 +71,14 @@ def fit_smoothing_spline(x: jax.Array, y: jax.Array,
     Q = Q.at[..., i + 1, i].set(-1.0 / h[..., :-1] - 1.0 / h[..., 1:])
     Q = Q.at[..., i + 2, i].set(1.0 / h[..., 1:])
 
-    QtQ = jnp.einsum("...nm,...nk->...mk", Q, Q)
-    Qty = jnp.einsum("...nm,...n->...m", Q, y)
+    # HIGHEST: Q entries scale like 1/h — the TPU MXU's default bf16
+    # operand truncation corrupts these contractions (see spline_matrix)
+    hp = jax.lax.Precision.HIGHEST
+    QtQ = jnp.einsum("...nm,...nk->...mk", Q, Q, precision=hp)
+    Qty = jnp.einsum("...nm,...n->...m", Q, y, precision=hp)
     gamma = jnp.linalg.solve(R + lam * QtQ, Qty[..., None])[..., 0]
-    g = y - lam[..., 0, 0, None] * jnp.einsum("...nm,...m->...n", Q, gamma)
+    g = y - lam[..., 0, 0, None] * jnp.einsum("...nm,...m->...n", Q, gamma,
+                                              precision=hp)
     M = jnp.concatenate([
         jnp.zeros(batch + (1,), x.dtype), gamma,
         jnp.zeros(batch + (1,), x.dtype)], axis=-1)

@@ -37,18 +37,39 @@ class SplineOperator(NamedTuple):
     E2: jax.Array       # (n, m) second-derivative operator
 
 
-def _curvature_operator(x: jax.Array) -> jax.Array:
-    """G (n, n) with M = G y for the natural cubic spline on knots x."""
+def _curvature_operator(x: jax.Array, bc_type: str = "natural") -> jax.Array:
+    """G (n, n) with M = G y for the cubic spline on knots x.
+
+    ``natural`` pins M=0 at the end knots — cheap, but it flattens the
+    fitted w'' at the grid edges, which shows up as spurious negative
+    butterfly-g at the first/last eval columns on smiles whose true
+    curvature is positive there (measured: 63% of clean quadratic smiles
+    flagged). ``not-a-knot`` (SciPy's default; third derivative
+    continuous at x1/x[n-2]) tracks smooth smiles exactly and keeps the
+    diagnostics edge-artifact-free.
+    """
     n = x.shape[0]
     h = jnp.diff(x)
-    # T: tridiagonal system matrix (rows 0, n-1: identity -> M = 0)
     T = jnp.zeros((n, n), x.dtype)
-    T = T.at[0, 0].set(1.0).at[n - 1, n - 1].set(1.0)
     i = jnp.arange(1, n - 1)
     T = T.at[i, i - 1].set(h[:-1] / 6.0)
     T = T.at[i, i].set((h[:-1] + h[1:]) / 3.0)
     T = T.at[i, i + 1].set(h[1:] / 6.0)
-    # C: rhs operator, b = C y with b_i = s_i - s_{i-1}
+    if bc_type == "natural":
+        # rows 0, n-1: identity -> M = 0
+        T = T.at[0, 0].set(1.0).at[n - 1, n - 1].set(1.0)
+    elif bc_type == "not-a-knot":
+        # S''' continuous at x1: (M1-M0)/h0 = (M2-M1)/h1, rhs 0
+        T = T.at[0, 0].set(1.0 / h[0])
+        T = T.at[0, 1].set(-1.0 / h[0] - 1.0 / h[1])
+        T = T.at[0, 2].set(1.0 / h[1])
+        # S''' continuous at x[n-2]
+        T = T.at[n - 1, n - 3].set(1.0 / h[n - 3])
+        T = T.at[n - 1, n - 2].set(-1.0 / h[n - 3] - 1.0 / h[n - 2])
+        T = T.at[n - 1, n - 1].set(1.0 / h[n - 2])
+    else:
+        raise ValueError(f"unsupported bc_type for operator form: {bc_type!r}")
+    # C: rhs operator, b = C y with b_i = s_i - s_{i-1} (end rows stay 0)
     C = jnp.zeros((n, n), x.dtype)
     C = C.at[i, i - 1].set(1.0 / h[:-1])
     C = C.at[i, i].set(-1.0 / h[:-1] - 1.0 / h[1:])
@@ -56,15 +77,15 @@ def _curvature_operator(x: jax.Array) -> jax.Array:
     return jnp.linalg.solve(T, C)
 
 
-@jax.jit
-def build_spline_operator(knots: jax.Array,
-                          queries: jax.Array) -> SplineOperator:
+@partial(jax.jit, static_argnames=("bc_type",))
+def build_spline_operator(knots: jax.Array, queries: jax.Array,
+                          bc_type: str = "natural") -> SplineOperator:
     """Precompute E0/E1/E2 for a (knots, queries) pair. O(n^3 + m n) —
     done once per grid, amortised over the whole batch."""
     x = knots
     t = queries
     n = x.shape[0]
-    G = _curvature_operator(x)
+    G = _curvature_operator(x, bc_type)
 
     idx = jnp.clip(
         (t[:, None] >= x[None, 1:-1]).sum(axis=-1), 0, n - 2)
@@ -93,18 +114,30 @@ def build_spline_operator(knots: jax.Array,
 @jax.jit
 def apply_spline_operator(op: SplineOperator, y: jax.Array):
     """Evaluate (S, S', S'') for a batch of smiles: y (..., n) -> (..., m)
-    — three MXU contractions."""
-    f32 = partial(jnp.matmul, preferred_element_type=y.dtype)
+    — three MXU contractions.
+
+    Precision HIGHEST is required, not a nicety: the TPU MXU's default
+    precision truncates f32 operands to bf16, and E2 entries scale like
+    1/h^2 (~±600 at n=50 on [-1,1]), so bf16 products corrupt S'' badly
+    enough to flip the sign of butterfly-g on clean smiles (root-caused
+    2026-08-16; CPU f32 was fine, TPU f32 default precision was not).
+    """
+    f32 = partial(jnp.matmul, preferred_element_type=y.dtype,
+                  precision=jax.lax.Precision.HIGHEST)
     return f32(y, op.E0), f32(y, op.E1), f32(y, op.E2)
 
 
-def build_surface_operators(k_knots: jax.Array, queries: jax.Array):
+def build_surface_operators(k_knots: jax.Array, queries: jax.Array,
+                            bc_type: str = "natural"):
     """Per-expiry operators: k_knots (E, n), queries (m,) or (E, m) ->
-    stacked (E, n, m) operator tensors."""
+    stacked (E, n, m) operator tensors. ``bc_type='not-a-knot'`` is
+    recommended when the butterfly/calendar diagnostics matter (see
+    :func:`_curvature_operator`)."""
     if queries.ndim == 1:
         queries = jnp.broadcast_to(queries, (k_knots.shape[0],
                                              queries.shape[0]))
-    return jax.vmap(build_spline_operator)(k_knots, queries)
+    return jax.vmap(partial(build_spline_operator, bc_type=bc_type))(
+        k_knots, queries)
 
 
 @jax.jit
@@ -132,8 +165,12 @@ def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
     # identical — the same dot products, just batched
     m = ops.E0.shape[-1]
     EC = jnp.concatenate([ops.E0, ops.E1, ops.E2], axis=-1)  # (E, n, 3m)
+    # precision HIGHEST: the MXU's default truncates f32 operands to
+    # bf16, which corrupts the 1/h^2-scaled E2 columns enough to flip
+    # butterfly-g signs — see apply_spline_operator
     out = jnp.einsum("ben,enq->beq", w, EC,
-                     preferred_element_type=w.dtype)
+                     preferred_element_type=w.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     w_grid, w1, w2 = out[..., :m], out[..., m:2 * m], out[..., 2 * m:]
     k_grid = jnp.broadcast_to(ops.queries[None], w_grid.shape)
 

@@ -99,9 +99,10 @@ def svi_quasi_init(k: jax.Array, w: jax.Array, n_m: int = 8,
     root = jnp.sqrt(y * y + 1.0)
     ones = jnp.ones_like(y)
     X = jnp.stack([ones, y, root], axis=-1)              # (G, n, 3)
-    A = jnp.einsum("gni,gnj->gij", X, X)
+    hp = jax.lax.Precision.HIGHEST  # full-f32 MXU (default truncates to bf16)
+    A = jnp.einsum("gni,gnj->gij", X, X, precision=hp)
     A = A + 1e-10 * jnp.eye(3, dtype=w.dtype)
-    rhs = jnp.einsum("gni,n->gi", X, w)
+    rhs = jnp.einsum("gni,n->gi", X, w, precision=hp)
     sol = _solve3x3(A, rhs)                              # (G, 3) = (a, c, d)
     # project into the valid cone: d >= |c| >= 0
     a_, c_, d_ = sol[:, 0], sol[:, 1], sol[:, 2]

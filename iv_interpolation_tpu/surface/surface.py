@@ -64,12 +64,17 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
                 svi_butterfly_penalty: float = 0.0,
                 svi_weighting: str = "uniform",
                 smoothing_lam: float = 0.0,
-                svi_unroll: bool = False):
+                svi_unroll: bool = False,
+                spline_bc: str = "natural"):
     """Returns (knot values used by eval, coefficients). For
     'smoothing_spline' the knot values are the *smoothed* fit, not the
     observations."""
     if method == "cubic_spline":
-        return w, fit_cubic_spline(k, w, bc_type="natural")
+        # 'not-a-knot' avoids the natural-BC edge artifact (fitted w''
+        # forced to 0 at the end knots) that produces spurious negative
+        # butterfly-g at the first/last grid columns — see
+        # ops.spline_matrix._curvature_operator.
+        return w, fit_cubic_spline(k, w, bc_type=spline_bc)
     if method == "smoothing_spline":
         from iv_interpolation_tpu.ops.smoothing_spline import (
             fit_smoothing_spline)
@@ -98,13 +103,14 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
 @partial(jax.jit, static_argnames=("method", "svi_iters",
                                    "svi_butterfly_penalty",
                                    "svi_weighting", "smoothing_lam",
-                                   "svi_unroll"))
+                                   "svi_unroll", "spline_bc"))
 def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                 method: str = "cubic_spline", svi_iters: int = 64,
                 svi_butterfly_penalty: float = 0.0,
                 svi_weighting: str = "uniform",
                 smoothing_lam: float = 0.0,
-                svi_unroll: bool = False) -> SurfaceFit:
+                svi_unroll: bool = False,
+                spline_bc: str = "natural") -> SurfaceFit:
     """Fit a batch of vol surfaces.
 
     Args:
@@ -112,11 +118,14 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       iv: (B, E, n) implied vols.
       expiries: (B, E) maturities in years (ascending in E).
       method: smile parameterisation ('cubic_spline' | 'svi').
+      spline_bc: boundary condition for 'cubic_spline' ('natural' |
+        'not-a-knot' | 'clamped'); 'not-a-knot' recommended when the
+        butterfly diagnostics matter.
     """
     w = iv * iv * expiries[..., None]
     w_fit, coefs = _fit_slices(k, w, expiries, method, svi_iters,
                                svi_butterfly_penalty, svi_weighting,
-                               smoothing_lam, svi_unroll)
+                               smoothing_lam, svi_unroll, spline_bc)
     return SurfaceFit(method=method, k=k, expiries=expiries, w=w_fit,
                       coefs=coefs)
 
@@ -196,14 +205,15 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("method", "n_grid", "svi_iters",
                                    "svi_butterfly_penalty",
                                    "svi_weighting", "smoothing_lam",
-                                   "svi_unroll"))
+                                   "svi_unroll", "spline_bc"))
 def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                      method: str = "cubic_spline", n_grid: int = 50,
                      svi_iters: int = 64,
                      svi_butterfly_penalty: float = 0.0,
                      svi_weighting: str = "uniform",
                      smoothing_lam: float = 0.0,
-                     svi_unroll: bool = False):
+                     svi_unroll: bool = False,
+                     spline_bc: str = "natural"):
     """Fused fit + dense-grid eval + arbitrage diagnostics — the benchmark
     hot path (fit + evaluate on the 30x50 grid).
 
@@ -214,7 +224,8 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     fit = fit_surface(k, iv, expiries, method=method, svi_iters=svi_iters,
                       svi_butterfly_penalty=svi_butterfly_penalty,
                       svi_weighting=svi_weighting,
-                      smoothing_lam=smoothing_lam, svi_unroll=svi_unroll)
+                      smoothing_lam=smoothing_lam, svi_unroll=svi_unroll,
+                      spline_bc=spline_bc)
     k_lo = jnp.max(k[..., 0], axis=-1)   # common support across expiries
     k_hi = jnp.min(k[..., -1], axis=-1)
     steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)

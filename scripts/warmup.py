@@ -59,8 +59,9 @@ def main():
     knots = jnp.asarray(np.broadcast_to(
         np.linspace(-1, 1, n, dtype=np.float32), (E, n)).copy())
     ops = build_surface_operators(
-        knots, jnp.linspace(-1, 1, m, dtype=jnp.float32))
-    for B in (8192, 32768):
+        knots, jnp.linspace(-1, 1, m, dtype=jnp.float32),
+        bc_type="not-a-knot")  # bench.py's operator variant
+    for B in (32768, 131072):
         iv = jnp.ones((B, E, n), jnp.float32) * 0.3
         out = fit_eval_surface_grid(
             ops, iv, jnp.linspace(0.05, 2.0, E, dtype=jnp.float32))
