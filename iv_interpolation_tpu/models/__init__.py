@@ -5,6 +5,7 @@ fit (calibration) and an evaluation path, all batched and jit-compiled.
 
   * cubic spline smiles   -> :mod:`iv_interpolation_tpu.models.spline`
   * SVI slices            -> :mod:`iv_interpolation_tpu.models.svi`
+  * eSSVI surfaces        -> :mod:`iv_interpolation_tpu.models.essvi`
   * SABR (Hagan)          -> :mod:`iv_interpolation_tpu.models.sabr`
   * RBF/thin-plate        -> :mod:`iv_interpolation_tpu.models.rbf`
   * Black-Scholes         -> :mod:`iv_interpolation_tpu.models.black_scholes`
@@ -13,6 +14,7 @@ fit (calibration) and an evaluation path, all batched and jit-compiled.
 
 from iv_interpolation_tpu.models import (  # noqa: F401
     black_scholes,
+    essvi,
     rbf,
     sabr,
     spline,

@@ -1,0 +1,235 @@
+"""eSSVI global vol-surface calibration (Gatheral-Jacquier SSVI, extended
+per-expiry as in Hendriks-Martini).
+
+The per-slice SVI path (``ops.svi``) treats every expiry independently:
+nothing ties slice i to slice i+1, so calendar arbitrage is only
+*diagnosed* after the fact. eSSVI is the industry-standard answer: one
+global surface with per-expiry parameters (theta, rho, psi),
+
+    w_i(k) = 1/2 * ( theta_i + rho_i psi_i k
+                     + sqrt((psi_i k + theta_i rho_i)^2
+                            + theta_i^2 (1 - rho_i^2)) ),
+
+where theta_i = w_i(0) is the ATM total variance. Structural guarantees
+baked into the parameter transform (so every LM iterate satisfies them,
+not just the converged fit):
+
+  * theta strictly increasing in expiry  -> no ATM calendar arbitrage
+    (cumulative-softplus parameterisation);
+  * |rho| < 1, psi in (0, psi_cap] with
+    psi_cap = min(4 / (1+|rho|), sqrt(4 theta / (1+|rho|)))
+    -> each slice is butterfly-arbitrage free (the Gatheral-Jacquier
+    sufficient conditions theta phi (1+|rho|) <= 4 and
+    theta phi^2 (1+|rho|) <= 4 with phi = psi/theta).
+
+Off-ATM calendar crossings between slices with different (rho, psi) are
+not excluded by those conditions alone; a hinge penalty on
+w_{i+1} - w_i over a dense common k-grid is part of the LM residual
+(``calendar_weight``), and the usual grid diagnostics still run in
+``surface.fit_eval_surface``.
+
+No reference analogue — the reference interpolates IV linearly in time
+per symbol (src/interpolation/core.py:58-61) and has no surface model;
+this extends the north-star SVI capability (BASELINE.json config #3) to
+a calendar-consistent global fit. TPU-first: the whole surface is ONE
+Levenberg-Marquardt problem over 3E transformed parameters, vmapped over
+thousands of surfaces; all constraints are smooth transforms, so there
+is no data-dependent control flow anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from iv_interpolation_tpu.ops.lm import levenberg_marquardt
+from iv_interpolation_tpu.ops.svi import _solve3x3
+
+_RHO_MAX = 0.999
+_PSI_FRAC = 0.999     # keep psi strictly inside the butterfly cap
+_THETA_MIN = 1e-6     # floor on the first slice's ATM variance
+_DTHETA_MIN = 1e-8    # floor on theta increments (strict monotonicity)
+
+
+class EssviFit(NamedTuple):
+    params: jax.Array     # (..., E, 3) per-expiry (theta, rho, psi)
+    cost: jax.Array       # (...,) final 0.5*sum(r^2)
+    n_accepted: jax.Array  # (...,) accepted LM steps
+    converged: jax.Array  # (...,) bool
+
+
+def essvi_w(params: jax.Array, k: jax.Array) -> jax.Array:
+    """Total variance for eSSVI ``params`` (..., 3) against k (..., n)."""
+    w, _, _ = essvi_w_derivs(params, k)
+    return w
+
+
+def essvi_w_derivs(params: jax.Array, k: jax.Array):
+    """(w, dw/dk, d2w/dk2) — all closed-form, for the butterfly g.
+
+    ``params``: (..., 3) = (theta, rho, psi); ``k``: (..., n) with the
+    leading dims broadcastable against params' batch dims.
+    """
+    theta = params[..., 0:1]
+    rho = params[..., 1:2]
+    psi = params[..., 2:3]
+    u = psi * k + theta * rho
+    R = jnp.sqrt(u * u + theta * theta * (1.0 - rho * rho))
+    R = jnp.maximum(R, 1e-12)
+    w = 0.5 * (theta + rho * psi * k + R)
+    w1 = 0.5 * psi * (rho + u / R)
+    w2 = 0.5 * psi * psi * theta * theta * (1.0 - rho * rho) / (R * R * R)
+    return w, w1, w2
+
+
+def essvi_g(params: jax.Array, k: jax.Array) -> jax.Array:
+    """Gatheral's butterfly g on a slice — closed-form derivatives."""
+    from iv_interpolation_tpu.surface.arbitrage import butterfly_g
+    w, w1, w2 = essvi_w_derivs(params, k)
+    return butterfly_g(k, w, w1, w2)
+
+
+def psi_butterfly_cap(theta: jax.Array, rho: jax.Array) -> jax.Array:
+    """Largest psi keeping the slice butterfly-free (sufficient
+    conditions, Gatheral-Jacquier Thm 4.2 with phi = psi/theta):
+    psi (1+|rho|) <= 4 and psi^2 (1+|rho|) <= 4 theta."""
+    one_r = 1.0 + jnp.abs(rho)
+    return jnp.minimum(4.0 / one_r, jnp.sqrt(4.0 * theta / one_r))
+
+
+# --- unconstrained z (3E,) <-> constrained (theta, rho, psi) (E, 3) ---
+
+def _transform(z: jax.Array, E: int):
+    """z = [z_theta (E,), z_rho (E,), z_psi (E,)] -> (E, 3) params with
+    theta strictly increasing, |rho| < 1, 0 < psi <= butterfly cap."""
+    z_th, z_rho, z_psi = z[:E], z[E:2 * E], z[2 * E:]
+    d = jax.nn.softplus(z_th) + _DTHETA_MIN
+    theta = jnp.cumsum(d) + _THETA_MIN
+    rho = _RHO_MAX * jnp.tanh(z_rho)
+    psi = _PSI_FRAC * psi_butterfly_cap(theta, rho) * jax.nn.sigmoid(z_psi)
+    return jnp.stack([theta, rho, psi], axis=-1)
+
+
+def _inv_softplus(y: jax.Array) -> jax.Array:
+    # stable log(expm1(y)); y > 0
+    y = jnp.maximum(y, 1e-8)
+    return y + jnp.log(-jnp.expm1(-y))
+
+
+def _inv_transform(theta: jax.Array, rho: jax.Array,
+                   psi: jax.Array) -> jax.Array:
+    """Best-effort inverse of :func:`_transform` for initialisation."""
+    d = jnp.diff(theta, prepend=jnp.zeros((1,), theta.dtype))
+    d = jnp.maximum(d - _DTHETA_MIN, 1e-6)
+    d = d.at[0].set(jnp.maximum(theta[0] - _THETA_MIN, 1e-6))
+    z_th = _inv_softplus(d)
+    z_rho = jnp.arctanh(jnp.clip(rho / _RHO_MAX, -0.995, 0.995))
+    frac = psi / jnp.maximum(_PSI_FRAC * psi_butterfly_cap(theta, rho),
+                             1e-12)
+    frac = jnp.clip(frac, 0.01, 0.99)
+    z_psi = jnp.log(frac) - jnp.log1p(-frac)
+    return jnp.concatenate([z_th, z_rho, z_psi])
+
+
+def essvi_init(k: jax.Array, w: jax.Array) -> jax.Array:
+    """Initial z from per-slice quadratic fits.
+
+    At k=0: w(0) = theta, w'(0) = rho psi,
+    w''(0) = psi^2 (1 - rho^2) / (2 theta), so a least-squares quadratic
+    w ~ a0 + a1 k + a2 k^2 per slice gives
+    psi = sqrt(a1^2 + 4 a2 theta), rho = a1 / psi. The 3x3 normal
+    equations are solved closed-form (``ops.svi._solve3x3``).
+    ``k``/``w``: (E, n).
+    """
+    ones = jnp.ones_like(k)
+    X = jnp.stack([ones, k, k * k], axis=-1)            # (E, n, 3)
+    hp = jax.lax.Precision.HIGHEST
+    A = jnp.einsum("eni,enj->eij", X, X, precision=hp)
+    A = A + 1e-8 * jnp.eye(3, dtype=w.dtype)
+    rhs = jnp.einsum("eni,en->ei", X, w, precision=hp)
+    sol = _solve3x3(A, rhs)                              # (E, 3)
+    theta = jnp.maximum(sol[:, 0], 1e-5)
+    # enforce increasing ATM variance before inversion (running max)
+    theta = jax.lax.associative_scan(jnp.maximum, theta)
+    theta = theta + 1e-6 * jnp.arange(theta.shape[0], dtype=theta.dtype)
+    s = sol[:, 1]                                        # ATM skew
+    c = jnp.maximum(2.0 * sol[:, 2], 0.0)                # ATM curvature
+    # psi^2 rho^2 = s^2 and psi^2 (1-rho^2) = 2 c theta
+    psi = jnp.sqrt(s * s + 2.0 * c * theta)
+    cap = _PSI_FRAC * psi_butterfly_cap(
+        theta, jnp.clip(s / jnp.maximum(psi, 1e-8), -0.9, 0.9))
+    psi = jnp.clip(psi, 0.05 * cap, 0.95 * cap)
+    rho = jnp.clip(s / jnp.maximum(psi, 1e-8), -0.95, 0.95)
+    return _inv_transform(theta, rho, psi)
+
+
+def _residual(z, k, w, weights, k_pen, calendar_weight, E):
+    params = _transform(z, E)                            # (E, 3)
+    r = (essvi_w(params, k) - w) * weights               # (E, n)
+    r = r.reshape(-1)
+    if calendar_weight > 0.0:
+        # hinge on adjacent-slice crossings over the common dense grid
+        wp = essvi_w(params, jnp.broadcast_to(k_pen, (E, k_pen.shape[-1])))
+        gap = wp[1:] - wp[:-1]                           # (E-1, m)
+        r = jnp.concatenate([
+            r, calendar_weight * jnp.minimum(gap, 0.0).reshape(-1)])
+    return r
+
+
+@partial(jax.jit, static_argnames=("max_iters", "calendar_weight",
+                                   "n_penalty_grid", "unroll"))
+def fit_essvi(k: jax.Array, w: jax.Array,
+              weights: jax.Array | None = None,
+              max_iters: int = 64,
+              calendar_weight: float = 10.0,
+              n_penalty_grid: int = 33,
+              unroll: bool = False) -> EssviFit:
+    """Calibrate one eSSVI surface: ``k``/``w`` (E, n) -> params (E, 3).
+
+    One global LM over 3E transformed parameters — every iterate is
+    butterfly-free per slice with increasing ATM variance by
+    construction. Batch with :func:`fit_essvi_batched`.
+    """
+    E = k.shape[-2]
+    if weights is None:
+        weights = jnp.ones_like(w)
+    k_pen = jnp.linspace(jnp.max(k[..., 0]), jnp.min(k[..., -1]),
+                         n_penalty_grid).astype(k.dtype)
+    z0 = essvi_init(k, w)
+    res = levenberg_marquardt(
+        partial(_residual, calendar_weight=calendar_weight, E=E),
+        z0, k, w, weights, k_pen, max_iters=max_iters, unroll=unroll)
+    return EssviFit(params=_transform(res.params, E), cost=res.cost,
+                    n_accepted=res.n_accepted, converged=res.converged)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "calendar_weight",
+                                   "n_penalty_grid", "unroll"))
+def fit_essvi_batched(k: jax.Array, w: jax.Array,
+                      weights: jax.Array | None = None,
+                      max_iters: int = 64,
+                      calendar_weight: float = 10.0,
+                      n_penalty_grid: int = 33,
+                      unroll: bool = False) -> EssviFit:
+    """Batched eSSVI: ``k``/``w`` (..., E, n) -> params (..., E, 3).
+
+    Unlike ``fit_svi_batched`` (which flattens surfaces x expiries into
+    independent 5-param problems), each SURFACE here is one joint
+    3E-parameter problem; only the surface axis is vmapped.
+    """
+    if weights is None:
+        weights = jnp.ones_like(w)
+    batch = w.shape[:-2]
+    E, n = w.shape[-2:]
+    kf = k.reshape((-1, E, n))
+    wf = w.reshape((-1, E, n))
+    wtf = weights.reshape((-1, E, n))
+    fit = jax.vmap(partial(fit_essvi, max_iters=max_iters,
+                           calendar_weight=calendar_weight,
+                           n_penalty_grid=n_penalty_grid,
+                           unroll=unroll))(kf, wf, wtf)
+    reshape = lambda a: a.reshape(batch + a.shape[1:])
+    return EssviFit(*map(reshape, fit))

@@ -88,6 +88,14 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
             k, w, weights=weights, max_iters=svi_iters,
             butterfly_penalty=svi_butterfly_penalty,
             unroll=svi_unroll).params
+    if method == "essvi":
+        from iv_interpolation_tpu.ops.essvi import fit_essvi_batched
+        weights = vega_weights(k, w) if svi_weighting == "vega" else None
+        # one joint 3E-param LM per surface: theta increasing and
+        # per-slice butterfly-free by construction (ops.essvi)
+        return w, fit_essvi_batched(
+            k, w, weights=weights, max_iters=svi_iters,
+            unroll=svi_unroll).params
     if method == "sabr":
         from iv_interpolation_tpu.ops.sabr import fit_sabr_batched
         # strikes on the forward-normalised axis: K = e^k, F = 1
@@ -117,7 +125,10 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       k: (B, E, n) log-moneyness of quotes per expiry (ascending in n).
       iv: (B, E, n) implied vols.
       expiries: (B, E) maturities in years (ascending in E).
-      method: smile parameterisation ('cubic_spline' | 'svi').
+      method: smile parameterisation ('cubic_spline' | 'smoothing_spline'
+        | 'svi' | 'essvi' | 'sabr'). 'essvi' fits one joint surface per
+        batch element (increasing ATM variance + butterfly-free slices
+        by construction — see ``ops.essvi``).
       spline_bc: boundary condition for 'cubic_spline' ('natural' |
         'not-a-knot' | 'clamped'); 'not-a-knot' recommended when the
         butterfly diagnostics matter.
@@ -142,6 +153,9 @@ def _eval_slices(fit: SurfaceFit, k_grid: jax.Array) -> jax.Array:
         iv = sabr_vol(fit.coefs, jnp.ones_like(fit.expiries),
                       jnp.exp(k_grid), fit.expiries)
         return iv * iv * fit.expiries[..., None]
+    if fit.method == "essvi":
+        from iv_interpolation_tpu.ops.essvi import essvi_w
+        return essvi_w(fit.coefs, k_grid)
     return svi_total_variance(fit.coefs, k_grid)
 
 
@@ -153,6 +167,9 @@ def _slice_g(fit: SurfaceFit, k_grid: jax.Array, w_grid: jax.Array) -> jax.Array
         return butterfly_g(k_grid, w_grid, w1, w2)
     if fit.method == "svi":
         return svi_g(fit.coefs, k_grid)
+    if fit.method == "essvi":
+        from iv_interpolation_tpu.ops.essvi import essvi_g
+        return essvi_g(fit.coefs, k_grid)
     return butterfly_g_fd(k_grid, w_grid)
 
 
@@ -194,6 +211,9 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
             iv = sabr_vol(c_s, jnp.ones_like(T_s), jnp.exp(k_q[..., :, None]),
                           T_s)[..., 0]
             return iv * iv * T_s
+        if fit.method == "essvi":
+            from iv_interpolation_tpu.ops.essvi import essvi_w
+            return essvi_w(c_s, k_q[..., :, None])[..., 0]
         return svi_total_variance(c_s, k_q[..., :, None])[..., 0]
 
     w0 = eval_at(lo)
