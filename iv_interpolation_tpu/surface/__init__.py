@@ -13,3 +13,8 @@ from iv_interpolation_tpu.surface.arbitrage import (  # noqa: F401
     calendar_violations,
     check_surface_arbitrage,
 )
+from iv_interpolation_tpu.surface.localvol import (  # noqa: F401
+    local_variance_grid,
+    local_vol_surface,
+    risk_neutral_density,
+)

@@ -1,0 +1,103 @@
+"""Dupire local volatility and Breeden-Litzenberger risk-neutral density
+from a fitted total-variance surface.
+
+Both are byproducts of the arbitrage machinery the surface path already
+computes: with w(k, T) total variance and Gatheral's butterfly function
+
+    g(k) = (1 - k w'/(2w))^2 - (w'^2/4)(1/w + 1/4) + w''/2
+
+(``surface.arbitrage.butterfly_g``, primes = d/dk), the Dupire local
+VARIANCE in total-variance form is
+
+    sigma_loc^2(k, T) = (dw/dT) / g(k)
+
+and the risk-neutral density of log-moneyness is
+
+    p(k) = g(k) / sqrt(2 pi w) * exp(-d_-^2 / 2),
+    d_-(k) = -k / sqrt(w) - sqrt(w) / 2 .
+
+So butterfly-freeness (g >= 0) and calendar-freeness (dw/dT >= 0) are
+exactly the conditions for a real local vol and a non-negative density —
+the diagnostics and the pricing objects are the same computation.
+
+No reference analogue (the reference has no surface model at all); this
+extends the north-star surface capability (BASELINE.json config #2) with
+the standard downstream pricing objects. Everything is elementwise on
+the evaluated grid — XLA fuses it into the fit+eval program.
+
+The maturity derivative uses the same convention as ``eval_surface``:
+linear in total variance between calibrated slices, so dw/dT is the
+forward difference of adjacent slices (piecewise constant in T). Grids
+come from ``fit_eval_surface`` outputs (``k_grid``/``w_grid``/``g``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def local_variance_grid(w_grid: jax.Array, g: jax.Array,
+                        expiries: jax.Array,
+                        eps: float = 1e-10) -> jax.Array:
+    """Dupire local variance on an evaluated ``(..., E, m)`` grid.
+
+    Args:
+      w_grid: (..., E, m) total variance (expiries ascending along -2).
+      g: (..., E, m) butterfly function on the same grid
+        (``fit_eval_surface``'s ``g`` output).
+      expiries: (..., E) maturities in years.
+      eps: floor for g and dT (negative g — butterfly arbitrage — has no
+        real local vol; values there are clamped, use the ``g`` output
+        to mask them).
+
+    Returns:
+      (..., E, m) local variance. Slice i carries the forward-in-T
+      derivative on [T_i, T_{i+1}]; the last slice reuses the final
+      interval (flat extrapolation, consistent with ``eval_surface``).
+      The first slice's "previous w" is 0 at T=0 (w(k, 0) = 0).
+    """
+    T = expiries[..., None]                              # (..., E, 1)
+    dT = T[..., 1:, :] - T[..., :-1, :]                  # (..., E-1, 1)
+    dw = w_grid[..., 1:, :] - w_grid[..., :-1, :]
+    fwd = dw / jnp.maximum(dT, eps)                      # (..., E-1, m)
+    # first slice: (w_1 - 0) / (T_1 - 0)
+    first = w_grid[..., :1, :] / jnp.maximum(T[..., :1, :], eps)
+    dwdT = jnp.concatenate([first, fwd], axis=-2)        # (..., E, m)
+    return dwdT / jnp.maximum(g, eps)
+
+
+@jax.jit
+def risk_neutral_density(k_grid: jax.Array, w_grid: jax.Array,
+                         g: jax.Array) -> jax.Array:
+    """Breeden-Litzenberger density of log-moneyness per slice.
+
+    p(k) = g(k) / sqrt(2 pi w) * exp(-d_-^2 / 2) with
+    d_- = -k/sqrt(w) - sqrt(w)/2. Non-negative iff g >= 0 (butterfly-
+    free); integrates to ~1 over a wide enough k range.
+    """
+    w = jnp.maximum(w_grid, 1e-12)
+    sqrt_w = jnp.sqrt(w)
+    d_minus = -k_grid / sqrt_w - sqrt_w / 2.0
+    return g / jnp.sqrt(2.0 * jnp.pi * w) * jnp.exp(-0.5 * d_minus ** 2)
+
+
+@jax.jit
+def local_vol_surface(out: dict, eps: float = 1e-10) -> dict:
+    """Local vol + density from a ``fit_eval_surface`` output dict.
+
+    Returns dict with ``local_var`` / ``local_vol`` (..., E, m), the
+    per-slice ``density`` (..., E, m), and ``local_vol_ok`` — True where
+    the surface admits a real local vol (g > 0 and dw/dT >= 0 on the
+    whole grid), i.e. butterfly_ok & calendar_ok.
+    """
+    w_grid, g, k_grid = out["w_grid"], out["g"], out["k_grid"]
+    expiries = out["fit"].expiries
+    lv = local_variance_grid(w_grid, g, expiries, eps)
+    return {
+        "local_var": lv,
+        "local_vol": jnp.sqrt(jnp.maximum(lv, 0.0)),
+        "density": risk_neutral_density(k_grid, w_grid, g),
+        "local_vol_ok": out["butterfly_ok"] & out["calendar_ok"],
+    }
