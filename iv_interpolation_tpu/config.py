@@ -135,8 +135,15 @@ class SurfaceConfig:
     """
 
     smile_method: str = "cubic_spline"
-    # 'cubic_spline' | 'smoothing_spline' | 'svi' | 'rbf'
+    # 'cubic_spline' | 'smoothing_spline' | 'svi' | 'essvi' | 'sabr' | 'rbf'
     grid_strikes: int = 50   # dense eval grid in strike (per expiry)
+    # cubic-spline boundary condition; 'not-a-knot' (SciPy's default)
+    # avoids the natural-BC edge artifact in the butterfly diagnostics
+    # (ops.spline_matrix._curvature_operator)
+    spline_bc: str = "not-a-knot"
+    # persist Dupire local vol + risk-neutral density columns with the
+    # evaluated grid (surface.localvol; slice-wise methods only)
+    compute_local_vol: bool = False
     # SVI batched Levenberg-Marquardt iteration budget
     lm_max_iters: int = 50
     svi_weighting: str = "uniform"  # 'uniform' | 'vega' residual weights

@@ -131,10 +131,13 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
     """Fit one surface per underlying from interpolated data and persist
     the evaluated grid + diagnostics.
 
-    ``surface.smile_method`` selects cubic_spline / svi / rbf;
-    ``surface.lm_max_iters`` bounds SVI calibration;
-    ``surface.butterfly_penalty`` adds the no-arb hinge to SVI fits;
-    ``surface.rbf_kernel`` / ``surface.rbf_smoothing`` shape the RBF path.
+    ``surface.smile_method`` selects cubic_spline / smoothing_spline /
+    svi / essvi / sabr / rbf; ``surface.lm_max_iters`` bounds LM
+    calibration; ``surface.butterfly_penalty`` adds the no-arb hinge to
+    SVI fits; ``surface.spline_bc`` picks the cubic boundary condition;
+    ``surface.rbf_kernel`` / ``surface.rbf_smoothing`` shape the RBF
+    path; ``surface.compute_local_vol`` persists Dupire local vol and
+    risk-neutral density columns alongside the grid.
     """
     scfg = config.surface
     method = method or scfg.smile_method
@@ -205,11 +208,17 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 svi_butterfly_penalty=scfg.butterfly_penalty,
                 svi_weighting=scfg.svi_weighting,
                 svi_unroll=scfg.svi_unroll,
-                smoothing_lam=scfg.smoothing_lam)
+                smoothing_lam=scfg.smoothing_lam,
+                spline_bc=scfg.spline_bc)
+            keys = ["k_grid", "w_grid", "iv_grid",
+                    "butterfly_ok", "calendar_ok"]
+            if scfg.compute_local_vol:
+                from iv_interpolation_tpu.surface.localvol import (
+                    local_vol_surface)
+                res_all = {**res_all, **local_vol_surface(res_all)}
+                keys += ["local_vol", "density"]
             results = [
-                {key: res_all[key][b:b + 1]
-                 for key in ("k_grid", "w_grid", "iv_grid",
-                             "butterfly_ok", "calendar_ok")}
+                {key: res_all[key][b:b + 1] for key in keys}
                 for b in range(B)
             ]
         for b, (und, slices) in enumerate(group):
@@ -227,6 +236,11 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 "total_variance": w.ravel(),
                 "iv": ivg.ravel(),
             })
+            if "local_vol" in res:
+                sdf["local_vol"] = np.asarray(
+                    res["local_vol"][0])[:E_use].ravel()
+                sdf["density"] = np.asarray(
+                    res["density"][0])[:E_use].ravel()
             sdf["butterfly_ok"] = bool(res["butterfly_ok"][0])
             sdf["calendar_ok"] = bool(res["calendar_ok"][0])
             out_frames.append(sdf)

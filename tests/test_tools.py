@@ -157,7 +157,7 @@ def test_cli_rejects_unknown_task():
         cli.main(["--task", "nonsense"])
 
 
-@pytest.mark.parametrize("method", ["svi", "rbf"])
+@pytest.mark.parametrize("method", ["svi", "essvi", "rbf"])
 def test_surface_task_alternative_methods(ran_store, method):
     from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
     cfg, store = ran_store
@@ -167,6 +167,34 @@ def test_surface_task_alternative_methods(ran_store, method):
     # 3 sample symbols -> 1 usable chain at most; tolerate 0 if chain too
     # small, but the call must succeed and report its method
     assert rep.get("method", method) == method or rep["surfaces"] == 0
+
+
+def test_surface_task_local_vol_columns(tmp_path):
+    """surface.compute_local_vol persists Dupire local vol + density
+    columns alongside the evaluated grid (real chain: 2 expiries x 6
+    strikes of one underlying)."""
+    import numpy as np
+    from iv_interpolation_tpu.pipeline.surface_task import (SURFACES,
+                                                            run_surface_fit)
+    cfg = get_config("testing")
+    cfg.checkpoint.manifest_dir = str(tmp_path / "runs")
+    cfg.interpolation.min_data_points = 5
+    cfg.surface.compute_local_vol = True
+    symbols = [f"btc-{exp}-{strike}-c"
+               for exp in ("28apr23", "30jun23")
+               for strike in (20000, 22000, 24000, 26000, 28000, 30000)]
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(hours=8,
+                                                    symbols=symbols))
+    runner = PipelineRunner(cfg, store=store)
+    runner.run_task1()
+    rep = run_surface_fit(cfg, store)
+    assert rep["surfaces"] == 1
+    df = store.read(SURFACES)
+    assert "local_vol" in df.columns and "density" in df.columns
+    assert np.isfinite(df["local_vol"]).all()
+    assert np.isfinite(df["density"]).all()
+    assert (df["local_vol"] >= 0).all()
 
 
 def test_parquet_parts_and_compaction(tmp_path):
