@@ -31,6 +31,20 @@ def main():
     w_q = eval_surface(out["fit"], jnp.zeros((B, 1)), jnp.full((B, 1), 0.7))
     print("w(k=0, T=0.7) sample:", float(w_q[0, 0]))
 
+    # Dupire local vol + risk-neutral density — byproducts of the
+    # arbitrage machinery on the evaluated grid
+    from iv_interpolation_tpu.surface import local_vol_surface
+
+    lv = local_vol_surface(out)
+    print("local vol grid:", lv["local_vol"].shape,
+          "| admits real local vol:", int(lv["local_vol_ok"].sum()), "/", B)
+
+    # eSSVI: one global fit per surface — butterfly-free slices and
+    # increasing ATM variance guaranteed by construction
+    out_e = fit_eval_surface(k, iv, T, method="essvi", n_grid=50,
+                             svi_iters=48)
+    print("essvi butterfly-free:", int(out_e["butterfly_ok"].sum()), "/", B)
+
     # ------------------------------------------------------------------
     # 2. Greek surfaces from the fit
     # ------------------------------------------------------------------
