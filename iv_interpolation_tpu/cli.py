@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write synthetic hourly tickers to storage")
     p.add_argument("--symbols", type=int, default=None,
                    help="limit number of symbols processed")
+    p.add_argument("--method", default=None,
+                   choices=["cubic_spline", "smoothing_spline", "svi",
+                            "essvi", "sabr", "rbf"],
+                   help="smile/surface family for --task surface "
+                        "(default: config surface.smile_method)")
     p.add_argument("--env", choices=["development", "testing", "production"],
                    default=None, help="environment preset")
     p.add_argument("--storage", choices=["parquet", "memory", "postgres"],
@@ -295,7 +300,8 @@ def _dispatch(args, runner, limit):
     elif args.task == "surface":
         from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
         out = {"surface": run_surface_fit(runner.config, runner.store,
-                                          limit=limit)}
+                                          limit=limit,
+                                          method=args.method)}
     elif args.task == "serve":
         from iv_interpolation_tpu.pipeline.serve import run_serve
         run_serve(runner.config, runner.store, port=args.serve_port,

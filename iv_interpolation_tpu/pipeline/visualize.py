@@ -156,15 +156,23 @@ class PipelineVisualizer:
             return None
         und = surf["underlying"].iloc[0]
         sub = surf[surf["underlying"] == und]
-        piv = sub.pivot_table(index="expiry_t", columns="log_moneyness",
-                              values="iv")
-        fig, ax = plt.subplots(figsize=(9, 5))
-        im = ax.pcolormesh(piv.columns, piv.index, piv.values,
-                           shading="auto", cmap="viridis")
-        fig.colorbar(im, ax=ax, label="implied vol")
-        ax.set_xlabel("log-moneyness")
-        ax.set_ylabel("maturity (years)")
-        ax.set_title(f"{und} fitted vol surface")
+        has_lv = "local_vol" in sub.columns
+        fig, axes = plt.subplots(1, 2 if has_lv else 1,
+                                 figsize=(16 if has_lv else 9, 5))
+        axes = axes if has_lv else [axes]
+        panels = [("iv", "implied vol", "fitted vol surface")]
+        if has_lv:
+            panels.append(("local_vol", "local vol",
+                           "Dupire local vol"))
+        for ax, (col, label, title) in zip(axes, panels):
+            piv = sub.pivot_table(index="expiry_t",
+                                  columns="log_moneyness", values=col)
+            im = ax.pcolormesh(piv.columns, piv.index, piv.values,
+                               shading="auto", cmap="viridis")
+            fig.colorbar(im, ax=ax, label=label)
+            ax.set_xlabel("log-moneyness")
+            ax.set_ylabel("maturity (years)")
+            ax.set_title(f"{und} {title}")
         return self._save(fig, "surface_analysis.png")
 
     def summary_report(self) -> dict:

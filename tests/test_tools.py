@@ -361,3 +361,21 @@ def test_cli_compact(tmp_path, monkeypatch, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["trading_tickers"]["parts_after"] == 1
+
+
+def test_cli_surface_method_flag(tmp_path, monkeypatch, capsys):
+    """--task surface --method essvi overrides config.smile_method."""
+    from iv_interpolation_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "data")
+    assert cli.main(["--generate-sample-tickers", "--symbols", "12",
+                     "--env", "development", "--json",
+                     "--data-root", root]) == 0
+    assert cli.main(["--task", "interpolation", "--env", "development",
+                     "--json", "--data-root", root]) == 0
+    rc = cli.main(["--task", "surface", "--method", "essvi",
+                   "--env", "development", "--json", "--data-root", root])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["surface"]["method"] == "essvi"

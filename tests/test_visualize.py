@@ -46,3 +46,14 @@ def test_empty_store_degrades_gracefully(tmp_path):
     assert viz.surface_analysis() is None
     path = viz.data_flow_diagram()  # renders with zero counts
     assert os.path.exists(path)
+
+
+def test_surface_analysis_local_vol_panel(ran):
+    """With local_vol persisted, the surface figure gains a second
+    (Dupire local vol) panel and still renders."""
+    cfg, store, tmp = ran
+    cfg.surface.compute_local_vol = True
+    run_surface_fit(cfg, store)
+    viz = PipelineVisualizer(store, out_dir=str(tmp / "figs_lv"))
+    path = viz.surface_analysis()
+    assert path is not None and os.path.getsize(path) > 10_000
