@@ -169,6 +169,46 @@ def bench_svi(rng, B=1024, n_iters=32, unroll=True):
     return B * E / dt, rmse
 
 
+def bench_essvi(rng, B=1024, n_iters=32):
+    """eSSVI global surface calibration at the production shape — one
+    joint 3E-parameter LM per surface (theta increasing + butterfly-free
+    slices by construction, ops/essvi.py). Compute-bound (the P=90
+    Cholesky solve dominates), so the looped LM suffices — unroll was
+    measured within noise. Returns (surfaces_per_sec, mean_rmse)."""
+    from iv_interpolation_tpu.ops.essvi import essvi_w, fit_essvi_batched
+
+    n = N_K
+    k_row = np.linspace(-1.2, 1.2, n, dtype=np.float32)
+    k_dev = jnp.asarray(np.broadcast_to(k_row, (B, E, n)).copy())
+
+    @jax.jit
+    def gen_w(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+        th0 = jax.random.uniform(keys[0], (B, E), jnp.float32, 0.005, 0.03)
+        theta = jnp.cumsum(th0, axis=-1)
+        rho = jax.random.uniform(keys[1], (B, 1), jnp.float32, -0.6, 0.6)
+        rho = jnp.broadcast_to(rho, (B, E))
+        frac = jnp.broadcast_to(
+            jax.random.uniform(keys[2], (B, 1), jnp.float32, 0.2, 0.7),
+            (B, E))
+        one_r = 1.0 + jnp.abs(rho)
+        cap = jnp.minimum(4.0 / one_r, jnp.sqrt(4.0 * theta / one_r))
+        params = jnp.stack([theta, rho, cap * frac], axis=-1)
+        w = essvi_w(params, k_dev)
+        return w + 1e-4 * jax.random.normal(keys[3], (B, E, n), jnp.float32)
+
+    seed0 = int(rng.integers(0, 2**31 - 16))
+    fit = jax.jit(lambda k, w: fit_essvi_batched(k, w, max_iters=n_iters))
+    inputs = [(k_dev, gen_w(seed0 + i)) for i in range(4)]
+    for args in inputs:
+        jax.block_until_ready(args)
+    dt = _median_time(fit, inputs)
+    res = fit(*inputs[0])
+    rmse = float(jnp.sqrt(jnp.mean(
+        (essvi_w(res.params, k_dev) - inputs[0][1]) ** 2)))
+    return B / dt, rmse
+
+
 def bench_streaming(rng, B=1024, L_ticks=4096, n_minutes=512):
     """Streaming chain (ticks -> 1-min -> 5-min -> surface refit) per
     underlying — BASELINE config #5's 1k-underlying streaming batch."""
@@ -206,6 +246,7 @@ def main():
 
     best, best_B = bench_spline(rng)
     svi_sps, svi_rmse = bench_svi(rng)
+    essvi_sps, essvi_rmse = bench_essvi(rng)
     stream_ups = bench_streaming(rng)
 
     value = round(best, 1)
@@ -220,6 +261,9 @@ def main():
             {"metric": "svi_lm_slices_per_sec_1024x30_quasi32",
              "value": round(svi_sps, 1), "unit": "slices/s",
              "rmse": round(svi_rmse, 6)},
+            {"metric": "essvi_surfaces_per_sec_1024x30x50_iters32",
+             "value": round(essvi_sps, 1), "unit": "surfaces/s",
+             "rmse": round(essvi_rmse, 6)},
             {"metric": "streaming_refit_underlyings_per_sec_1024",
              "value": round(stream_ups, 1), "unit": "underlyings/s"},
         ],
