@@ -95,3 +95,26 @@ def test_pad_to_multiple():
     assert pad_to_multiple(17, 8) == 24
     assert pad_to_multiple(16, 8) == 16
     assert pad_to_multiple(1, 8) == 8
+
+
+def test_sharded_essvi_fit_matches_single_device(rng):
+    """eSSVI (one joint LM per surface) shards over the data axis like
+    every other method: identical numerics sharded vs unsharded."""
+    from iv_interpolation_tpu.ops.essvi import fit_essvi_batched
+
+    B, E, n = 16, 4, 15
+    k = jnp.broadcast_to(jnp.linspace(-1, 1, n), (B, E, n))
+    theta = jnp.cumsum(
+        jnp.array(rng.uniform(0.01, 0.05, (B, E))), axis=-1)
+    w = theta[..., None] * (1.0 + 0.1 * k * k)
+
+    ref = fit_essvi_batched(k, w, max_iters=16).params
+
+    mesh = make_mesh((8, 1))
+    sh = surface_batch_sharding(mesh)
+    ks, ws = jax.device_put(k, sh), jax.device_put(w, sh)
+    out = jax.jit(
+        lambda a, b: fit_essvi_batched(a, b, max_iters=16).params
+    )(ks, ws)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-12)
