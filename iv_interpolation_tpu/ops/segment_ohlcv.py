@@ -36,16 +36,19 @@ class Candles(NamedTuple):
     valid: jax.Array  # bool — bucket complete & non-empty
 
 
-@partial(jax.jit, static_argnames=("num_segments", "min_count"))
+@partial(jax.jit, static_argnames=("num_segments", "min_count",
+                                   "assume_sorted"))
 def aggregate_ohlcv(minutes: jax.Array, o: jax.Array, h: jax.Array,
                     l: jax.Array, c: jax.Array, v: jax.Array,
                     valid: jax.Array, bucket_minutes: jax.Array,
                     base_bucket: jax.Array, *, num_segments: int,
-                    min_count: int) -> Candles:
+                    min_count: int, assume_sorted: bool = False) -> Candles:
     """Aggregate 1-minute bars into ``bucket_minutes``-minute candles.
 
     Args:
-      minutes: ``(L,)`` int — bar timestamps in epoch minutes.
+      minutes: ``(L,)`` int — bar timestamps in epoch minutes. Valid rows
+        MUST be time-sorted (the open/close = first/last-in-bucket rule
+        relies on row order); invalid rows may carry anything.
       o/h/l/c/v: ``(L,)`` float — OHLCV columns.
       valid: ``(L,)`` bool — padding / missing-bar mask.
       bucket_minutes: scalar int — target frequency (e.g. 5).
@@ -55,6 +58,15 @@ def aggregate_ohlcv(minutes: jax.Array, o: jax.Array, h: jax.Array,
       num_segments: static output length.
       min_count: static incomplete-bucket threshold (reference
         ``frequency_minutes``, core.py:88).
+      assume_sorted: use the scatter-free segmented-scan path. XLA
+        lowers ``segment_*`` to scatters, which hit a serial path on
+        this backend whenever indices repeat (every real candle bucket
+        does) — measured 414 ms for a (1024, 4096)-tick batch. With
+        sorted rows the same reductions are cumulative scans plus
+        boundary gathers: all dense ops, no scatter. Invalid rows are
+        re-indexed to the running max of the valid segment ids (their
+        values are already neutral), so the mode only requires what the
+        first/last rule requires anyway: valid rows time-sorted.
 
     Returns:
       :class:`Candles` with arrays of shape ``(num_segments,)``.
@@ -62,6 +74,10 @@ def aggregate_ohlcv(minutes: jax.Array, o: jax.Array, h: jax.Array,
     seg = (minutes // bucket_minutes - base_bucket).astype(jnp.int32)
     in_range = (seg >= 0) & (seg < num_segments)
     ok = valid & in_range
+    if assume_sorted:
+        return _aggregate_sorted(seg, o, h, l, c, v, ok,
+                                 num_segments=num_segments,
+                                 min_count=min_count)
     seg = jnp.where(ok, seg, num_segments)  # park invalid in overflow slot
     ns = num_segments + 1
 
@@ -101,6 +117,94 @@ def aggregate_ohlcv(minutes: jax.Array, o: jax.Array, h: jax.Array,
         close=fix(close),
         volume=jnp.where(nonempty, volume[:num_segments], 0.0),
         count=count[:num_segments],
+        valid=valid_out,
+    )
+
+
+def _sparse_table(vals: jax.Array, op, neutral):
+    """Binary-lifting range-reduce table: ``T[k][i] = op(vals[i:i+2^k])``.
+    log2(L) dense shift+op levels — a tiny XLA graph with no scatter and
+    no scan (``associative_scan`` traced 45s+ for this shape)."""
+    L = vals.shape[-1]
+    fill = jnp.full((1,), neutral, vals.dtype)
+    tables = [vals]
+    k = 0
+    while (1 << (k + 1)) <= L:
+        prev = tables[-1]
+        sh = 1 << k
+        shifted = jnp.concatenate(
+            [prev[sh:], jnp.broadcast_to(fill, (sh,))])
+        tables.append(op(prev, shifted))
+        k += 1
+    return jnp.stack(tables)  # (K, L)
+
+
+def _range_reduce(table: jax.Array, op, b: jax.Array, e: jax.Array):
+    """op over [b, e) per query via two overlapping power-of-2 blocks.
+    ``b``/``e`` int32 arrays with e > b (guard empty ranges outside)."""
+    L = table.shape[-1]
+    span = jnp.maximum(e - b, 1)
+    k = 31 - jax.lax.clz(span)          # floor(log2(span))
+    left = table[k, jnp.clip(b, 0, L - 1)]
+    right = table[k, jnp.clip(e - (1 << k), 0, L - 1)]
+    return op(left, right)
+
+
+def _aggregate_sorted(seg: jax.Array, o, h, l, c, v, ok, *,
+                      num_segments: int, min_count: int) -> Candles:
+    """Scatter-free aggregation for time-sorted rows.
+
+    Segment runs are contiguous, so ``searchsorted`` finds each bucket's
+    row range; sums come from cumsum differences and max/min/first/last
+    from sparse-table range reductions — all dense ops plus gathers.
+    """
+    L = seg.shape[-1]
+    ns = num_segments
+    # nondecreasing in-range ids even through garbage padding rows:
+    # invalid rows adopt the running max (their values are neutral)
+    seg = jnp.clip(seg, 0, ns - 1)
+    seg = jnp.maximum(jax.lax.cummax(jnp.where(ok, seg, -1)), 0)
+
+    ids = jnp.arange(ns, dtype=seg.dtype)
+    b = jnp.searchsorted(seg, ids, side="left").astype(jnp.int32)
+    e = jnp.searchsorted(seg, ids, side="right").astype(jnp.int32)
+
+    # sums via cumsum differences over [b, e)
+    def seg_sum(vals):
+        cs = jnp.cumsum(vals)
+        take = lambda i: jnp.where(i > 0, cs[jnp.clip(i - 1, 0, L - 1)], 0)
+        return take(e) - take(b)
+
+    count = seg_sum(ok.astype(jnp.int32))
+    volume = seg_sum(jnp.where(ok, v, 0.0))
+
+    big = jnp.asarray(jnp.finfo(h.dtype).max, h.dtype)
+    t_high = _sparse_table(jnp.where(ok, h, -big), jnp.maximum, -big)
+    t_low = _sparse_table(jnp.where(ok, l, big), jnp.minimum, big)
+    high = _range_reduce(t_high, jnp.maximum, b, e)
+    low = _range_reduce(t_low, jnp.minimum, b, e)
+
+    # first/last valid row per segment -> open/close via gather
+    offset = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).squeeze(-1)
+    bigi = jnp.iinfo(jnp.int32).max
+    t_first = _sparse_table(jnp.where(ok, offset, bigi), jnp.minimum, bigi)
+    t_last = _sparse_table(jnp.where(ok, offset, -1), jnp.maximum, -1)
+    first_off = _range_reduce(t_first, jnp.minimum, b, e)
+    last_off = _range_reduce(t_last, jnp.maximum, b, e)
+    open_ = o[jnp.clip(first_off, 0, L - 1)]
+    close = c[jnp.clip(last_off, 0, L - 1)]
+
+    nonempty = count > 0
+    valid_out = nonempty & (count >= min_count)
+    nan = jnp.asarray(jnp.nan, h.dtype)
+    fix = lambda a: jnp.where(nonempty, a, nan)
+    return Candles(
+        open=fix(open_),
+        high=fix(high),
+        low=fix(low),
+        close=fix(close),
+        volume=jnp.where(nonempty, volume, 0.0),
+        count=count,
         valid=valid_out,
     )
 

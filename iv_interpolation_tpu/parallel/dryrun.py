@@ -58,7 +58,7 @@ def _step_local(k, iv, T, gappy, keys, *, L, n_grid):
         lambda o, h, l, c, v, ok: aggregate_ohlcv(
             jnp.arange(L), o, h, l, c, v, ok,
             jnp.int32(5), jnp.int32(0),
-            num_segments=L // 5 + 1, min_count=5)
+            num_segments=L // 5 + 1, min_count=5, assume_sorted=True)
     )(cnd["open"], cnd["high"], cnd["low"], cnd["close"],
       cnd["volume"], cnd["valid"])
     # Surface engine: fit + eval + arbitrage diagnostics

@@ -117,5 +117,6 @@ def window_candles(state: RingState, t0_minute: jax.Array,
     return jax.vmap(
         lambda o, h, l, c, v, ok: aggregate_ohlcv(
             minutes, o, h, l, c, v, ok, jnp.int32(bucket_minutes),
-            base_bucket, num_segments=num_segments, min_count=min_count)
+            base_bucket, num_segments=num_segments, min_count=min_count,
+            assume_sorted=True)  # minutes is an arange over the window
     )(data[:, 0], data[:, 1], data[:, 2], data[:, 3], data[:, 4], valid)

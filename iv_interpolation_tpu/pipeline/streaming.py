@@ -45,7 +45,8 @@ def _tick_to_candles(tick_minute, price, size, valid, num_segments,
     return jax.vmap(
         lambda m, p, s, ok: aggregate_ohlcv(
             m, p, p, p, p, s, ok, jnp.int32(1), jnp.int32(0),
-            num_segments=num_segments, min_count=min_count)
+            num_segments=num_segments, min_count=min_count,
+            assume_sorted=True)  # ticks are time-sorted per underlying
     )(tick_minute, price, size, valid)
 
 
@@ -76,7 +77,8 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
     c5 = jax.vmap(
         lambda m, o, h, l, c, v, ok: aggregate_ohlcv(
             m, o, h, l, c, v, ok, jnp.int32(bucket_minutes), jnp.int32(0),
-            num_segments=n5, min_count=bucket_minutes)
+            num_segments=n5, min_count=bucket_minutes,
+            assume_sorted=True)  # minutes_1m is an arange
     )(minutes_1m, c1.open, c1.high, c1.low, c1.close, c1.volume, c1.valid)
 
     # 3) realized vol from 5-min closes (masked log returns)

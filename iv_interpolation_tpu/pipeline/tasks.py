@@ -161,7 +161,8 @@ def candles_batch(minutes: jax.Array, ohlcv: dict, bucket_minutes: jax.Array,
     return jax.vmap(
         lambda m, o, h, l, c, v, ok, bb: aggregate_ohlcv(
             m, o, h, l, c, v, ok, bucket_minutes, bb,
-            num_segments=num_segments, min_count=min_count)
+            num_segments=num_segments, min_count=min_count,
+            assume_sorted=True)  # timeline grids are minute aranges
     )(minutes, ohlcv["open"], ohlcv["high"], ohlcv["low"], ohlcv["close"],
       ohlcv["volume"], ohlcv["valid"], base_bucket)
 

@@ -109,3 +109,44 @@ def test_reconstruction_stats(rng):
     assert int(stats["reconstructed_candles"]) == 10
     np.testing.assert_allclose(float(stats["compression_ratio"]), 5.0)
     np.testing.assert_allclose(float(stats["volume_preservation"]), 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("start_minute", [0, 7])
+def test_assume_sorted_matches_default(rng, start_minute):
+    """assume_sorted=True (sorted-scatter hints + running-max re-index
+    of invalid rows) is numerically identical to the default path, even
+    with garbage minutes on interleaved padding rows."""
+    minutes, o, h, l, c, v = _random_bars(rng, 60, keep_frac=0.9,
+                                          start_minute=start_minute)
+    L = len(minutes)
+    valid = rng.uniform(size=L) < 0.8
+    # poison INVALID rows' minutes with unsorted garbage (incl. negative
+    # and out-of-range) — the hint path must not care
+    minutes = minutes.copy()
+    minutes[~valid] = rng.integers(-50, 500, (~valid).sum())
+    args = (jnp.array(minutes), *map(jnp.array, (o, h, l, c, v)),
+            jnp.array(valid), jnp.int32(5),
+            jnp.int32(start_minute // 5))
+    ref = aggregate_ohlcv(*args, num_segments=14, min_count=1)
+    fast = aggregate_ohlcv(*args, num_segments=14, min_count=1,
+                           assume_sorted=True)
+    # open/close are gathers and high/low/count are order-independent
+    # reductions -> bit-exact; volume sums associate differently
+    # (cumsum difference vs per-segment adds) -> allclose
+    for f in ("open", "high", "low", "close", "count", "valid"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f)),
+                                      np.asarray(getattr(fast, f)),
+                                      err_msg=f)
+    np.testing.assert_allclose(np.asarray(ref.volume),
+                               np.asarray(fast.volume), rtol=1e-12)
+
+
+def test_assume_sorted_all_invalid(rng):
+    """Degenerate all-padding input stays empty under the hint path."""
+    L = 16
+    z = jnp.zeros(L)
+    out = aggregate_ohlcv(jnp.zeros(L, jnp.int32), z, z, z, z, z,
+                          jnp.zeros(L, bool), jnp.int32(5), jnp.int32(0),
+                          num_segments=4, min_count=1, assume_sorted=True)
+    assert not bool(out.valid.any())
+    assert int(out.count.sum()) == 0
