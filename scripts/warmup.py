@@ -69,14 +69,15 @@ def main():
     print(f"surface benchmark kernels warm ({time.time() - t0:.0f}s)",
           flush=True)
 
-    # bench.py's SVI and streaming configurations
+    # bench.py's SVI / eSSVI / streaming configurations
     t0 = time.time()
     import bench
     rng = np.random.default_rng(0)
     bench.bench_svi(rng)
+    bench.bench_essvi(rng)
     bench.bench_streaming(rng)
-    print(f"svi/streaming benchmark kernels warm ({time.time() - t0:.0f}s)",
-          flush=True)
+    print(f"svi/essvi/streaming benchmark kernels warm "
+          f"({time.time() - t0:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
