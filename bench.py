@@ -214,10 +214,19 @@ def bench_streaming(rng, B=1024, L_ticks=4096, n_minutes=512):
     underlying — BASELINE config #5's 1k-underlying streaming batch."""
     from iv_interpolation_tpu.pipeline.streaming import streaming_step
 
-    E_s, n_s = 4, 12
+    E_s, n_s, m = 4, 12, 50
     k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n_s), (B, E_s, n_s))
     T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E_s), (B, E_s))
     iv = 0.5 + 0.05 * k * k
+    # fixed session grids -> precomputed spline operators (one-off setup
+    # amortised over the stream, like a StreamingSession)
+    from iv_interpolation_tpu.ops.spline_matrix import (
+        build_surface_operators_batched)
+    queries = jnp.broadcast_to(
+        jnp.linspace(-0.8, 0.8, m), (B, E_s, m))
+    ops = build_surface_operators_batched(k, queries,
+                                          bc_type="not-a-knot")
+    jax.block_until_ready(ops)
 
     @jax.jit
     def make_inputs(seed):
@@ -231,8 +240,9 @@ def bench_streaming(rng, B=1024, L_ticks=4096, n_minutes=512):
         valid = jnp.ones((B, L_ticks), bool)
         return minute, price, size, valid
 
-    step = jax.jit(lambda m, p, s, v: streaming_step(
-        m, p, s, v, k, iv, T, n_minutes=n_minutes))
+    step = jax.jit(lambda mi, p, s, v: streaming_step(
+        mi, p, s, v, k, iv, T, n_minutes=n_minutes, n_grid=m,
+        spline_ops=ops))
     seed0 = int(rng.integers(0, 2**31 - 16))
     inputs = [make_inputs(seed0 + i) for i in range(4)]
     for args in inputs:

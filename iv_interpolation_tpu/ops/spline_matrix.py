@@ -140,6 +140,21 @@ def build_surface_operators(k_knots: jax.Array, queries: jax.Array,
         k_knots, queries)
 
 
+def build_surface_operators_batched(k_knots: jax.Array, queries: jax.Array,
+                                    bc_type: str = "natural"):
+    """Per-underlying, per-expiry operators: k_knots (B, E, n), queries
+    (m,) or (B, E, m) -> stacked (B, E, n, m) operator tensors.
+
+    For fixed quote grids (a streaming session's chains) this is one-off
+    setup — every subsequent refit is a single einsum against the stacked
+    operator (:func:`fit_eval_surface_grid_batched`)."""
+    B, E, _ = k_knots.shape
+    if queries.ndim == 1:
+        queries = jnp.broadcast_to(queries, (B, E, queries.shape[0]))
+    build = partial(build_spline_operator, bc_type=bc_type)
+    return jax.vmap(jax.vmap(build))(k_knots, queries)
+
+
 @jax.jit
 def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
                           expiries: jax.Array):
@@ -178,6 +193,43 @@ def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
     # NB: this import is lazy to avoid a package-import cost at module
     # load, but it can run during tracing — safe only because arbitrage/
     # svi/sabr keep module-level constants as numpy (see ops/svi.py)
+    g = butterfly_g(k_grid, w_grid, w1, w2)
+    iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0) / jnp.maximum(T, 1e-12))
+    butterfly_ok = jnp.all(g >= -1e-10, axis=(-2, -1))
+    calendar_ok = jnp.all(
+        w_grid[..., 1:, :] >= w_grid[..., :-1, :] - 1e-12, axis=(-2, -1))
+    return {
+        "k_grid": k_grid,
+        "w_grid": w_grid,
+        "iv_grid": iv_grid,
+        "g": g,
+        "butterfly_ok": butterfly_ok,
+        "calendar_ok": calendar_ok,
+    }
+
+
+@jax.jit
+def fit_eval_surface_grid_batched(ops: SplineOperator, iv: jax.Array,
+                                  expiries: jax.Array):
+    """Like :func:`fit_eval_surface_grid` but with per-underlying
+    operators: ops tensors (B, E, n, m), iv (B, E, n), expiries (E,),
+    (B, E). The streaming-refit hot path when every underlying has its
+    own strike grid."""
+    if expiries.ndim == 1:
+        T = expiries[None, :, None]
+    else:
+        T = expiries[..., None]
+    w = iv * iv * T                       # (B, E, n)
+    m = ops.E0.shape[-1]
+    EC = jnp.concatenate([ops.E0, ops.E1, ops.E2], axis=-1)  # (B, E, n, 3m)
+    # precision HIGHEST: see fit_eval_surface_grid
+    out = jnp.einsum("ben,benq->beq", w, EC,
+                     preferred_element_type=w.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    w_grid, w1, w2 = out[..., :m], out[..., m:2 * m], out[..., 2 * m:]
+    k_grid = ops.queries                  # (B, E, m)
+
+    from iv_interpolation_tpu.surface.arbitrage import butterfly_g
     g = butterfly_g(k_grid, w_grid, w1, w2)
     iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0) / jnp.maximum(T, 1e-12))
     butterfly_ok = jnp.all(g >= -1e-10, axis=(-2, -1))

@@ -52,6 +52,22 @@ class StreamingSession:
         self.chain_k = jnp.asarray(chain_k)
         self.chain_iv = jnp.asarray(chain_iv)
         self.chain_T = jnp.asarray(chain_T)
+        # the quote grids are fixed for the session, so the spline refit
+        # is a linear map of the (rescaled) knot variances: precompute
+        # the per-underlying eval operators once and every refit becomes
+        # a single MXU einsum (ops.spline_matrix)
+        from iv_interpolation_tpu.ops.spline_matrix import (
+            build_surface_operators_batched)
+        k_lo = jnp.max(self.chain_k[..., 0], axis=-1)   # common support
+        k_hi = jnp.min(self.chain_k[..., -1], axis=-1)
+        steps = jnp.linspace(0.0, 1.0, self.n_grid).astype(
+            self.chain_k.dtype)
+        span = (k_hi - k_lo)[..., None] * steps + k_lo[..., None]
+        queries = jnp.broadcast_to(
+            span[..., None, :],
+            self.chain_k.shape[:-1] + (self.n_grid,))
+        self.spline_ops = build_surface_operators_batched(
+            self.chain_k, queries, bc_type="not-a-knot")
         # tick ring channels: [minute, price, size]
         self.ring: RingState = make_ring(B, 3, int(tick_capacity),
                                          dtype=jnp.float32)
@@ -106,7 +122,8 @@ class StreamingSession:
         return streaming_step(
             minute_rel, data[:, _CH_PRICE], data[:, _CH_SIZE], in_window,
             self.chain_k, self.chain_iv, self.chain_T,
-            n_minutes=self.window_minutes, n_grid=self.n_grid)
+            n_minutes=self.window_minutes, n_grid=self.n_grid,
+            spline_ops=self.spline_ops)
 
     # ------------------------------------------------------------------
     def stats(self) -> dict:

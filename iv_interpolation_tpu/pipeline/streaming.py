@@ -55,7 +55,8 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
                    tick_size: jax.Array, tick_valid: jax.Array,
                    chain_k: jax.Array, chain_iv: jax.Array,
                    chain_T: jax.Array, *, n_minutes: int = 512,
-                   bucket_minutes: int = 5, n_grid: int = 50) -> StreamingOut:
+                   bucket_minutes: int = 5, n_grid: int = 50,
+                   spline_ops=None) -> StreamingOut:
     """One streaming batch: refit every underlying's surface from ticks.
 
     Args:
@@ -65,6 +66,11 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
       tick_valid:  (B, L) bool.
       chain_k/iv/T: (B, E, n) / (B, E, n) / (B, E) quote surfaces.
       n_minutes: static window length in minutes.
+      spline_ops: optional precomputed per-underlying SplineOperator
+        stack ((B, E, n, n_grid) tensors, from
+        ``ops.spline_matrix.build_surface_operators_batched`` on the
+        session's fixed quote grids) — the refit becomes a single MXU
+        einsum instead of a tridiagonal solve + piecewise eval.
     """
     # 1) ticks -> 1-min candles (open=first/high=max/low=min/close=last)
     c1 = _tick_to_candles(tick_minute, tick_price, tick_size, tick_valid,
@@ -99,7 +105,12 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
                           atm_iv, 1e-6) - 1.0),
                       1.0)
     iv_new = chain_iv * jnp.clip(scale, 0.25, 4.0)
-    res = fit_eval_surface(chain_k, iv_new, chain_T, n_grid=n_grid)
+    if spline_ops is not None:
+        from iv_interpolation_tpu.ops.spline_matrix import (
+            fit_eval_surface_grid_batched)
+        res = fit_eval_surface_grid_batched(spline_ops, iv_new, chain_T)
+    else:
+        res = fit_eval_surface(chain_k, iv_new, chain_T, n_grid=n_grid)
 
     return StreamingOut(
         w_grid=res["w_grid"], iv_grid=res["iv_grid"],

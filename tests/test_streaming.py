@@ -76,3 +76,73 @@ def test_single_jit_no_host_roundtrip(rng):
     compiled = lowered.compile()
     out = compiled(tm, tp, tsz, tv, k, iv, T)
     assert np.isfinite(np.asarray(out.realized_vol)).all()
+
+
+def test_streaming_step_operator_path_matches_general(rng):
+    """spline_ops (precomputed operator refit) == the general spline
+    path on the same grids and boundary condition."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from iv_interpolation_tpu.ops.spline_matrix import (
+        build_surface_operators_batched)
+    from iv_interpolation_tpu.pipeline.streaming import streaming_step
+
+    B, L, n_minutes = 8, 256, 64
+    E, n, m = 3, 10, 17
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E), (B, E))
+    iv = 0.4 + 0.05 * k * k + 0.01 * jnp.asarray(
+        rng.normal(size=(B, 1, 1)))
+    minute = jnp.sort(jnp.asarray(
+        rng.integers(0, n_minutes, (B, L)).astype(np.int32)), axis=-1)
+    price = jnp.asarray(100 + np.cumsum(
+        rng.normal(0, 0.01, (B, L)), axis=-1))
+    size = jnp.asarray(rng.uniform(0, 5, (B, L)))
+    valid = jnp.ones((B, L), bool)
+
+    ref = streaming_step(minute, price, size, valid, k, iv, T,
+                         n_minutes=n_minutes, n_grid=m)
+    # same common-support grid construction as fit_eval_surface
+    k_lo = jnp.max(k[..., 0], axis=-1)
+    k_hi = jnp.min(k[..., -1], axis=-1)
+    steps = jnp.linspace(0.0, 1.0, m).astype(k.dtype)
+    span = (k_hi - k_lo)[..., None] * steps + k_lo[..., None]
+    queries = jnp.broadcast_to(span[..., None, :], (B, E, m))
+    ops = build_surface_operators_batched(k, queries, bc_type="natural")
+    fast = streaming_step(minute, price, size, valid, k, iv, T,
+                          n_minutes=n_minutes, n_grid=m, spline_ops=ops)
+    np.testing.assert_allclose(np.asarray(fast.w_grid),
+                               np.asarray(ref.w_grid),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(fast.realized_vol),
+                                  np.asarray(ref.realized_vol))
+
+
+def test_streaming_session_uses_operator_refit(rng):
+    """StreamingSession precomputes the operator stack and its refit
+    surfaces stay arbitrage-clean on smooth chains."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+    from iv_interpolation_tpu.pipeline.stream_service import StreamingSession
+
+    B, E, n = 4, 3, 10
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E), (B, E))
+    iv = 0.4 + 0.05 * k * k
+    unds = [f"u{i}" for i in range(B)]
+    sess = StreamingSession(unds, k, iv, T, window_minutes=64,
+                            tick_capacity=512, n_grid=17)
+    assert sess.spline_ops.E0.shape == (B, E, n, 17)
+    frames = []
+    for u in unds:
+        minutes = np.sort(rng.integers(0, 64, 200))
+        frames.append(pd.DataFrame({
+            "underlying": u, "minute": minutes,
+            "price": 100 + np.cumsum(rng.normal(0, 0.01, 200)),
+            "size": rng.uniform(0, 5, 200)}))
+    sess.ingest_ticks(pd.concat(frames, ignore_index=True))
+    out = sess.refit()
+    assert bool(jnp.all(out.butterfly_ok))
+    assert np.all(np.isfinite(np.asarray(out.w_grid)))
