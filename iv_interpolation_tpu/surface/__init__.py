@@ -17,4 +17,5 @@ from iv_interpolation_tpu.surface.localvol import (  # noqa: F401
     local_variance_grid,
     local_vol_surface,
     risk_neutral_density,
+    variance_swap_strike,
 )

@@ -84,6 +84,29 @@ def risk_neutral_density(k_grid: jax.Array, w_grid: jax.Array,
 
 
 @jax.jit
+def variance_swap_strike(k_grid: jax.Array, w_grid: jax.Array,
+                         g: jax.Array, expiries: jax.Array) -> jax.Array:
+    """Model-free variance-swap fair strike per expiry (annualised).
+
+    Log-contract replication: K_var * T = -2 E[log(S_T/F_T)] =
+    -2 * integral k p(k) dk with p the Breeden-Litzenberger density on
+    the evaluated grid; the integral is trapezoidal and normalised by
+    the captured mass (first-order correction for wing truncation —
+    widen the eval grid when the smile is steep). Flat surface sanity:
+    E[k] = -w/2 -> K_var = w/T = sigma^2.
+
+    Returns (..., E) annualised variance strikes.
+    """
+    p = risk_neutral_density(k_grid, w_grid, g)
+    dk = k_grid[..., 1:] - k_grid[..., :-1]
+    mid = lambda a: 0.5 * (a[..., 1:] + a[..., :-1])
+    mass = jnp.sum(mid(p) * dk, axis=-1)
+    mean_k = jnp.sum(mid(p * k_grid) * dk, axis=-1) \
+        / jnp.maximum(mass, 1e-12)
+    return -2.0 * mean_k / jnp.maximum(expiries, 1e-12)
+
+
+@jax.jit
 def local_vol_surface(out: dict, eps: float = 1e-10) -> dict:
     """Local vol + density from a ``fit_eval_surface`` output dict.
 
@@ -99,5 +122,6 @@ def local_vol_surface(out: dict, eps: float = 1e-10) -> dict:
         "local_var": lv,
         "local_vol": jnp.sqrt(jnp.maximum(lv, 0.0)),
         "density": risk_neutral_density(k_grid, w_grid, g),
+        "var_swap": variance_swap_strike(k_grid, w_grid, g, expiries),
         "local_vol_ok": out["butterfly_ok"] & out["calendar_ok"],
     }

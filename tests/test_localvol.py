@@ -125,3 +125,32 @@ def test_essvi_local_vol_clean(rng):
     assert bool(jnp.all(lv["local_vol_ok"]))
     assert float(jnp.min(lv["local_var"])) > 0.0
     assert np.all(np.isfinite(np.asarray(lv["local_vol"])))
+
+
+def test_variance_swap_flat_surface():
+    """Flat smile: K_var == sigma^2 exactly (up to wing truncation,
+    corrected first-order by mass normalisation)."""
+    from iv_interpolation_tpu.surface.localvol import variance_swap_strike
+    sigma = 0.3
+    E = 4
+    T = np.linspace(0.25, 1.0, E)
+    n = 801
+    k = np.broadcast_to(np.linspace(-3.0, 3.0, n), (E, n)).copy()
+    w = (sigma * sigma * T)[:, None] * np.ones((E, n))
+    g = np.ones((E, n))
+    kv = np.asarray(variance_swap_strike(
+        jnp.asarray(k), jnp.asarray(w), jnp.asarray(g), jnp.asarray(T)))
+    np.testing.assert_allclose(kv, sigma * sigma, rtol=2e-3)
+
+
+def test_variance_swap_through_pipeline():
+    """local_vol_surface carries var_swap; on a fitted flat surface it
+    reproduces sigma^2 within grid-truncation error."""
+    sigma = 0.25
+    k, iv, T = _flat_surface(B=2, E=4, n=40, sigma=sigma)
+    # widen support: flat smile, so take a wide common grid
+    k = k * 3.0
+    out = fit_eval_surface(k, iv, T, n_grid=201, spline_bc="not-a-knot")
+    lv = local_vol_surface(out)
+    kv = np.asarray(lv["var_swap"])
+    np.testing.assert_allclose(kv, sigma * sigma, rtol=2e-2)
