@@ -219,3 +219,25 @@ def test_init_reasonable(rng):
     rel = float(jnp.sqrt(jnp.mean((w0 - w) ** 2))
                 / jnp.sqrt(jnp.mean(w ** 2)))
     assert rel < 0.5, f"init rel err {rel:.2f}"
+
+
+def test_essvi_slice_is_svi_slice(rng):
+    """Every eSSVI slice is a raw-SVI slice under the closed-form map
+    (a, b, rho, m, sigma) = (theta(1-rho^2)/2, psi/2, rho, -theta rho/psi,
+    theta sqrt(1-rho^2)/psi) — cross-checks both models' w AND g."""
+    from iv_interpolation_tpu.ops.svi import svi_g, svi_total_variance
+    params, k, w = _mk_surface(rng, E=5, n=31)
+    theta, rho, psi = params[..., 0], params[..., 1], params[..., 2]
+    a = theta * (1 - rho**2) / 2
+    b = psi / 2
+    m = -theta * rho / psi
+    sig = theta * jnp.sqrt(1 - rho**2) / psi
+    svi_params = jnp.stack([a, b, rho, m, sig], axis=-1)  # (E, 5)
+    w_svi = svi_total_variance(svi_params, k)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_svi),
+                               rtol=1e-12, atol=1e-14)
+    kg = jnp.asarray(np.linspace(-2.0, 2.0, 101))
+    g_e = essvi_g(params, kg[None, :])
+    g_s = svi_g(svi_params, kg[None, :])
+    np.testing.assert_allclose(np.asarray(g_e), np.asarray(g_s),
+                               rtol=1e-9, atol=1e-11)
