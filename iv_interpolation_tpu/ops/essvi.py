@@ -180,18 +180,24 @@ def _residual(z, k, w, weights, k_pen, calendar_weight, E):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "calendar_weight",
-                                   "n_penalty_grid", "unroll"))
+                                   "n_penalty_grid", "unroll", "loss",
+                                   "huber_delta"))
 def fit_essvi(k: jax.Array, w: jax.Array,
               weights: jax.Array | None = None,
               max_iters: int = 64,
               calendar_weight: float = 10.0,
               n_penalty_grid: int = 33,
-              unroll: bool = False) -> EssviFit:
+              unroll: bool = False,
+              loss: str = "linear",
+              huber_delta: float = 1e-3) -> EssviFit:
     """Calibrate one eSSVI surface: ``k``/``w`` (E, n) -> params (E, 3).
 
     One global LM over 3E transformed parameters — every iterate is
     butterfly-free per slice with increasing ATM variance by
     construction. Batch with :func:`fit_essvi_batched`.
+    ``loss='huber'`` makes the data term (and penalty) pseudo-Huber with
+    scale ``huber_delta`` so outlier quotes cannot dominate the joint
+    fit (``ops.lm.robustify``).
     """
     E = k.shape[-2]
     if weights is None:
@@ -199,21 +205,30 @@ def fit_essvi(k: jax.Array, w: jax.Array,
     k_pen = jnp.linspace(jnp.max(k[..., 0]), jnp.min(k[..., -1]),
                          n_penalty_grid).astype(k.dtype)
     z0 = essvi_init(k, w)
+    residual = partial(_residual, calendar_weight=calendar_weight, E=E)
+    if loss == "huber":
+        from iv_interpolation_tpu.ops.lm import robustify
+        residual = robustify(residual, huber_delta)
+    elif loss != "linear":
+        raise ValueError(f"unknown loss: {loss!r}")
     res = levenberg_marquardt(
-        partial(_residual, calendar_weight=calendar_weight, E=E),
+        residual,
         z0, k, w, weights, k_pen, max_iters=max_iters, unroll=unroll)
     return EssviFit(params=_transform(res.params, E), cost=res.cost,
                     n_accepted=res.n_accepted, converged=res.converged)
 
 
 @partial(jax.jit, static_argnames=("max_iters", "calendar_weight",
-                                   "n_penalty_grid", "unroll"))
+                                   "n_penalty_grid", "unroll", "loss",
+                                   "huber_delta"))
 def fit_essvi_batched(k: jax.Array, w: jax.Array,
                       weights: jax.Array | None = None,
                       max_iters: int = 64,
                       calendar_weight: float = 10.0,
                       n_penalty_grid: int = 33,
-                      unroll: bool = False) -> EssviFit:
+                      unroll: bool = False,
+                      loss: str = "linear",
+                      huber_delta: float = 1e-3) -> EssviFit:
     """Batched eSSVI: ``k``/``w`` (..., E, n) -> params (..., E, 3).
 
     Unlike ``fit_svi_batched`` (which flattens surfaces x expiries into
@@ -230,6 +245,7 @@ def fit_essvi_batched(k: jax.Array, w: jax.Array,
     fit = jax.vmap(partial(fit_essvi, max_iters=max_iters,
                            calendar_weight=calendar_weight,
                            n_penalty_grid=n_penalty_grid,
-                           unroll=unroll))(kf, wf, wtf)
+                           unroll=unroll, loss=loss,
+                           huber_delta=huber_delta))(kf, wf, wtf)
     reshape = lambda a: a.reshape(batch + a.shape[1:])
     return EssviFit(*map(reshape, fit))

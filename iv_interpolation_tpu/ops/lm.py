@@ -110,3 +110,26 @@ def levenberg_marquardt_batched(residual_fn, params0, *args, **kw):
     """vmap over the leading batch dim of every input."""
     f = partial(levenberg_marquardt, residual_fn, **kw)
     return jax.vmap(f)(params0, *args)
+
+
+def robustify(residual_fn: Callable, delta: float) -> Callable:
+    """Wrap a residual function with a pseudo-Huber transform so LM
+    minimises a robust loss instead of plain least squares.
+
+    With rho(r) = 2 delta^2 (sqrt(1+(r/delta)^2) - 1) (pseudo-Huber:
+    quadratic for |r| << delta, linear for |r| >> delta), the returned
+    residual is s(r) = r * sqrt(rho(r)/r^2) so that ||s||^2 = sum rho.
+    The ratio uses the exact identity rho/r^2 =
+    2/(1 + sqrt(1+(r/delta)^2)) — smooth at r=0 and jacfwd-safe (no
+    sign/abs). Outlier quotes then pull the fit with bounded force
+    instead of quadratically dominating it.
+    """
+    inv_d = 1.0 / float(delta)
+
+    def robust_fn(p, *args):
+        r = residual_fn(p, *args)
+        scaled = r * inv_d
+        ratio = 2.0 / (1.0 + jnp.sqrt(1.0 + scaled * scaled))
+        return r * jnp.sqrt(ratio)
+
+    return robust_fn

@@ -153,13 +153,16 @@ def fit_svi(k: jax.Array, w: jax.Array, weights: jax.Array | None = None,
 
 
 @partial(jax.jit, static_argnames=("max_iters", "butterfly_penalty",
-                                   "init", "unroll"))
+                                   "init", "unroll", "loss",
+                                   "huber_delta"))
 def fit_svi_batched(k: jax.Array, w: jax.Array,
                     weights: jax.Array | None = None,
                     max_iters: int = 64,
                     butterfly_penalty: float = 0.0,
                     init: str = "heuristic",
-                    unroll: bool = False) -> LMResult:
+                    unroll: bool = False,
+                    loss: str = "linear",
+                    huber_delta: float = 1e-3) -> LMResult:
     """Batched SVI calibration: ``k``, ``w`` of shape (..., n_strikes).
 
     The whole batch (surfaces x expiries) runs as one vmapped LM — this is
@@ -170,6 +173,10 @@ def fit_svi_batched(k: jax.Array, w: jax.Array,
     on-device loop step costs ~1 ms regardless of width (docs/PERF.md),
     so the looped form is latency-bound; unrolling trades a bigger
     compile for ~30x faster execution at production batches.
+
+    ``loss='huber'`` minimises the pseudo-Huber loss with scale
+    ``huber_delta`` (in total-variance units) instead of least squares —
+    bad quotes pull the fit with bounded force (``ops.lm.robustify``).
     """
     if weights is None:
         weights = jnp.ones_like(w)
@@ -181,9 +188,15 @@ def fit_svi_batched(k: jax.Array, w: jax.Array,
         p0 = jax.vmap(svi_quasi_init)(kf, wf)
     else:
         p0 = jax.vmap(svi_init)(kf, wf)
+    residual = partial(_svi_residual, butterfly_penalty=butterfly_penalty)
+    if loss == "huber":
+        from iv_interpolation_tpu.ops.lm import robustify
+        residual = robustify(residual, huber_delta)
+    elif loss != "linear":
+        raise ValueError(f"unknown loss: {loss!r}")
     fit = jax.vmap(
         lambda p, kk, ww, wt: levenberg_marquardt(
-            partial(_svi_residual, butterfly_penalty=butterfly_penalty),
+            residual,
             p, kk, ww, wt, max_iters=max_iters, unroll=unroll,
             lower=SVI_LOWER.astype(w.dtype), upper=SVI_UPPER.astype(w.dtype),
         )

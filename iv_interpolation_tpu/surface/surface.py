@@ -65,7 +65,9 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
                 svi_weighting: str = "uniform",
                 smoothing_lam: float = 0.0,
                 svi_unroll: bool = False,
-                spline_bc: str = "natural"):
+                spline_bc: str = "natural",
+                svi_loss: str = "linear",
+                svi_huber_delta: float = 1e-3):
     """Returns (knot values used by eval, coefficients). For
     'smoothing_spline' the knot values are the *smoothed* fit, not the
     observations."""
@@ -87,7 +89,8 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
         return w, fit_svi_batched(
             k, w, weights=weights, max_iters=svi_iters,
             butterfly_penalty=svi_butterfly_penalty,
-            unroll=svi_unroll).params
+            unroll=svi_unroll, loss=svi_loss,
+            huber_delta=svi_huber_delta).params
     if method == "essvi":
         from iv_interpolation_tpu.ops.essvi import fit_essvi_batched
         weights = vega_weights(k, w) if svi_weighting == "vega" else None
@@ -95,7 +98,8 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
         # per-slice butterfly-free by construction (ops.essvi)
         return w, fit_essvi_batched(
             k, w, weights=weights, max_iters=svi_iters,
-            unroll=svi_unroll).params
+            unroll=svi_unroll, loss=svi_loss,
+            huber_delta=svi_huber_delta).params
     if method == "sabr":
         from iv_interpolation_tpu.ops.sabr import fit_sabr_batched
         # strikes on the forward-normalised axis: K = e^k, F = 1
@@ -111,14 +115,17 @@ def _fit_slices(k, w, expiries, method: str, svi_iters: int = 64,
 @partial(jax.jit, static_argnames=("method", "svi_iters",
                                    "svi_butterfly_penalty",
                                    "svi_weighting", "smoothing_lam",
-                                   "svi_unroll", "spline_bc"))
+                                   "svi_unroll", "spline_bc",
+                                   "svi_loss", "svi_huber_delta"))
 def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                 method: str = "cubic_spline", svi_iters: int = 64,
                 svi_butterfly_penalty: float = 0.0,
                 svi_weighting: str = "uniform",
                 smoothing_lam: float = 0.0,
                 svi_unroll: bool = False,
-                spline_bc: str = "natural") -> SurfaceFit:
+                spline_bc: str = "natural",
+                svi_loss: str = "linear",
+                svi_huber_delta: float = 1e-3) -> SurfaceFit:
     """Fit a batch of vol surfaces.
 
     Args:
@@ -136,7 +143,8 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     w = iv * iv * expiries[..., None]
     w_fit, coefs = _fit_slices(k, w, expiries, method, svi_iters,
                                svi_butterfly_penalty, svi_weighting,
-                               smoothing_lam, svi_unroll, spline_bc)
+                               smoothing_lam, svi_unroll, spline_bc,
+                               svi_loss, svi_huber_delta)
     return SurfaceFit(method=method, k=k, expiries=expiries, w=w_fit,
                       coefs=coefs)
 
@@ -225,7 +233,8 @@ def eval_surface(fit: SurfaceFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("method", "n_grid", "svi_iters",
                                    "svi_butterfly_penalty",
                                    "svi_weighting", "smoothing_lam",
-                                   "svi_unroll", "spline_bc"))
+                                   "svi_unroll", "spline_bc",
+                                   "svi_loss", "svi_huber_delta"))
 def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                      method: str = "cubic_spline", n_grid: int = 50,
                      svi_iters: int = 64,
@@ -233,7 +242,9 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                      svi_weighting: str = "uniform",
                      smoothing_lam: float = 0.0,
                      svi_unroll: bool = False,
-                     spline_bc: str = "natural"):
+                     spline_bc: str = "natural",
+                     svi_loss: str = "linear",
+                     svi_huber_delta: float = 1e-3):
     """Fused fit + dense-grid eval + arbitrage diagnostics — the benchmark
     hot path (fit + evaluate on the 30x50 grid).
 
@@ -245,7 +256,8 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                       svi_butterfly_penalty=svi_butterfly_penalty,
                       svi_weighting=svi_weighting,
                       smoothing_lam=smoothing_lam, svi_unroll=svi_unroll,
-                      spline_bc=spline_bc)
+                      spline_bc=spline_bc, svi_loss=svi_loss,
+                      svi_huber_delta=svi_huber_delta)
     k_lo = jnp.max(k[..., 0], axis=-1)   # common support across expiries
     k_hi = jnp.min(k[..., -1], axis=-1)
     steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)

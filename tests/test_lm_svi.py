@@ -226,3 +226,58 @@ def test_svi_fuzz_random_params(seed):
     w_fit = svi_total_variance(fit.params[0], k)
     np.testing.assert_allclose(np.asarray(w_fit), np.asarray(w), atol=5e-6,
                                err_msg=f"seed={seed}: {np.asarray(p_true)}")
+
+
+def test_huber_loss_resists_outlier_quote(rng):
+    """One poisoned quote in a smile: the least-squares fit is dragged
+    (wing/level distortion), the pseudo-Huber fit stays near truth."""
+    import jax.numpy as jnp
+    from iv_interpolation_tpu.ops.svi import (fit_svi_batched,
+                                              svi_total_variance)
+    n = 25
+    k = np.linspace(-1.0, 1.0, n)
+    p_true = jnp.asarray([0.04, 0.12, -0.3, 0.05, 0.2])
+    w = np.asarray(svi_total_variance(p_true, jnp.asarray(k)))
+    w_bad = w.copy()
+    w_bad[3] *= 3.0  # fat-fingered quote
+    kb = jnp.asarray(k)[None]
+    wb = jnp.asarray(w_bad)[None]
+    ls = fit_svi_batched(kb, wb, max_iters=64, init="quasi")
+    hu = fit_svi_batched(kb, wb, max_iters=64, init="quasi",
+                         loss="huber", huber_delta=1e-3)
+    w_clean = jnp.asarray(w)[None]
+    err_ls = float(jnp.sqrt(jnp.mean(
+        (svi_total_variance(ls.params, kb) - w_clean) ** 2)))
+    err_hu = float(jnp.sqrt(jnp.mean(
+        (svi_total_variance(hu.params, kb) - w_clean) ** 2)))
+    assert err_hu < err_ls / 5, (err_ls, err_hu)
+    assert err_hu < 5e-4
+
+
+def test_robustify_matches_linear_for_small_residuals():
+    """Below the Huber scale the robust residual is ~identical to the
+    raw residual (quadratic regime), so clean fits are unchanged."""
+    import jax.numpy as jnp
+    from iv_interpolation_tpu.ops.lm import robustify
+    f = lambda p: p * jnp.asarray([1e-6, -3e-6, 2e-7])
+    rf = robustify(f, delta=1e-3)
+    r = np.asarray(f(jnp.asarray(1.0)))
+    rr = np.asarray(rf(jnp.asarray(1.0)))
+    np.testing.assert_allclose(rr, r, rtol=1e-5)
+    # smooth at zero: jacfwd finite and ~identity scale
+    import jax
+    J = np.asarray(jax.jacfwd(rf)(jnp.asarray(0.0)))
+    np.testing.assert_allclose(J, np.asarray([1e-6, -3e-6, 2e-7]),
+                               rtol=1e-5)
+
+
+def test_essvi_huber_loss_smoke(rng):
+    from iv_interpolation_tpu.ops.essvi import essvi_w, fit_essvi
+    E, n = 4, 15
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (E, n))
+    theta = jnp.cumsum(jnp.asarray(rng.uniform(0.02, 0.05, E)))
+    w = theta[:, None] * (1.0 + 0.1 * np.asarray(k) ** 2)
+    fit = fit_essvi(k, jnp.asarray(w), max_iters=48, loss="huber",
+                    huber_delta=1e-3)
+    w_fit = essvi_w(fit.params, k)
+    assert float(jnp.sqrt(jnp.mean((w_fit - w) ** 2))) < 2e-3
