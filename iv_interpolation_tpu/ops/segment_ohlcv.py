@@ -154,9 +154,12 @@ def _aggregate_sorted(seg: jax.Array, o, h, l, c, v, ok, *,
                       num_segments: int, min_count: int) -> Candles:
     """Scatter-free aggregation for time-sorted rows.
 
-    Segment runs are contiguous, so ``searchsorted`` finds each bucket's
-    row range; sums come from cumsum differences and max/min/first/last
-    from sparse-table range reductions — all dense ops plus gathers.
+    Segment runs are contiguous; each bucket's row range comes from ONE
+    fused compare-reduce — e[j] = count(seg <= j) and the run start is
+    e[j-1]. (``jnp.searchsorted``'s binary-search loop measured ~160 ms
+    per call at (1024, 4096) x 512 segments on this backend vs 33 ms
+    for the compare-reduce.) Sums are cumsum differences; max/min/
+    first/last are sparse-table range reductions — dense ops + gathers.
     """
     L = seg.shape[-1]
     ns = num_segments
@@ -166,8 +169,8 @@ def _aggregate_sorted(seg: jax.Array, o, h, l, c, v, ok, *,
     seg = jnp.maximum(jax.lax.cummax(jnp.where(ok, seg, -1)), 0)
 
     ids = jnp.arange(ns, dtype=seg.dtype)
-    b = jnp.searchsorted(seg, ids, side="left").astype(jnp.int32)
-    e = jnp.searchsorted(seg, ids, side="right").astype(jnp.int32)
+    e = jnp.sum(seg[:, None] <= ids[None, :], axis=0, dtype=jnp.int32)
+    b = jnp.concatenate([jnp.zeros((1,), jnp.int32), e[:-1]])
 
     # sums via cumsum differences over [b, e)
     def seg_sum(vals):
