@@ -211,7 +211,7 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 smoothing_lam=scfg.smoothing_lam,
                 spline_bc=scfg.spline_bc)
             keys = ["k_grid", "w_grid", "iv_grid",
-                    "butterfly_ok", "calendar_ok"]
+                    "butterfly_ok", "calendar_ok", "fit_rmse"]
             if scfg.compute_local_vol:
                 from iv_interpolation_tpu.surface.localvol import (
                     local_vol_surface)
@@ -243,6 +243,8 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                     res["density"][0])[:E_use].ravel()
             sdf["butterfly_ok"] = bool(res["butterfly_ok"][0])
             sdf["calendar_ok"] = bool(res["calendar_ok"][0])
+            if "fit_rmse" in res:
+                sdf["fit_rmse"] = float(res["fit_rmse"][0])
             out_frames.append(sdf)
 
     result = pd.concat(out_frames, ignore_index=True)

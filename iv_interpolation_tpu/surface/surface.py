@@ -250,7 +250,10 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
 
     Returns dict with ``fit``, the evaluated ``k_grid``/``w_grid``/
     ``iv_grid`` (B, E, n_grid), the butterfly function ``g`` on the grid,
-    and per-surface ``butterfly_ok`` / ``calendar_ok`` flags.
+    per-surface ``butterfly_ok`` / ``calendar_ok`` flags, and
+    ``fit_rmse`` (B,) — total-variance RMSE of the fitted smiles at the
+    input quotes (identically ~0 for interpolating splines; the serving
+    quality gate for svi/essvi/sabr/smoothing fits).
     """
     fit = fit_surface(k, iv, expiries, method=method, svi_iters=svi_iters,
                       svi_butterfly_penalty=svi_butterfly_penalty,
@@ -271,6 +274,10 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     calendar_ok = jnp.all(
         w_grid[..., 1:, :] >= w_grid[..., :-1, :] - 1e-12, axis=(-2, -1)
     )
+    # fit quality at the quotes (exactly 0 for interpolating splines)
+    w_obs = iv * iv * expiries[..., None]
+    w_at_knots = _eval_slices(fit, k)
+    fit_rmse = jnp.sqrt(jnp.mean((w_at_knots - w_obs) ** 2, axis=(-2, -1)))
     return {
         "fit": fit,
         "k_grid": k_grid,
@@ -279,4 +286,5 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
         "g": g,
         "butterfly_ok": butterfly_ok,
         "calendar_ok": calendar_ok,
+        "fit_rmse": fit_rmse,
     }

@@ -193,3 +193,18 @@ def test_sabr_method(rng):
     w_mid = eval_surface(got["fit"], jnp.zeros((B, 1)),
                          jnp.full((B, 1), 0.5))
     assert (np.asarray(w_mid) > 0).all()
+
+
+def test_fit_rmse_reported(rng):
+    """fit_rmse: ~0 for interpolating splines, the residual level for
+    parametric fits on noisy quotes."""
+    B, E, n = 2, 4, 20
+    k = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 2.0, E), (B, E))
+    iv = 0.3 + 0.1 * k**2 + 0.003 * jnp.asarray(rng.normal(size=(B, E, n)))
+    out_sp = fit_eval_surface(k, iv, T, n_grid=15)
+    assert float(jnp.max(out_sp["fit_rmse"])) < 1e-10
+    out_svi = fit_eval_surface(k, iv, T, method="svi", n_grid=15,
+                               svi_iters=48)
+    r = np.asarray(out_svi["fit_rmse"])
+    assert np.all(r > 1e-6) and np.all(r < 5e-2)
