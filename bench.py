@@ -191,9 +191,9 @@ def bench_essvi(rng, B=1024, n_iters=32):
         frac = jnp.broadcast_to(
             jax.random.uniform(keys[2], (B, 1), jnp.float32, 0.2, 0.7),
             (B, E))
-        one_r = 1.0 + jnp.abs(rho)
-        cap = jnp.minimum(4.0 / one_r, jnp.sqrt(4.0 * theta / one_r))
-        params = jnp.stack([theta, rho, cap * frac], axis=-1)
+        from iv_interpolation_tpu.ops.essvi import psi_butterfly_cap
+        params = jnp.stack(
+            [theta, rho, psi_butterfly_cap(theta, rho) * frac], axis=-1)
         w = essvi_w(params, k_dev)
         return w + 1e-4 * jax.random.normal(keys[3], (B, E, n), jnp.float32)
 
@@ -222,10 +222,9 @@ def bench_streaming(rng, B=1024, L_ticks=4096, n_minutes=512):
     # amortised over the stream, like a StreamingSession)
     from iv_interpolation_tpu.ops.spline_matrix import (
         build_surface_operators_batched)
-    queries = jnp.broadcast_to(
-        jnp.linspace(-0.8, 0.8, m), (B, E_s, m))
-    ops = build_surface_operators_batched(k, queries,
-                                          bc_type="not-a-knot")
+    from iv_interpolation_tpu.surface.surface import common_support_grid
+    ops = build_surface_operators_batched(
+        k, common_support_grid(k, m), bc_type="not-a-knot")
     jax.block_until_ready(ops)
 
     @jax.jit

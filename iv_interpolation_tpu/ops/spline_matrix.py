@@ -214,7 +214,13 @@ def fit_eval_surface_grid_batched(ops: SplineOperator, iv: jax.Array,
     """Like :func:`fit_eval_surface_grid` but with per-underlying
     operators: ops tensors (B, E, n, m), iv (B, E, n), expiries (E,),
     (B, E). The streaming-refit hot path when every underlying has its
-    own strike grid."""
+    own strike grid.
+
+    Contract: all expiries of one underlying must share ONE query grid
+    (``ops.queries[b, e] == ops.queries[b, e']``, e.g. the common-support
+    grid from ``surface.common_support_grid``) — ``calendar_ok`` compares
+    w across expiries at the same grid column, which is meaningless for
+    per-expiry grids."""
     if expiries.ndim == 1:
         T = expiries[None, :, None]
     else:

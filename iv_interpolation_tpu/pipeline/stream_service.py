@@ -29,6 +29,17 @@ from iv_interpolation_tpu.pipeline.streaming import StreamingOut, streaming_step
 _CH_MINUTE, _CH_PRICE, _CH_SIZE = 0, 1, 2
 
 
+@jax.jit
+def _sort_window_by_minute(minute, price, size, ok):
+    """Stable per-row sort by minute with invalid rows keyed last —
+    establishes streaming_step's time-sorted-valid-rows precondition for
+    any tick arrival order."""
+    key = jnp.where(ok, minute, jnp.int32(2 ** 30))
+    order = jnp.argsort(key, axis=-1, stable=True)
+    take = lambda a: jnp.take_along_axis(a, order, axis=-1)
+    return take(minute), take(price), take(size), take(ok)
+
+
 class StreamingSession:
     """Stateful streaming engine over a fixed underlying universe.
 
@@ -42,7 +53,7 @@ class StreamingSession:
 
     def __init__(self, underlyings: List[str], chain_k, chain_iv, chain_T,
                  window_minutes: int = 512, tick_capacity: int = 8192,
-                 n_grid: int = 50):
+                 n_grid: int = 50, spline_bc: str = "not-a-knot"):
         self.underlyings = list(underlyings)
         self.index: Dict[str, int] = {u: i for i, u in
                                       enumerate(self.underlyings)}
@@ -55,19 +66,17 @@ class StreamingSession:
         # the quote grids are fixed for the session, so the spline refit
         # is a linear map of the (rescaled) knot variances: precompute
         # the per-underlying eval operators once and every refit becomes
-        # a single MXU einsum (ops.spline_matrix)
+        # a single MXU einsum (ops.spline_matrix). spline_bc controls
+        # the boundary condition (default not-a-knot — the
+        # diagnostics-safe choice; NOTE streaming_step's spline_ops=None
+        # fallback uses fit_eval_surface's 'natural' default, so pass
+        # spline_bc='natural' for bitwise parity with that path).
         from iv_interpolation_tpu.ops.spline_matrix import (
             build_surface_operators_batched)
-        k_lo = jnp.max(self.chain_k[..., 0], axis=-1)   # common support
-        k_hi = jnp.min(self.chain_k[..., -1], axis=-1)
-        steps = jnp.linspace(0.0, 1.0, self.n_grid).astype(
-            self.chain_k.dtype)
-        span = (k_hi - k_lo)[..., None] * steps + k_lo[..., None]
-        queries = jnp.broadcast_to(
-            span[..., None, :],
-            self.chain_k.shape[:-1] + (self.n_grid,))
+        from iv_interpolation_tpu.surface.surface import common_support_grid
+        queries = common_support_grid(self.chain_k, self.n_grid)
         self.spline_ops = build_surface_operators_batched(
-            self.chain_k, queries, bc_type="not-a-knot")
+            self.chain_k, queries, bc_type=spline_bc)
         # tick ring channels: [minute, price, size]
         self.ring: RingState = make_ring(B, 3, int(tick_capacity),
                                          dtype=jnp.float32)
@@ -119,8 +128,15 @@ class StreamingSession:
         minute_rel = (data[:, _CH_MINUTE] - float(start)).astype(jnp.int32)
         in_window = valid & (minute_rel >= 0) \
             & (minute_rel < self.window_minutes)
+        # streaming_step requires time-sorted valid rows (open/close =
+        # first/last-in-bucket AND the sorted-path aggregation both rely
+        # on it); ring arrival order is not guaranteed — late ticks and
+        # window wrap both break it. Stable sort keeps arrival order
+        # within a minute and pushes out-of-window rows to the end.
+        m, p, s, ok = _sort_window_by_minute(
+            minute_rel, data[:, _CH_PRICE], data[:, _CH_SIZE], in_window)
         return streaming_step(
-            minute_rel, data[:, _CH_PRICE], data[:, _CH_SIZE], in_window,
+            m, p, s, ok,
             self.chain_k, self.chain_iv, self.chain_T,
             n_minutes=self.window_minutes, n_grid=self.n_grid,
             spline_ops=self.spline_ops)

@@ -180,6 +180,9 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
         iv = np.zeros((B, E_pad, n_pad), np.float64)
         T = np.zeros((B, E_pad), np.float64)
         E_real = np.zeros(B, np.int64)
+        # real-quote mask: padded strikes and duplicated expiry slices
+        # must not enter the fit_rmse statistic
+        quote_mask = np.zeros((B, E_pad, n_pad), bool)
         for b, (und, slices) in enumerate(group):
             E_real[b] = len(slices)
             for e in range(E_pad):
@@ -187,6 +190,7 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 m = len(c["k"])
                 k[b, e, :m] = c["k"]
                 iv[b, e, :m] = c["iv"]
+                quote_mask[b, e, :m] = e < len(slices)
                 if m < n_pad:
                     # extend the strike axis strictly monotonically
                     step = (c["k"][-1] - c["k"][0]) / max(m - 1, 1) or 1e-3
@@ -209,7 +213,8 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 svi_weighting=scfg.svi_weighting,
                 svi_unroll=scfg.svi_unroll,
                 smoothing_lam=scfg.smoothing_lam,
-                spline_bc=scfg.spline_bc)
+                spline_bc=scfg.spline_bc,
+                quote_mask=jnp.asarray(quote_mask))
             keys = ["k_grid", "w_grid", "iv_grid",
                     "butterfly_ok", "calendar_ok", "fit_rmse"]
             if scfg.compute_local_vol:

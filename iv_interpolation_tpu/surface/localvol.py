@@ -53,10 +53,10 @@ def local_variance_grid(w_grid: jax.Array, g: jax.Array,
         to mask them).
 
     Returns:
-      (..., E, m) local variance. Slice i carries the forward-in-T
-      derivative on [T_i, T_{i+1}]; the last slice reuses the final
-      interval (flat extrapolation, consistent with ``eval_surface``).
-      The first slice's "previous w" is 0 at T=0 (w(k, 0) = 0).
+      (..., E, m) local variance. Slice i carries the BACKWARD-in-T
+      derivative on (T_{i-1}, T_i] — the interval whose right endpoint
+      the slice sits on, where ``eval_surface``'s piecewise-linear w has
+      that constant derivative. Slice 0 uses (0, T_0] with w(k, 0) = 0.
     """
     T = expiries[..., None]                              # (..., E, 1)
     dT = T[..., 1:, :] - T[..., :-1, :]                  # (..., E-1, 1)

@@ -152,6 +152,22 @@ def fit_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
 _SPLINE_METHODS = ("cubic_spline", "smoothing_spline")
 
 
+def common_support_grid(k: jax.Array, n_grid: int) -> jax.Array:
+    """Dense eval grid on the common strike support across expiries:
+    k (..., E, n) -> (..., E, n_grid) spanning [max k[...,0], min k[...,-1]].
+
+    THE grid construction for every evaluated-surface consumer
+    (fit_eval_surface, the streaming operator refit, benchmarks) — keep
+    them on this single helper so precomputed operators stay on exactly
+    the grid the general path evaluates.
+    """
+    k_lo = jnp.max(k[..., 0], axis=-1)
+    k_hi = jnp.min(k[..., -1], axis=-1)
+    steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)
+    span = (k_hi - k_lo)[..., None] * steps + k_lo[..., None]
+    return jnp.broadcast_to(span[..., None, :], k.shape[:-1] + (n_grid,))
+
+
 def _eval_slices(fit: SurfaceFit, k_grid: jax.Array) -> jax.Array:
     """Evaluate every fitted slice at (B, E, m) query log-moneyness."""
     if fit.method in _SPLINE_METHODS:
@@ -244,7 +260,8 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                      svi_unroll: bool = False,
                      spline_bc: str = "natural",
                      svi_loss: str = "linear",
-                     svi_huber_delta: float = 1e-3):
+                     svi_huber_delta: float = 1e-3,
+                     quote_mask: jax.Array | None = None):
     """Fused fit + dense-grid eval + arbitrage diagnostics — the benchmark
     hot path (fit + evaluate on the 30x50 grid).
 
@@ -253,7 +270,10 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     per-surface ``butterfly_ok`` / ``calendar_ok`` flags, and
     ``fit_rmse`` (B,) — total-variance RMSE of the fitted smiles at the
     input quotes (identically ~0 for interpolating splines; the serving
-    quality gate for svi/essvi/sabr/smoothing fits).
+    quality gate for svi/essvi/sabr/smoothing fits). ``quote_mask``
+    (B, E, n) bool restricts fit_rmse to REAL quotes when the inputs
+    carry padding (fabricated strikes / duplicated expiry slices would
+    otherwise dominate the statistic).
     """
     fit = fit_surface(k, iv, expiries, method=method, svi_iters=svi_iters,
                       svi_butterfly_penalty=svi_butterfly_penalty,
@@ -261,11 +281,7 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                       smoothing_lam=smoothing_lam, svi_unroll=svi_unroll,
                       spline_bc=spline_bc, svi_loss=svi_loss,
                       svi_huber_delta=svi_huber_delta)
-    k_lo = jnp.max(k[..., 0], axis=-1)   # common support across expiries
-    k_hi = jnp.min(k[..., -1], axis=-1)
-    steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)
-    span = (k_hi - k_lo)[..., None] * steps + k_lo[..., None]  # (B, n_grid)
-    k_grid = jnp.broadcast_to(span[..., None, :], k.shape[:-1] + (n_grid,))
+    k_grid = common_support_grid(k, n_grid)
     w_grid = _eval_slices(fit, k_grid)
     g = _slice_g(fit, k_grid, w_grid)
     iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0)
@@ -277,7 +293,14 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     # fit quality at the quotes (exactly 0 for interpolating splines)
     w_obs = iv * iv * expiries[..., None]
     w_at_knots = _eval_slices(fit, k)
-    fit_rmse = jnp.sqrt(jnp.mean((w_at_knots - w_obs) ** 2, axis=(-2, -1)))
+    err2 = (w_at_knots - w_obs) ** 2
+    if quote_mask is not None:
+        m_ = quote_mask.astype(err2.dtype)
+        fit_rmse = jnp.sqrt(
+            jnp.sum(err2 * m_, axis=(-2, -1))
+            / jnp.maximum(jnp.sum(m_, axis=(-2, -1)), 1.0))
+    else:
+        fit_rmse = jnp.sqrt(jnp.mean(err2, axis=(-2, -1)))
     return {
         "fit": fit,
         "k_grid": k_grid,

@@ -81,3 +81,45 @@ def test_stream_replay(rng):
     assert rep["ticks_ingested"] == 8 * 4 * 100
     assert rep["butterfly_ok"] == 8
     assert 0.1 < rep["realized_vol_mean"] < 1.5
+
+
+def test_session_handles_out_of_order_ticks(rng):
+    """Late ticks (earlier minutes arriving after newer ones) must land
+    in their own buckets — the refit sorts the window before
+    aggregation (code-review finding: the sorted-path aggregation would
+    otherwise silently re-bucket them into the running-max bucket)."""
+    import jax.numpy as jnp
+    import pandas as pd
+    from iv_interpolation_tpu.pipeline.stream_service import StreamingSession
+
+    B, E, n = 2, 3, 10
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E), (B, E))
+    iv = 0.4 + 0.05 * k * k
+    unds = ["a", "b"]
+
+    def run(order):
+        sess = StreamingSession(unds, k, iv, T, window_minutes=64,
+                                tick_capacity=256, n_grid=9)
+        frames = []
+        for u in unds:
+            minutes = np.arange(0, 60)
+            prices = 100 + 0.1 * minutes
+            mm, pp = minutes[order], prices[order]
+            frames.append(pd.DataFrame({
+                "underlying": u, "minute": mm, "price": pp,
+                "size": np.ones_like(pp)}))
+        sess.ingest_ticks(pd.concat(frames, ignore_index=True))
+        return sess.refit(now_minute=63)
+
+    fwd = run(np.arange(60))
+    perm = rng.permutation(60)  # fully shuffled arrival
+    shuf = run(perm)
+    # bucket contents are order-independent up to within-minute ties
+    # (one tick per minute here, so candles must match exactly)
+    np.testing.assert_array_equal(np.asarray(fwd.candles_1m.valid),
+                                  np.asarray(shuf.candles_1m.valid))
+    np.testing.assert_allclose(np.asarray(fwd.candles_1m.close),
+                               np.asarray(shuf.candles_1m.close))
+    np.testing.assert_allclose(np.asarray(fwd.realized_vol),
+                               np.asarray(shuf.realized_vol))

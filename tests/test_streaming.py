@@ -103,13 +103,9 @@ def test_streaming_step_operator_path_matches_general(rng):
 
     ref = streaming_step(minute, price, size, valid, k, iv, T,
                          n_minutes=n_minutes, n_grid=m)
-    # same common-support grid construction as fit_eval_surface
-    k_lo = jnp.max(k[..., 0], axis=-1)
-    k_hi = jnp.min(k[..., -1], axis=-1)
-    steps = jnp.linspace(0.0, 1.0, m).astype(k.dtype)
-    span = (k_hi - k_lo)[..., None] * steps + k_lo[..., None]
-    queries = jnp.broadcast_to(span[..., None, :], (B, E, m))
-    ops = build_surface_operators_batched(k, queries, bc_type="natural")
+    from iv_interpolation_tpu.surface.surface import common_support_grid
+    ops = build_surface_operators_batched(
+        k, common_support_grid(k, m), bc_type="natural")
     fast = streaming_step(minute, price, size, valid, k, iv, T,
                           n_minutes=n_minutes, n_grid=m, spline_ops=ops)
     np.testing.assert_allclose(np.asarray(fast.w_grid),
