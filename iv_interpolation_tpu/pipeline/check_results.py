@@ -148,14 +148,17 @@ def check_surface_results(store) -> dict:
     surf = store.read(SURFACES)
     if surf.empty:
         return {"ok": False, "reason": "no fitted surfaces"}
-    per = surf.groupby("underlying").agg(
+    aggs = dict(
         rows=("iv", "size"),
         butterfly_ok=("butterfly_ok", "first"),
         calendar_ok=("calendar_ok", "first"),
         iv_min=("iv", "min"), iv_max=("iv", "max"),
         expiries=("expiry_t", "nunique"))
+    if "fit_rmse" in surf.columns:
+        aggs["fit_rmse"] = ("fit_rmse", "first")
+    per = surf.groupby("underlying").agg(**aggs)
     sane_iv = bool(((per["iv_min"] > 0) & (per["iv_max"] < 5)).all())
-    return {
+    report = {
         "ok": sane_iv,
         "surfaces": len(per),
         "grid_rows": len(surf),
@@ -164,3 +167,6 @@ def check_surface_results(store) -> dict:
         "iv_range": (float(per["iv_min"].min()), float(per["iv_max"].max())),
         "per_underlying": per.to_dict("index"),
     }
+    if "fit_rmse" in per.columns:
+        report["worst_fit_rmse"] = float(per["fit_rmse"].max())
+    return report
