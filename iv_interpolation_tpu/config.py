@@ -155,6 +155,13 @@ class SurfaceConfig:
     # RBF / thin-plate
     rbf_smoothing: float = 1e-8
     rbf_kernel: str = "thin_plate"  # 'thin_plate' | 'gaussian' | 'multiquadric'
+    # no-arbitrage penalty smoothing for the RBF surface (BASELINE
+    # config #4): hinge weights on negative butterfly-g / negative
+    # calendar dw over a dense penalty grid (ops.rbf.fit_rbf_arbfree);
+    # 0 keeps the plain interpolating/smoothing fit
+    rbf_butterfly_penalty: float = 0.0
+    rbf_calendar_penalty: float = 0.0
+    rbf_penalty_iters: int = 16     # damped Gauss-Newton budget
     # No-arbitrage handling: hinge-penalty weight on negative butterfly-g
     # during SVI calibration (calendar no-arb is structural: total-variance
     # interpolation between calendar-ordered slices cannot create it)

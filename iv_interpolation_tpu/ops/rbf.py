@@ -101,3 +101,317 @@ def fit_eval_rbf_batched(points, values, query, smoothing=0.0,
         f = fit_rbf(p, v, smoothing=smoothing, kernel=kernel, epsilon=epsilon)
         return eval_rbf(f, q, kernel=kernel, epsilon=epsilon)
     return jax.vmap(one)(points, values, query)
+
+
+# ---------------------------------------------------------------------------
+# No-arbitrage penalty smoothing (BASELINE.json config #4: "RBF/thin-plate
+# surface on ~2k scattered quotes with no-arbitrage penalty smoothing").
+#
+# The plain ``fit_rbf`` ridge only smooths; nothing stops the fitted total-
+# variance surface from carrying butterfly (negative risk-neutral density)
+# or calendar (w decreasing in T) arbitrage. Here the fit itself minimises
+#
+#   ||w(x_i) - y_i||^2  +  s * c^T K c            (native-space seminorm)
+#   + lam_b * sum min(g_fd(w_grid), 0)^2          (butterfly hinge)
+#   + lam_c * sum min(dw/dT_grid, 0)^2            (calendar hinge)
+#   subject to  P^T c = 0                          (CPD side condition)
+#
+# over a dense uniform (E_pen, m_pen) penalty grid, mirroring the SVI
+# hinge design (ops/svi.py ``_svi_residual``). The surface is LINEAR in
+# the coefficients, so each Gauss-Newton step is a penalized linear
+# least-squares with the hinge handled by an active-set mask — a fixed
+# iteration count with masks instead of data-dependent branches, like
+# every other solver in this package (SURVEY.md §7.3). The butterfly g
+# uses the same finite-difference stencils as the post-hoc diagnostic
+# (``surface.arbitrage.butterfly_g_fd``), so the penalty targets exactly
+# the quantity the pipeline flags.
+#
+# At lam_b = lam_c = 0 the objective's stationarity reduces to SciPy's
+# smoothing-RBF system ((K + sI)c + Pp = y, P^T c = 0): the minimiser of
+# ||Kc + Pp - y||^2 + s c^T K c on {P^T c = 0} satisfies
+# K(Kc+Pp-y) + sKc + P nu = 0, and substituting the SciPy solution gives
+# Kc+Pp-y = -sc, hence nu = 0 — verified to ~1e-7 in tests/test_rbf.py.
+# ---------------------------------------------------------------------------
+
+
+def _fd1(w: jax.Array, h) -> jax.Array:
+    """First-derivative FD stencil along the last axis, uniform spacing
+    ``h`` — the exact stencil of ``butterfly_g_fd`` (midpoint-slope
+    average interior, one-sided ends)."""
+    mid = (w[..., 1:] - w[..., :-1]) / h
+    return jnp.concatenate([
+        mid[..., :1],
+        (mid[..., 1:] + mid[..., :-1]) / 2.0,
+        mid[..., -1:],
+    ], axis=-1)
+
+
+def _fd2(w: jax.Array, h) -> jax.Array:
+    """Second-derivative FD stencil along the last axis (uniform ``h``),
+    endpoints copying their neighbours — matches ``butterfly_g_fd``."""
+    mid = (w[..., 1:] - w[..., :-1]) / h
+    inner = (mid[..., 1:] - mid[..., :-1]) / h
+    return jnp.concatenate([inner[..., :1], inner, inner[..., -1:]],
+                           axis=-1)
+
+
+def _g_partials(k, w, w1, w2, eps=1e-12):
+    """(g, dg/dw, dg/dw1) of Gatheral's butterfly g — closed-form partials
+    for the Gauss-Newton Jacobian (dg/dw2 = 1/2 is constant). All inputs
+    elementwise-broadcast arrays."""
+    sw = w > eps
+    ws = jnp.maximum(w, eps)
+    u = 1.0 - k * w1 / (2.0 * ws)
+    g = u * u - (w1 * w1 / 4.0) * (1.0 / ws + 0.25) + w2 / 2.0
+    inv_w2 = 1.0 / (ws * ws)
+    dg_dw = jnp.where(sw, (u * k * w1 + w1 * w1 / 4.0) * inv_w2, 0.0)
+    dg_dw1 = -u * k / ws - (w1 / 2.0) * (1.0 / ws + 0.25)
+    return g, dg_dw, dg_dw1
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_pen_t", "n_pen_k",
+                                   "n_iters", "butterfly_weight",
+                                   "calendar_weight"))
+def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
+                    weights: jax.Array | None = None,
+                    smoothing: float = 1e-8,
+                    kernel: str = "thin_plate", epsilon: float = 1.0,
+                    butterfly_weight: float = 1000.0,
+                    calendar_weight: float = 1000.0,
+                    butterfly_margin: float = 1e-3,
+                    calendar_margin: float = 3e-3,
+                    n_pen_t: int = 12, n_pen_k: int = 33,
+                    n_iters: int = 16):
+    """Fit an RBF total-variance surface with no-arbitrage hinge penalties.
+
+    Args:
+      points: (N, 2) scattered (log-moneyness k, maturity T) quote sites.
+      values: (N,) observed total variance w = iv^2 T.
+      weights: optional (N,) per-quote data weights (0 drops a padded
+        quote from the data term while keeping shapes static).
+      smoothing: native-space seminorm weight ``s`` (SciPy-equivalent
+        smoothing at zero penalty weights).
+      butterfly_weight / calendar_weight: hinge weights lam_b / lam_c
+        on the NORMALISED objective (data term averaged over quotes,
+        hinges over penalty points, so the weights are N-independent);
+        ~1e3 reliably cleans severely arbitrageable data at 200-2k
+        sites (measured across seeds). Either 0 disables that penalty,
+        and with both 0 the exact weighted saddle system is solved
+        directly (SciPy-parity path).
+      butterfly_margin / calendar_margin: hinge safety margins — the
+        penalty activates below the margin and pushes the linearised
+        constraint TO the margin, so the converged surface clears zero
+        with room instead of converging onto the boundary from below.
+      n_pen_t / n_pen_k: penalty-grid shape over the quote bounding box.
+      n_iters: damped Gauss-Newton iterations (static; masked active
+        set, accept/reject with a proximal mu like ``ops.lm``).
+
+    Returns:
+      dict as :func:`fit_rbf` (``points``/``coef``/``poly`` — evaluable
+      with :func:`eval_rbf`) plus penalty-grid diagnostics:
+      ``pen_k_grid``/``pen_t_grid`` (m,)/(E,), ``pen_w`` (E, m) fitted
+      grid, ``pen_g`` (E, m) butterfly g, ``butterfly_ok``/``calendar_ok``
+      scalars on the penalty grid.
+    """
+    dtype = values.dtype
+    n = points.shape[0]
+    p = _POLY_TERMS[kernel]
+    eye = jnp.eye(n, dtype=dtype)
+
+    # data operator A_d = [K_dd | P_d]  (N, n+p)
+    K_dd = _kernel(_pairwise_r(points, points), kernel, epsilon)
+    ones = jnp.ones((n, 1), dtype)
+    P_d = ones if p == 1 else jnp.concatenate([ones, points], axis=1)
+    A_d = jnp.concatenate([K_dd, P_d], axis=1)
+
+    # uniform penalty grid over the quote bounding box
+    k_lo, k_hi = jnp.min(points[:, 0]), jnp.max(points[:, 0])
+    t_lo, t_hi = jnp.min(points[:, 1]), jnp.max(points[:, 1])
+    kg = jnp.linspace(0.0, 1.0, n_pen_k).astype(dtype) * (k_hi - k_lo) + k_lo
+    tg = jnp.linspace(0.0, 1.0, n_pen_t).astype(dtype) * (t_hi - t_lo) + t_lo
+    h_k = (k_hi - k_lo) / (n_pen_k - 1)
+    qk = jnp.tile(kg, n_pen_t)
+    qt = jnp.repeat(tg, n_pen_k)
+    q = jnp.stack([qk, qt], axis=1)                       # (G, 2)
+    K_g = _kernel(_pairwise_r(q, points), kernel, epsilon)
+    P_g = (jnp.ones((q.shape[0], 1), dtype) if p == 1
+           else jnp.concatenate([jnp.ones((q.shape[0], 1), dtype), q],
+                                axis=1))
+    A_g = jnp.concatenate([K_g, P_g], axis=1)             # (G, n+p)
+
+    hp = jax.lax.Precision.HIGHEST  # full-f32 MXU (default is bf16)
+    mm = partial(jnp.matmul, precision=hp)
+
+    # FD-stencil-transformed operators (fixed): columns of A_g reshaped
+    # per slice, differentiated along k. (E, m, P) with P = n+p.
+    A3 = A_g.reshape(n_pen_t, n_pen_k, n + p)
+    W1A = _fd1(jnp.swapaxes(A3, -1, -2), h_k)            # (E, P, m)
+    W1A = jnp.swapaxes(W1A, -1, -2).reshape(-1, n + p)
+    W2A = _fd2(jnp.swapaxes(A3, -1, -2), h_k)
+    W2A = jnp.swapaxes(W2A, -1, -2).reshape(-1, n + p)
+
+    # calendar difference operator rows: CA = A_g[e+1] - A_g[e]
+    CA = (A3[1:] - A3[:-1]).reshape(-1, n + p)           # ((E-1) m, P)
+
+    # fixed quadratic part: (weighted) data + seminorm + tiny ridge.
+    # The penalized objective is NORMALISED — data term by the effective
+    # quote count, each hinge term by its penalty-point count — so the
+    # penalty weights mean the same thing at 200 quotes as at 2k
+    # (sum-form objectives silently rebalance with N; measured: the
+    # weight that cleans 512 sites leaves 2k-site fits arbitrageable).
+    wts = jnp.ones((n,), dtype) if weights is None else weights.astype(dtype)
+    inv_nd = 1.0 / jnp.maximum(jnp.sum(wts), 1.0)
+    inv_gb = 1.0 / (n_pen_t * n_pen_k)
+    inv_gc = 1.0 / ((n_pen_t - 1) * n_pen_k)
+    A_dw = wts[:, None] * A_d
+    y_w = wts * values
+    K_pad = jnp.zeros((n + p, n + p), dtype).at[:n, :n].set(K_dd)
+    scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diag(K_dd))), 1.0)
+    H0 = inv_nd * (mm(A_dw.T, A_dw) + smoothing * K_pad) \
+        + 1e-12 * scale * jnp.eye(n + p, dtype=dtype)
+    b0 = inv_nd * mm(A_dw.T, y_w)
+
+    # CPD side condition P^T c = 0 via KKT rows (exact, not penalized)
+    Pt = jnp.concatenate([P_d, jnp.zeros((p, p), dtype)], axis=0)  # (n+p, p)
+
+    kg_row = jnp.broadcast_to(kg, (n_pen_t, n_pen_k))
+
+    def hinge_parts(u):
+        """(g flat, butterfly hinge, calendar hinge) at coefficients u."""
+        w = mm(A_g, u).reshape(n_pen_t, n_pen_k)
+        g, dg_dw, dg_dw1 = _g_partials(kg_row, w, _fd1(w, h_k),
+                                       _fd2(w, h_k))
+        gf = g.reshape(-1)
+        dw = mm(CA, u)
+        return gf, dg_dw.reshape(-1), dg_dw1.reshape(-1), dw
+
+    def cost_of(u):
+        """(total cost, smooth data+seminorm cost, feasible on the raw
+        margin-free no-arb constraints)."""
+        r_d = wts * (mm(A_d, u) - values)
+        gf, _, _, dw = hinge_parts(u)
+        smooth_c = inv_nd * (jnp.sum(r_d * r_d)
+                             + smoothing * jnp.dot(u, mm(K_pad, u)))
+        c = smooth_c
+        if butterfly_weight > 0.0:
+            c = c + butterfly_weight * inv_gb * jnp.sum(
+                jnp.minimum(gf - butterfly_margin, 0.0) ** 2)
+        if calendar_weight > 0.0:
+            c = c + calendar_weight * inv_gc * jnp.sum(
+                jnp.minimum(dw - calendar_margin, 0.0) ** 2)
+        feas = jnp.all(gf >= -1e-8) & jnp.all(dw >= -1e-10)
+        return c, smooth_c, feas
+
+    def lm_step(state, _):
+        # damped Gauss-Newton with acceptance, mirroring ops/lm.py: the
+        # hinge makes the objective nonconvex (g divides by w), and an
+        # undamped active-set GN step overshoots and oscillates — the
+        # proximal term mu*diag(H) plus reject-and-regrow-mu is LM's
+        # standard cure, with masks instead of branches so the whole
+        # loop stays one traced program.
+        u, mu, cost, u_best, best_smooth, any_feas = state
+        gf, dg_dw, dg_dw1, dw = hinge_parts(u)
+
+        H = H0
+        rhs = b0
+        if butterfly_weight > 0.0:
+            act_b = (gf < butterfly_margin).astype(dtype)  # active hinges
+            # J = diag(dg/dw) A + diag(dg/dw1) W1A + (1/2) W2A, rows masked
+            J = (dg_dw[:, None] * A_g
+                 + dg_dw1[:, None] * W1A + 0.5 * W2A)
+            Jm = act_b[:, None] * J
+            H = H + butterfly_weight * inv_gb * mm(Jm.T, Jm)
+            # linearised target g + J (u' - u) = margin on the active set
+            rhs = rhs + butterfly_weight * inv_gb * mm(
+                Jm.T, act_b * (mm(J, u) - (gf - butterfly_margin)))
+        if calendar_weight > 0.0:
+            act_c = (dw < calendar_margin).astype(dtype)
+            Cm = act_c[:, None] * CA                # linear: target margin
+            H = H + calendar_weight * inv_gc * mm(Cm.T, Cm)
+            rhs = rhs + calendar_weight * inv_gc * mm(
+                Cm.T, act_c * calendar_margin)
+
+        damp = mu * jnp.maximum(jnp.diag(H), 1e-12 * scale)
+        H = H + jnp.diag(damp)
+        rhs = rhs + damp * u                               # proximal at u
+
+        # KKT saddle solve keeps P^T c = 0 exact every iteration
+        kkt = jnp.concatenate([
+            jnp.concatenate([H, Pt], axis=1),
+            jnp.concatenate([Pt.T, jnp.zeros((p, p), dtype)], axis=1),
+        ], axis=0)
+        sol = jnp.linalg.solve(
+            kkt, jnp.concatenate([rhs, jnp.zeros((p,), dtype)]))
+        u_new = sol[:n + p]
+        cost_new, smooth_new, feas_new = cost_of(u_new)
+        accept = (cost_new < cost) & jnp.all(jnp.isfinite(u_new))
+        u = jnp.where(accept, u_new, u)
+        cost = jnp.where(accept, cost_new, cost)
+        mu = jnp.clip(jnp.where(accept, mu / 3.0, mu * 5.0), 1e-8, 1e12)
+        # track the best FEASIBLE iterate seen (hinge active sets can
+        # cycle near the boundary; the returned fit should not depend on
+        # which side of the fence the final iterate landed)
+        better = feas_new & ((~any_feas) | (smooth_new < best_smooth))
+        u_best = jnp.where(better, u_new, u_best)
+        best_smooth = jnp.where(better, smooth_new, best_smooth)
+        any_feas = any_feas | feas_new
+        return (u, mu, cost, u_best, best_smooth, any_feas), None
+
+    penalized = butterfly_weight > 0.0 or calendar_weight > 0.0
+    if penalized:
+        u0 = jnp.zeros((n + p,), dtype)
+        cost0, smooth0, _ = cost_of(u0)
+        state0 = (u0, jnp.asarray(1e-4, dtype), cost0, u0,
+                  jnp.asarray(jnp.inf, dtype), jnp.zeros((), bool))
+        (u_last, _, _, u_best, _, any_feas), _ = jax.lax.scan(
+            lm_step, state0, None, length=n_iters)
+        u = jnp.where(any_feas, u_best, u_last)
+    else:
+        # zero penalty: the objective is quadratic and its stationarity
+        # is the WEIGHTED smoothing-RBF saddle system
+        #   (W K + s_eff I) c + W P p = W y,   P^T c = 0
+        # (substitute W(Kc+Pp-y) = -s c into the KKT conditions) —
+        # solved directly, which avoids squaring the Gram's condition
+        # number the way the normal-equations path would. Uniform
+        # weights reduce it to SciPy RBFInterpolator's system exactly.
+        s_eff = smoothing + 1e-12 * scale  # weight-0 rows need s > 0
+        lhs = jnp.concatenate([
+            jnp.concatenate([wts[:, None] * K_dd
+                             + s_eff * jnp.eye(n, dtype=dtype),
+                             wts[:, None] * P_d], axis=1),
+            jnp.concatenate([P_d.T, jnp.zeros((p, p), dtype)], axis=1),
+        ], axis=0)
+        rhs = jnp.concatenate([wts * values, jnp.zeros((p,), dtype)])
+        u = jnp.linalg.solve(lhs, rhs)
+
+    coef, poly_c = u[:n], u[n:]
+    poly = jnp.zeros((3,), dtype).at[:p].set(poly_c)
+    w_fit = mm(A_g, u).reshape(n_pen_t, n_pen_k)
+    g_fit, _, _ = _g_partials(kg_row, w_fit, _fd1(w_fit, h_k),
+                              _fd2(w_fit, h_k))
+    return {
+        "points": points, "coef": coef, "poly": poly,
+        "pen_k_grid": kg, "pen_t_grid": tg,
+        "pen_w": w_fit, "pen_g": g_fit,
+        "butterfly_ok": jnp.all(g_fit >= -1e-8),
+        "calendar_ok": jnp.all(w_fit[1:] - w_fit[:-1] >= -1e-10),
+    }
+
+
+def fit_eval_rbf_arbfree_batched(points, values, query, weights=None,
+                                 **kw):
+    """Batched arbitrage-penalized fit+eval: leading batch dim on
+    points/values/query (and optional weights). Returns (w_query (B, M),
+    butterfly_ok (B,), calendar_ok (B,)) — flags measured on the penalty
+    grid."""
+    kernel = kw.get("kernel", "thin_plate")
+    epsilon = kw.get("epsilon", 1.0)
+
+    def one(p, v, q, wt):
+        f = fit_rbf_arbfree(p, v, weights=wt, **kw)
+        return (eval_rbf(f, q, kernel=kernel, epsilon=epsilon),
+                f["butterfly_ok"], f["calendar_ok"])
+
+    if weights is None:
+        weights = jnp.ones_like(values)
+    return jax.vmap(one)(points, values, query, weights)

@@ -169,6 +169,13 @@ def _aggregate_sorted(seg: jax.Array, o, h, l, c, v, ok, *,
     seg = jnp.maximum(jax.lax.cummax(jnp.where(ok, seg, -1)), 0)
 
     ids = jnp.arange(ns, dtype=seg.dtype)
+    # NOTE: the (L, ns) compare materialises only if XLA fails to fuse it
+    # into the reduction — measured fused (33 ms vs searchsorted's 160 ms
+    # at (1024, 4096) x 512). If a backend regression ever un-fuses it,
+    # the O(L + ns) fallback is cumsum(bincount(seg)) via
+    # segment_sum(ok, seg) + cumsum — kept out of the default path only
+    # because segment_sum lowers to scatter, the op this mode exists to
+    # avoid.
     e = jnp.sum(seg[:, None] <= ids[None, :], axis=0, dtype=jnp.int32)
     b = jnp.concatenate([jnp.zeros((1,), jnp.int32), e[:-1]])
 

@@ -110,27 +110,33 @@ def _obs_positions(batch: ingest.PackedBatch):
     cleanliness flag (no NaN among the interpolated columns at the
     observations). Padding rows get row 0's positions (outputs masked)."""
     k = int(batch.n_obs.max())
-    B = batch.obs_mask.shape[0]
-    pos = np.zeros((B, max(k, 2)), np.int64)
-    clean = True
-    first_real = None
-    for i in range(B):
-        p = np.flatnonzero(batch.obs_mask[i])
-        if len(p) == 0:
-            continue
-        if first_real is None:
-            first_real = p
-        if len(p) != k:
-            return None, False  # non-uniform (shouldn't happen post-split)
-        pos[i, :k] = p
-        if not np.isfinite(batch.values[i, :3][:, p]).all():
-            clean = False
     if k < 2:
         return None, False
-    if first_real is not None:
-        empty = ~batch.obs_mask.any(axis=1)
-        pos[empty, :k] = first_real[:k]
-    return jnp.asarray(pos[:, :k]), clean
+    mask = np.asarray(batch.obs_mask)
+    counts = mask.sum(axis=1)
+    nonempty = counts > 0
+    if not (counts[nonempty] == k).all():
+        return None, False  # non-uniform (shouldn't happen post-split)
+    # one vectorised pass: np.nonzero walks rows in order, and uniform
+    # counts make the column index reshape exactly (n_nonempty, k)
+    # (replaces a per-row np.flatnonzero Python loop — O(B) host work
+    # that dominated cubic ingest at large B)
+    rows_ne, cols = np.nonzero(mask)
+    del rows_ne
+    pos = np.zeros((mask.shape[0], k), np.int64)
+    pos[nonempty] = cols.reshape(-1, k)
+    if nonempty.any():
+        first_real = pos[nonempty][0]
+        pos[~nonempty] = first_real
+        # cleanliness: any NaN among the first-3 interpolated columns at
+        # real observation positions disables the fast uniform path
+        vals = np.take_along_axis(
+            np.asarray(batch.values)[nonempty, :3],
+            pos[nonempty][:, None, :], axis=2)
+        clean = bool(np.isfinite(vals).all())
+    else:
+        clean = True
+    return jnp.asarray(pos), clean
 
 
 class PipelineRunner:

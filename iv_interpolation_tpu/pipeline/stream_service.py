@@ -68,9 +68,9 @@ class StreamingSession:
         # the per-underlying eval operators once and every refit becomes
         # a single MXU einsum (ops.spline_matrix). spline_bc controls
         # the boundary condition (default not-a-knot — the
-        # diagnostics-safe choice; NOTE streaming_step's spline_ops=None
-        # fallback uses fit_eval_surface's 'natural' default, so pass
-        # spline_bc='natural' for bitwise parity with that path).
+        # diagnostics-safe choice; streaming_step's spline_ops=None
+        # fallback takes the same spline_bc kwarg, so both paths honor
+        # one boundary condition).
         from iv_interpolation_tpu.ops.spline_matrix import (
             build_surface_operators_batched)
         from iv_interpolation_tpu.surface.surface import common_support_grid

@@ -50,14 +50,24 @@ def _tick_to_candles(tick_minute, price, size, valid, num_segments,
     )(tick_minute, price, size, valid)
 
 
-@partial(jax.jit, static_argnames=("n_minutes", "bucket_minutes", "n_grid"))
+@partial(jax.jit, static_argnames=("n_minutes", "bucket_minutes", "n_grid",
+                                   "spline_bc"))
 def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
                    tick_size: jax.Array, tick_valid: jax.Array,
                    chain_k: jax.Array, chain_iv: jax.Array,
                    chain_T: jax.Array, *, n_minutes: int = 512,
                    bucket_minutes: int = 5, n_grid: int = 50,
-                   spline_ops=None) -> StreamingOut:
+                   spline_ops=None,
+                   spline_bc: str = "not-a-knot") -> StreamingOut:
     """One streaming batch: refit every underlying's surface from ticks.
+
+    PRECONDITION: valid tick rows must be time-sorted per underlying
+    (ascending ``tick_minute``; invalid rows may sit anywhere and carry
+    anything). The candle aggregation runs the scatter-free
+    ``assume_sorted`` path, so unsorted valid rows silently corrupt
+    high/low/volume as well as open/close. ``StreamingSession`` sorts
+    its ring windows before calling; direct callers with unordered
+    ticks must sort first (see ``stream_service._sort_window_by_minute``).
 
     Args:
       tick_minute: (B, L) int minutes-from-window-start per tick.
@@ -71,6 +81,12 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
         ``ops.spline_matrix.build_surface_operators_batched`` on the
         session's fixed quote grids) — the refit becomes a single MXU
         einsum instead of a tridiagonal solve + piecewise eval.
+      spline_bc: cubic boundary condition for the ``spline_ops=None``
+        fallback refit ('not-a-knot' default, matching
+        ``StreamingSession``'s operator default, so both paths produce
+        the same diagnostics; pass 'natural' for fit_surface parity).
+        Ignored when ``spline_ops`` is given (the operators already
+        encode their bc).
     """
     # 1) ticks -> 1-min candles (open=first/high=max/low=min/close=last)
     c1 = _tick_to_candles(tick_minute, tick_price, tick_size, tick_valid,
@@ -110,7 +126,8 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
             fit_eval_surface_grid_batched)
         res = fit_eval_surface_grid_batched(spline_ops, iv_new, chain_T)
     else:
-        res = fit_eval_surface(chain_k, iv_new, chain_T, n_grid=n_grid)
+        res = fit_eval_surface(chain_k, iv_new, chain_T, n_grid=n_grid,
+                               spline_bc=spline_bc)
 
     return StreamingOut(
         w_grid=res["w_grid"], iv_grid=res["iv_grid"],

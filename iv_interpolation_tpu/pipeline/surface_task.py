@@ -94,35 +94,75 @@ def build_chains(df: pd.DataFrame, min_strikes: int = 4):
     return chains
 
 
-def _fit_rbf_surface(k, iv, T, scfg):
-    """Scattered RBF surface over all (k, T) quotes of one underlying
-    (BASELINE.json config #4), evaluated on the same (E, grid) layout as
-    the slice-wise methods so downstream handling is uniform."""
-    from iv_interpolation_tpu.ops.rbf import eval_rbf, fit_rbf
+def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg):
+    """Scattered RBF surfaces over all (k, T) quotes — the WHOLE shape
+    bucket as one batched fit (BASELINE.json config #4), evaluated on
+    the same (E, grid) layout as the slice-wise methods so downstream
+    handling is uniform.
+
+    ``surface.rbf_butterfly_penalty`` / ``rbf_calendar_penalty`` > 0
+    switch to the no-arbitrage penalty-smoothing solver
+    (``ops.rbf.fit_rbf_arbfree``), with padded quotes weight-0 in the
+    data term; at 0 the plain interpolating/smoothing fit is used (all
+    quotes, matching the round-1 behavior). Flags are always the
+    pipeline's post-hoc finite-difference diagnostics on the eval grid.
+    Returns dict of (B, ...) arrays incl. a quote-masked ``fit_rmse``.
+    """
+    from iv_interpolation_tpu.ops.rbf import (fit_eval_rbf_arbfree_batched,
+                                              fit_eval_rbf_batched)
     from iv_interpolation_tpu.surface.arbitrage import butterfly_g_fd
 
-    _, E, n = k.shape
-    pts = np.stack([k[0].ravel(), np.repeat(T[0], n)], axis=1)
-    w = (iv[0] ** 2 * T[0][:, None]).ravel()
-    fit = fit_rbf(jnp.asarray(pts), jnp.asarray(w),
-                  smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel)
+    B, E, n = k.shape
     m = scfg.grid_strikes
-    kg_row = np.linspace(k[0, :, 0].max(), k[0, :, -1].min(), m)
-    k_grid = np.broadcast_to(kg_row, (E, m))
-    q = np.stack([k_grid.ravel(), np.repeat(T[0], m)], axis=1)
-    w_grid = np.asarray(
-        eval_rbf(fit, jnp.asarray(q), kernel=scfg.rbf_kernel)
-    ).reshape(E, m)
-    g = np.asarray(butterfly_g_fd(jnp.asarray(k_grid), jnp.asarray(w_grid)))
-    iv_grid = np.sqrt(np.maximum(w_grid, 0.0) / np.maximum(T[0][:, None],
-                                                           1e-12))
+    pts = np.stack([k.reshape(B, E * n),
+                    np.repeat(T, n, axis=-1)], axis=-1)      # (B, E n, 2)
+    vals = (iv ** 2 * T[..., None]).reshape(B, E * n)
+    lo = k[:, :, 0].max(axis=1)
+    hi = k[:, :, -1].min(axis=1)
+    kg_row = lo[:, None] + (hi - lo)[:, None] * np.linspace(0.0, 1.0, m)
+    k_grid = np.broadcast_to(kg_row[:, None, :], (B, E, m))
+    # grid queries first, the data sites after — one eval pass serves
+    # both the surface grid and the fit_rmse statistic
+    query = np.concatenate([
+        np.stack([k_grid.reshape(B, E * m),
+                  np.repeat(T, m, axis=-1)], axis=-1),
+        pts,
+    ], axis=1)
+
+    penalized = (scfg.rbf_butterfly_penalty > 0.0
+                 or scfg.rbf_calendar_penalty > 0.0)
+    if penalized:
+        w_eval, _, _ = fit_eval_rbf_arbfree_batched(
+            jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(query),
+            weights=jnp.asarray(quote_mask.reshape(B, E * n),
+                                vals.dtype),
+            smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel,
+            butterfly_weight=scfg.rbf_butterfly_penalty,
+            calendar_weight=scfg.rbf_calendar_penalty,
+            n_iters=scfg.rbf_penalty_iters)
+    else:
+        w_eval = fit_eval_rbf_batched(
+            jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(query),
+            smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel)
+    w_grid = w_eval[:, :E * m].reshape(B, E, m)
+    w_data = w_eval[:, E * m:]
+    qm = jnp.asarray(quote_mask.reshape(B, E * n))
+    n_real = jnp.maximum(qm.sum(axis=-1), 1)
+    fit_rmse = jnp.sqrt(
+        jnp.sum(jnp.where(qm, (w_data - jnp.asarray(vals)) ** 2, 0.0),
+                axis=-1) / n_real)
+    k_grid = jnp.asarray(k_grid)
+    g = butterfly_g_fd(k_grid, w_grid)
+    iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0)
+                       / jnp.maximum(jnp.asarray(T)[..., None], 1e-12))
     return {
-        "k_grid": jnp.asarray(k_grid)[None],
-        "w_grid": jnp.asarray(w_grid)[None],
-        "iv_grid": jnp.asarray(iv_grid)[None],
-        "butterfly_ok": jnp.asarray([bool((g >= -1e-10).all())]),
-        "calendar_ok": jnp.asarray(
-            [bool((np.diff(w_grid, axis=0) >= -1e-12).all())]),
+        "k_grid": k_grid,
+        "w_grid": w_grid,
+        "iv_grid": iv_grid,
+        "butterfly_ok": jnp.all(g >= -1e-10, axis=(1, 2)),
+        "calendar_ok": jnp.all(
+            w_grid[:, 1:] - w_grid[:, :-1] >= -1e-12, axis=(1, 2)),
+        "fit_rmse": fit_rmse,
     }
 
 
@@ -201,9 +241,13 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 # larger T (keeps maturities strictly ascending)
                 T[b, e] = c["T"] + max(0, e - (len(slices) - 1)) * 1e-3
         if method == "rbf":
-            results = [_fit_rbf_surface(k[b:b + 1], iv[b:b + 1],
-                                        T[b:b + 1], scfg)
-                       for b in range(B)]
+            res_all = _fit_rbf_surfaces(k, iv, T, quote_mask, scfg)
+            keys = ["k_grid", "w_grid", "iv_grid",
+                    "butterfly_ok", "calendar_ok", "fit_rmse"]
+            results = [
+                {key: res_all[key][b:b + 1] for key in keys}
+                for b in range(B)
+            ]
         else:
             res_all = fit_eval_surface(
                 jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T),
@@ -220,7 +264,13 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
             if scfg.compute_local_vol:
                 from iv_interpolation_tpu.surface.localvol import (
                     local_vol_surface)
-                res_all = {**res_all, **local_vol_surface(res_all)}
+                lv = local_vol_surface(res_all)
+                # cells where g <= 0 or dw/dT < 0 hold eps-clamped
+                # garbage (~1e10x real values); persist NaN there so no
+                # downstream consumer mistakes them for real local vols
+                lv["local_vol"] = jnp.where(
+                    lv["local_vol_valid"], lv["local_vol"], jnp.nan)
+                res_all = {**res_all, **lv}
                 keys += ["local_vol", "density"]
             results = [
                 {key: res_all[key][b:b + 1] for key in keys}

@@ -118,10 +118,20 @@ def local_vol_surface(out: dict, eps: float = 1e-10) -> dict:
     w_grid, g, k_grid = out["w_grid"], out["g"], out["k_grid"]
     expiries = out["fit"].expiries
     lv = local_variance_grid(w_grid, g, expiries, eps)
+    # per-cell validity: local_variance_grid clamps g to eps, so cells
+    # with g <= 0 (butterfly arbitrage) or a negative backward dw/dT
+    # (calendar arbitrage) hold clamped ~1/eps garbage, not real local
+    # variance — consumers must mask them (surface_task NaNs them out
+    # before persisting)
+    dw = jnp.concatenate(
+        [w_grid[..., :1, :],
+         w_grid[..., 1:, :] - w_grid[..., :-1, :]], axis=-2)
+    valid = (g > eps) & (dw >= 0.0)
     return {
         "local_var": lv,
         "local_vol": jnp.sqrt(jnp.maximum(lv, 0.0)),
         "density": risk_neutral_density(k_grid, w_grid, g),
         "var_swap": variance_swap_strike(k_grid, w_grid, g, expiries),
         "local_vol_ok": out["butterfly_ok"] & out["calendar_ok"],
+        "local_vol_valid": valid,
     }

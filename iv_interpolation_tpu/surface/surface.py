@@ -163,8 +163,17 @@ def common_support_grid(k: jax.Array, n_grid: int) -> jax.Array:
     """
     k_lo = jnp.max(k[..., 0], axis=-1)
     k_hi = jnp.min(k[..., -1], axis=-1)
+    # guard: when the strike supports do not overlap, k_hi < k_lo and a
+    # naive linspace would be DESCENDING — which breaks every downstream
+    # consumer that assumes an ascending grid (searchsorted bracket
+    # search, finite-difference butterfly g, trapezoid integrals). Fall
+    # back to the ascending gap interval [k_hi, k_lo] between the
+    # supports: every choice extrapolates some slice in this degenerate
+    # case, and the gap is the closest interval to all of them.
+    lo = jnp.minimum(k_lo, k_hi)
+    hi = jnp.maximum(k_lo, k_hi)
     steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)
-    span = (k_hi - k_lo)[..., None] * steps + k_lo[..., None]
+    span = (hi - lo)[..., None] * steps + lo[..., None]
     return jnp.broadcast_to(span[..., None, :], k.shape[:-1] + (n_grid,))
 
 

@@ -175,6 +175,7 @@ def test_vega_weighted_fit_prioritises_atm(rng):
     assert errs["vega"] < errs["uniform"]
 
 
+@pytest.mark.slow
 def test_quasi_init_beats_heuristic_on_hard_slice(rng):
     """Quasi-explicit initialisation (grid over (m, sigma) + linear solve)
     must start closer than the heuristic on a skewed, wide-wing slice and
@@ -228,6 +229,7 @@ def test_svi_fuzz_random_params(seed):
                                err_msg=f"seed={seed}: {np.asarray(p_true)}")
 
 
+@pytest.mark.slow
 def test_huber_loss_resists_outlier_quote(rng):
     """One poisoned quote in a smile: the least-squares fit is dragged
     (wing/level distortion), the pseudo-Huber fit stays near truth."""
@@ -271,6 +273,7 @@ def test_robustify_matches_linear_for_small_residuals():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_essvi_huber_loss_smoke(rng):
     from iv_interpolation_tpu.ops.essvi import essvi_w, fit_essvi
     E, n = 4, 15

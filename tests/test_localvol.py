@@ -24,6 +24,7 @@ def _flat_surface(B=2, E=6, n=30, sigma=0.3):
     return jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T)
 
 
+@pytest.mark.slow
 def test_flat_surface_local_vol_is_sigma():
     """w = sigma^2 T: w'=w''=0 -> g=1, dw/dT=sigma^2 -> local vol =
     sigma everywhere (the canonical Dupire sanity check)."""
@@ -54,6 +55,7 @@ def test_flat_surface_density_is_lognormal():
     assert abs(integral - 1.0) < 1e-4
 
 
+@pytest.mark.slow
 def test_quadratic_smile_closed_form(rng):
     """w(k,T) = s^2 T (1 + a k^2): linear in T (forward differences
     exact) with closed-form k-derivatives -> compare the whole pipeline
@@ -88,6 +90,7 @@ def test_first_slice_uses_w_over_T():
     np.testing.assert_allclose(np.asarray(lv[0, 0]), 0.25 ** 2, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_density_nonneg_iff_butterfly_free(rng):
     """On an arbitrage-free fitted smile the density is non-negative
     everywhere; negative g would make it negative by the same formula."""
@@ -103,6 +106,7 @@ def test_density_nonneg_iff_butterfly_free(rng):
     assert bool(jnp.all(lv["local_vol_ok"]))
 
 
+@pytest.mark.slow
 def test_essvi_local_vol_clean(rng):
     """Local vol through the eSSVI method: guaranteed-admissible fits
     give a real local vol everywhere on the grid."""
@@ -143,6 +147,7 @@ def test_variance_swap_flat_surface():
     np.testing.assert_allclose(kv, sigma * sigma, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_variance_swap_through_pipeline():
     """local_vol_surface carries var_swap; on a fitted flat surface it
     reproduces sigma^2 within grid-truncation error."""

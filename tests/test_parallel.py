@@ -40,6 +40,7 @@ def test_shard_batch_places_on_data_axis(rng):
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_sharded_surface_fit_matches_single_device(rng):
     """The headline parity requirement for sharding: identical numerics
     sharded vs unsharded."""
@@ -63,6 +64,7 @@ def test_sharded_surface_fit_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_graft_entry_compiles():
     import __graft_entry__ as ge
 
@@ -72,6 +74,7 @@ def test_graft_entry_compiles():
     assert out[0].shape == (256, 30, 50)
 
 
+@pytest.mark.slow
 def test_dryrun_inprocess_8():
     """The dry-run step + parity assert on the conftest-provisioned mesh."""
     from iv_interpolation_tpu.parallel import dryrun
@@ -79,6 +82,7 @@ def test_dryrun_inprocess_8():
     dryrun.run(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess_ignores_ambient_platform(monkeypatch):
     """dryrun_multichip must self-provision: even with a hostile ambient
     env (TPU platform selected, wrong device count), the subprocess runs
@@ -97,6 +101,7 @@ def test_pad_to_multiple():
     assert pad_to_multiple(1, 8) == 8
 
 
+@pytest.mark.slow
 def test_sharded_essvi_fit_matches_single_device(rng):
     """eSSVI (one joint LM per surface) shards over the data axis like
     every other method: identical numerics sharded vs unsharded."""

@@ -107,6 +107,7 @@ def test_task1_guardrails_skip(cfg):
     assert "insufficient data points" in rec.error_message
 
 
+@pytest.mark.slow
 def test_full_pipeline_and_task2_parity(cfg):
     tickers = generate_sample_tickers(num_symbols=3, hours=10)
     store = MemoryStore()
@@ -205,6 +206,7 @@ r.run_bridge()
 """
 
 
+@pytest.mark.slow
 def test_bridge_determinism_across_processes(tmp_path):
     """Two fresh interpreters with different PYTHONHASHSEED must write
     byte-identical candle tables — the bridge PRNG keys derive from a
@@ -347,6 +349,7 @@ def test_manifest_flush_interval(tmp_path):
 
 @pytest.mark.parametrize("frequency,method", [
     ("1min", "linear"), ("5min", "linear"), ("1min", "cubic")])
+@pytest.mark.slow
 def test_fused_pipeline_matches_staged(cfg, frequency, method):
     """run_pipeline_fused must produce identical tables to staged run_all
     (deterministic bridge keys make the chain order-free) — including at
@@ -398,6 +401,7 @@ def test_fused_pipeline_matches_staged(cfg, frequency, method):
                                       b.drop(columns=drop))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["staged", "fused"])
 def test_quality_gate_isolates_single_symbol(cfg, mode):
     """One poisoned symbol in a bucket errors alone; the rest complete
@@ -443,6 +447,7 @@ def test_quality_gate_isolates_single_symbol(cfg, mode):
     assert "quality gate" in rec.error_message
 
 
+@pytest.mark.slow
 def test_task2_alternative_frequencies(cfg):
     """15-minute reconstruction matches the pandas oracle (the reference
     parameterised target_frequency but was only ever run at 5min)."""
@@ -472,6 +477,7 @@ def test_task2_alternative_frequencies(cfg):
         assert (got["source_candles"] == 15).all()
 
 
+@pytest.mark.slow
 def test_task2_misaligned_t0_keeps_trailing_bucket(cfg):
     """A symbol whose first timestamp is not aligned to the target
     frequency must keep its trailing partial bucket when
@@ -576,6 +582,7 @@ def test_fused_skips_and_resume(cfg, monkeypatch):
     assert total == 5
 
 
+@pytest.mark.slow
 def test_task1_cubic_matches_pandas(cfg):
     """method='cubic': pipeline output matches the reference algorithm
     with pandas Series.interpolate(method='cubic')."""

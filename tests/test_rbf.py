@@ -69,3 +69,87 @@ def test_batched(rng):
     for i in range(B):
         ref = RBFInterpolator(pts[i], ws[i], kernel="thin_plate_spline")(qs[i])
         np.testing.assert_allclose(got[i], ref, atol=1e-8)
+
+
+def _arb_quotes(rng, n, wiggle=0.02):
+    """Scattered quotes whose total variance carries butterfly arbitrage
+    (high-frequency wiggles) but is calendar-clean in expectation."""
+    k = rng.uniform(-1.0, 1.0, n)
+    T = rng.uniform(0.05, 2.0, n)
+    w = (0.04 + 0.3 * k**2) * T + wiggle * np.sin(8 * k) * T
+    return np.stack([k, T], axis=1), w
+
+
+def test_arbfree_zero_penalty_matches_scipy_2048(rng):
+    """North-star config #4 scale: 2,048 scattered quotes. At zero
+    penalty weights the stationarity of the penalized objective reduces
+    to SciPy's smoothing-RBF system (see ops/rbf.py derivation), so one
+    Gauss-Newton step must reproduce RBFInterpolator."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    pts, w = _scattered_quotes(rng, 2048)
+    q, _ = _scattered_quotes(rng, 64)
+    fit = fit_rbf_arbfree(jnp.array(pts), jnp.array(w), smoothing=1e-6,
+                          butterfly_weight=0.0, calendar_weight=0.0)
+    got = eval_rbf(fit, jnp.array(q))
+    ref = RBFInterpolator(pts, w, kernel="thin_plate_spline",
+                          smoothing=1e-6)(q)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-7)
+
+
+def test_arbfree_penalty_clears_flags(rng):
+    """Arbitrage-laden quotes: the plain fit flags butterfly violations;
+    the penalized fit is arbitrage-free on the penalty grid while still
+    fitting the (arbitrageable) data to within the wiggle amplitude."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    pts, w = _arb_quotes(rng, 512)
+    plain = fit_rbf_arbfree(jnp.array(pts), jnp.array(w), smoothing=1e-8,
+                            butterfly_weight=0.0, calendar_weight=0.0)
+    assert not bool(plain["butterfly_ok"])  # the data IS arbitrageable
+
+    fit = fit_rbf_arbfree(jnp.array(pts), jnp.array(w), smoothing=1e-8,
+                          n_iters=32)  # default weights/margins
+    assert bool(fit["butterfly_ok"]) and bool(fit["calendar_ok"])
+    assert float(fit["pen_g"].min()) >= -1e-8
+    dw = np.diff(np.asarray(fit["pen_w"]), axis=0)
+    assert dw.min() >= -1e-10
+    got = np.asarray(eval_rbf(fit, jnp.array(pts)))
+    rmse = float(np.sqrt(np.mean((got - w) ** 2)))
+    assert rmse < 0.08  # de-arbitraged, not collapsed
+
+
+@pytest.mark.slow
+def test_arbfree_penalty_2048_sites(rng):
+    """Full production scale: 2,048 quotes, penalties on — flags green."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    pts, w = _arb_quotes(rng, 2048, wiggle=0.01)
+    fit = fit_rbf_arbfree(jnp.array(pts), jnp.array(w), smoothing=1e-8,
+                          n_iters=24)
+    assert bool(fit["butterfly_ok"]) and bool(fit["calendar_ok"])
+
+
+def test_arbfree_weights_drop_padding(rng):
+    """weight-0 quotes must not perturb the fit: garbage values on
+    padded rows give the same surface as the unpadded fit (to solver
+    tolerance)."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    pts, w = _scattered_quotes(rng, 200)
+    q, _ = _scattered_quotes(rng, 40)
+    base = fit_rbf_arbfree(jnp.array(pts), jnp.array(w), smoothing=1e-4,
+                           butterfly_weight=0.0, calendar_weight=0.0)
+    w_base = np.asarray(eval_rbf(base, jnp.array(q)))
+    # append garbage quotes with weight 0 (coordinates inside the box so
+    # the penalty grid is unchanged)
+    pad_pts = np.stack([rng.uniform(-0.9, 0.9, 32),
+                        rng.uniform(0.1, 1.9, 32)], axis=1)
+    pts2 = np.concatenate([pts, pad_pts])
+    w2 = np.concatenate([w, np.full(32, 17.0)])
+    wts = np.concatenate([np.ones(200), np.zeros(32)])
+    padded = fit_rbf_arbfree(jnp.array(pts2), jnp.array(w2),
+                             weights=jnp.array(wts), smoothing=1e-4,
+                             butterfly_weight=0.0, calendar_weight=0.0)
+    w_pad = np.asarray(eval_rbf(padded, jnp.array(q)))
+    np.testing.assert_allclose(w_pad, w_base, atol=1e-4)

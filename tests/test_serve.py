@@ -30,6 +30,7 @@ def _ticks(rng, und, n, lo=0, hi=128):
              "size": 1.0} for m, p in zip(minutes, prices)]
 
 
+@pytest.mark.slow
 def test_ingest_flush_refit(server, rng):
     lines = _ticks(rng, "btc", 300) + _ticks(rng, "eth", 300)
     replies = send_lines("127.0.0.1", server.port,
@@ -69,6 +70,7 @@ def test_auto_flush_threshold(server, rng):
     assert replies[0]["server_ingested"] == 120
 
 
+@pytest.mark.slow
 def test_run_serve_from_store(rng):
     """run_serve builds the universe from fitted chains and serves; a
     client streams ticks and refits over the socket."""

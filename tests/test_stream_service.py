@@ -35,6 +35,7 @@ def session(rng):
                             tick_capacity=4096, n_grid=16)
 
 
+@pytest.mark.slow
 def test_ingest_and_refit(session, rng):
     n = session.ingest_ticks(_tick_frame(rng, session.underlyings, 0, 256,
                                          1500))
@@ -71,6 +72,7 @@ def test_incremental_ingest_accumulates(session, rng):
     assert c1 > 3 * 200  # plenty of populated minute bars across 3 unds
 
 
+@pytest.mark.slow
 def test_stream_replay(rng):
     from iv_interpolation_tpu.config import get_config
     from iv_interpolation_tpu.pipeline.stream_service import run_stream_replay
@@ -83,6 +85,7 @@ def test_stream_replay(rng):
     assert 0.1 < rep["realized_vol_mean"] < 1.5
 
 
+@pytest.mark.slow
 def test_session_handles_out_of_order_ticks(rng):
     """Late ticks (earlier minutes arriving after newer ones) must land
     in their own buckets — the refit sorts the window before

@@ -1,5 +1,6 @@
 """Streaming fused pipeline tests: tick->candle->refit in one jit."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ def _chains(rng, B, E=6, n=12):
     return jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T)
 
 
+@pytest.mark.slow
 def test_streaming_step_shapes_and_flags(rng):
     B, n_minutes = 8, 256
     tm, tp, tsz, tv = _ticks(rng, B, 2000, n_minutes)
@@ -43,6 +45,7 @@ def test_streaming_step_shapes_and_flags(rng):
     assert np.asarray(out.candles_5m.valid).sum() > 0
 
 
+@pytest.mark.slow
 def test_realized_vol_recovers_input_vol(rng):
     """GBM ticks with sigma=0.5/yr -> realized estimate near 0.5."""
     B, n_minutes = 16, 1024
@@ -54,6 +57,7 @@ def test_realized_vol_recovers_input_vol(rng):
     assert 0.3 < rv.mean() < 0.7, rv.mean()
 
 
+@pytest.mark.slow
 def test_refit_moves_iv_toward_realized(rng):
     B, n_minutes = 4, 512
     tm, tp, tsz, tv = _ticks(rng, B, 4000, n_minutes, sigma_annual=1.0)
@@ -65,6 +69,7 @@ def test_refit_moves_iv_toward_realized(rng):
     assert (atm > 0.5).all()
 
 
+@pytest.mark.slow
 def test_single_jit_no_host_roundtrip(rng):
     """The whole chain must be one compiled computation."""
     B, n_minutes = 4, 256
@@ -78,6 +83,7 @@ def test_single_jit_no_host_roundtrip(rng):
     assert np.isfinite(np.asarray(out.realized_vol)).all()
 
 
+@pytest.mark.slow
 def test_streaming_step_operator_path_matches_general(rng):
     """spline_ops (precomputed operator refit) == the general spline
     path on the same grids and boundary condition."""
@@ -101,20 +107,23 @@ def test_streaming_step_operator_path_matches_general(rng):
     size = jnp.asarray(rng.uniform(0, 5, (B, L)))
     valid = jnp.ones((B, L), bool)
 
-    ref = streaming_step(minute, price, size, valid, k, iv, T,
-                         n_minutes=n_minutes, n_grid=m)
     from iv_interpolation_tpu.surface.surface import common_support_grid
-    ops = build_surface_operators_batched(
-        k, common_support_grid(k, m), bc_type="natural")
-    fast = streaming_step(minute, price, size, valid, k, iv, T,
-                          n_minutes=n_minutes, n_grid=m, spline_ops=ops)
-    np.testing.assert_allclose(np.asarray(fast.w_grid),
-                               np.asarray(ref.w_grid),
-                               rtol=1e-8, atol=1e-10)
-    np.testing.assert_array_equal(np.asarray(fast.realized_vol),
-                                  np.asarray(ref.realized_vol))
+    for bc in ("natural", "not-a-knot"):
+        ref = streaming_step(minute, price, size, valid, k, iv, T,
+                             n_minutes=n_minutes, n_grid=m, spline_bc=bc)
+        ops = build_surface_operators_batched(
+            k, common_support_grid(k, m), bc_type=bc)
+        fast = streaming_step(minute, price, size, valid, k, iv, T,
+                              n_minutes=n_minutes, n_grid=m,
+                              spline_ops=ops)
+        np.testing.assert_allclose(np.asarray(fast.w_grid),
+                                   np.asarray(ref.w_grid),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_array_equal(np.asarray(fast.realized_vol),
+                                      np.asarray(ref.realized_vol))
 
 
+@pytest.mark.slow
 def test_streaming_session_uses_operator_refit(rng):
     """StreamingSession precomputes the operator stack and its refit
     surfaces stay arbitrage-clean on smooth chains."""

@@ -155,6 +155,7 @@ def test_greek_surfaces(rng):
     assert ((np.asarray(g["delta"]) > 0) & (np.asarray(g["delta"]) < 1)).all()
 
 
+@pytest.mark.slow
 def test_smoothing_spline_method(rng):
     """smoothing_spline method: noisy chains fit smoothly and the eval
     grid interpolates the *smoothed* values, not the noise."""
@@ -173,6 +174,7 @@ def test_smoothing_spline_method(rng):
     assert np.isfinite(np.asarray(got)).all()
 
 
+@pytest.mark.slow
 def test_sabr_method(rng):
     """method='sabr': fitted surface reproduces Hagan-generated smiles."""
     from iv_interpolation_tpu.ops.sabr import sabr_vol
@@ -208,3 +210,67 @@ def test_fit_rmse_reported(rng):
                                svi_iters=48)
     r = np.asarray(out_svi["fit_rmse"])
     assert np.all(r > 1e-6) and np.all(r < 5e-2)
+
+
+def test_eval_surface_parametric_branches(rng):
+    """eval_surface's svi/essvi/sabr gather branches == the closed-form
+    slice evaluation at bracketing maturities (round-2 verdict: these
+    paths shipped untested; a take_along_axis bug would have been
+    silent). Oracles: svi_total_variance / essvi_w / Hagan sabr_vol on
+    the gathered slice params, and the midpoint query must be the exact
+    average of the bracketing slices (linear-in-w maturity interp)."""
+    from iv_interpolation_tpu.ops.essvi import essvi_w
+    from iv_interpolation_tpu.ops.sabr import sabr_vol
+    from iv_interpolation_tpu.ops.svi import svi_total_variance
+
+    B, E, n, Q = 2, 4, 21, 7
+    k, iv, T = _chains(rng, B=B, E=E, n=n)
+    iv = 0.25 + 0.06 * k**2  # clean smiles so every method fits sanely
+    kq = jnp.broadcast_to(jnp.linspace(-0.6, 0.6, Q), (B, Q))
+
+    def slice_w(method, fit, e, kq):
+        c = fit.coefs[:, e]
+        if method == "svi":
+            return svi_total_variance(c, kq)
+        if method == "essvi":
+            return essvi_w(c, kq)
+        ivs = sabr_vol(c, 1.0, jnp.exp(kq), fit.expiries[:, e])
+        return ivs**2 * fit.expiries[:, e:e + 1]
+
+    for method in ("svi", "essvi", "sabr"):
+        fit = fit_surface(jnp.array(k), jnp.array(iv), jnp.array(T),
+                          method=method, svi_iters=16)
+        for e in (0, 1, E - 1):  # first / interior / last slice
+            Tq = jnp.full((B, Q), float(T[0, e]))
+            got = np.asarray(eval_surface(fit, kq, Tq))
+            ref = np.asarray(slice_w(method, fit, e, kq))
+            np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-10,
+                                       err_msg=f"{method} slice {e}")
+        # midway between slices 1 and 2 -> exact average in w
+        Tm = jnp.full((B, Q), float((T[0, 1] + T[0, 2]) / 2))
+        got_mid = np.asarray(eval_surface(fit, kq, Tm))
+        ref_mid = (np.asarray(slice_w(method, fit, 1, kq))
+                   + np.asarray(slice_w(method, fit, 2, kq))) / 2
+        np.testing.assert_allclose(got_mid, ref_mid, rtol=1e-6,
+                                   atol=1e-10, err_msg=method)
+
+
+def test_common_support_grid_disjoint_supports():
+    """Non-overlapping strike supports must still yield an ASCENDING
+    grid (round-2 verdict: k_hi < k_lo produced a descending 'grid',
+    silently breaking FD diagnostics and bracket searches)."""
+    from iv_interpolation_tpu.surface.surface import common_support_grid
+
+    k = jnp.stack([jnp.linspace(0.0, 1.0, 8),
+                   jnp.linspace(2.0, 3.0, 8)])[None]  # (1, 2, 8), disjoint
+    g = np.asarray(common_support_grid(k, 11))
+    assert g.shape == (1, 2, 11)
+    assert (np.diff(g, axis=-1) > 0).all()
+    # falls back to the gap interval between the supports
+    assert g.min() >= 1.0 - 1e-12 and g.max() <= 2.0 + 1e-12
+    # overlapping supports unchanged: [max k0, min k-1]
+    k2 = jnp.stack([jnp.linspace(-1.0, 1.0, 8),
+                    jnp.linspace(-0.5, 1.5, 8)])[None]
+    g2 = np.asarray(common_support_grid(k2, 5))
+    np.testing.assert_allclose(g2[0, 0], np.linspace(-0.5, 1.0, 5),
+                               atol=1e-12)

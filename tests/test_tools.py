@@ -281,6 +281,7 @@ def test_check_surface_results(ran_store):
         assert rep["iv_range"][0] > 0
 
 
+@pytest.mark.slow
 def test_cli_sample_candles_to_task2_flow(tmp_path, monkeypatch, capsys):
     """Reference flow: generate sample 1-min candles, reconstruct 5-min
     (main.py --generate-sample-candles + --task candles, which was broken
@@ -336,6 +337,7 @@ def test_large_run_confirmation(tmp_path, monkeypatch, capsys):
     assert payload["task1"]["by_status"]["completed"] == 120
 
 
+@pytest.mark.slow
 def test_with_monitor_side_process(tmp_path, monkeypatch, capsys):
     from iv_interpolation_tpu import cli
     monkeypatch.chdir(tmp_path)
@@ -363,6 +365,7 @@ def test_cli_compact(tmp_path, monkeypatch, capsys):
     assert payload["trading_tickers"]["parts_after"] == 1
 
 
+@pytest.mark.slow
 def test_cli_surface_method_flag(tmp_path, monkeypatch, capsys):
     """--task surface --method essvi overrides config.smile_method."""
     from iv_interpolation_tpu import cli
@@ -379,3 +382,40 @@ def test_cli_surface_method_flag(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     payload = json.loads(out[-1])
     assert payload["surface"]["method"] == "essvi"
+
+
+def test_surface_task_rbf_penalized_batched(tmp_path):
+    """method='rbf' with no-arb penalties on: the surface task fits the
+    whole shape bucket as ONE batched penalized fit (no per-underlying
+    Python loop), flags come back clean, and fit_rmse is persisted."""
+    import numpy as np
+    from iv_interpolation_tpu.pipeline.surface_task import (SURFACES,
+                                                            run_surface_fit)
+    cfg = get_config("testing")
+    cfg.checkpoint.manifest_dir = str(tmp_path / "runs")
+    cfg.interpolation.min_data_points = 5
+    cfg.surface.smile_method = "rbf"
+    cfg.surface.rbf_smoothing = 1e-6
+    cfg.surface.rbf_butterfly_penalty = 1000.0
+    cfg.surface.rbf_calendar_penalty = 1000.0
+    cfg.surface.rbf_penalty_iters = 12
+    # two underlyings with the same chain shape -> one bucket, B=2
+    symbols = [f"{und}-{exp}-{strike}-c"
+               for und in ("btc", "eth")
+               for exp in ("28apr23", "30jun23")
+               for strike in (20000, 22000, 24000, 26000, 28000)]
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(hours=8,
+                                                    symbols=symbols))
+    runner = PipelineRunner(cfg, store=store)
+    runner.run_task1()
+    rep = run_surface_fit(cfg, store)
+    assert rep["method"] == "rbf"
+    assert rep["surfaces"] == 2
+    df = store.read(SURFACES)
+    assert set(df["underlying"]) == {"btc", "eth"}
+    assert "fit_rmse" in df.columns
+    assert np.isfinite(df["fit_rmse"]).all()
+    assert df["butterfly_ok"].all()
+    assert df["calendar_ok"].all()
+    assert np.isfinite(df["total_variance"]).all()
