@@ -122,7 +122,89 @@ def bench_spline(rng):
         sps = B / dt
         if sps > best:
             best, best_B = sps, B
-    return best, best_B
+    return best, best_B, _spline_accuracy(step_jit, k_row, np.asarray(T))
+
+
+def _spline_accuracy(step_jit, k_row, T_host):
+    """Accuracy telemetry for the headline path (round-2 verdict: a
+    silent TPU numeric regression — e.g. the MXU bf16 default-precision
+    defect, docs/PERF.md — would leave surfaces/s green while every
+    value and flag goes wrong; BENCH_r*.json must catch that class).
+
+    Returns dict with:
+      * ``parity_max_err``: max |w_grid - SciPy x64 oracle| over a
+        64-surface sub-batch (not-a-knot CubicSpline on w = iv^2 T);
+      * ``butterfly_clean_frac``: fraction of noiseless convex smiles
+        flagged butterfly-free (should be 1.0 — this is exactly the
+        check that failed before the HIGHEST-precision fix);
+      * ``butterfly_adversarial_frac``: fraction of deliberately
+        arbitrage-laden (high-frequency wiggle) surfaces flagged clean
+        (should be ~0.0 — catches flags stuck at True).
+    """
+    Bs = 64
+    rng = np.random.default_rng(12345)  # fixed: parity needs no fresh seeds
+    atm = rng.uniform(0.15, 0.6, (Bs, 1, 1))
+    curv = rng.uniform(0.05, 0.3, (Bs, 1, 1))
+    kk = k_row[None, None, :]
+    iv_clean = (atm + curv * kk * kk).astype(np.float32)
+    w_dev, bfly_clean, _ = step_jit(jnp.asarray(iv_clean))
+    w_dev = np.asarray(w_dev)
+
+    parity = 0.0
+    try:
+        from scipy.interpolate import CubicSpline
+        q = np.linspace(-1.0, 1.0, N_GRID)
+        for b in range(0, Bs, 8):            # sample 8 surfaces of 64
+            for e in range(0, E, 6):
+                w_knots = (iv_clean[b, e].astype(np.float64) ** 2
+                           * float(T_host[e]))
+                ref = CubicSpline(k_row.astype(np.float64), w_knots,
+                                  bc_type="not-a-knot")(q)
+                parity = max(parity, float(
+                    np.abs(w_dev[b, e] - ref).max()))
+    except ImportError:                       # pragma: no cover
+        parity = float("nan")
+
+    # adversarial: wiggles at the grid scale carry butterfly arbitrage
+    iv_bad = (iv_clean + 0.08 * np.sin(20 * kk)).astype(np.float32)
+    _, bfly_bad, _ = step_jit(jnp.asarray(iv_bad))
+    return {
+        "parity_max_err": parity,
+        "butterfly_clean_frac": float(np.asarray(bfly_clean).mean()),
+        "butterfly_adversarial_frac": float(np.asarray(bfly_bad).mean()),
+    }
+
+
+def bench_rbf(rng, B=8, N=2048, n_iters=16):
+    """Arbitrage-penalized RBF at the north-star scale (BASELINE config
+    #4: ~2k scattered quotes with no-arbitrage penalty smoothing) — B
+    surfaces fitted as one vmapped damped-GN solve, flags reported from
+    the penalty grid. Returns (surfaces_per_sec, arbfree_frac)."""
+    from iv_interpolation_tpu.ops.rbf import fit_eval_rbf_arbfree_batched
+
+    @jax.jit
+    def gen(seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        kq = jax.random.uniform(ks[0], (B, N), jnp.float32, -1.0, 1.0)
+        Tq = jax.random.uniform(ks[1], (B, N), jnp.float32, 0.05, 2.0)
+        w = (0.04 + 0.3 * kq * kq) * Tq \
+            + 0.01 * jnp.sin(8.0 * kq) * Tq       # arbitrage-laden quotes
+        pts = jnp.stack([kq, Tq], axis=-1)
+        return pts, w
+
+    def step(pts, w):
+        return fit_eval_rbf_arbfree_batched(
+            pts, w, pts[:, :64], smoothing=1e-8, n_iters=n_iters)
+
+    step_jit = jax.jit(step)
+    seed0 = int(rng.integers(0, 2**31 - 16))
+    inputs = [gen(seed0 + i) for i in range(4)]
+    for args in inputs:
+        jax.block_until_ready(args)
+    dt = _median_time(step_jit, inputs)
+    _, bok, cok = step_jit(*inputs[0])
+    frac = float((np.asarray(bok) & np.asarray(cok)).mean())
+    return B / dt, frac
 
 
 def bench_svi(rng, B=1024, n_iters=32, unroll=True):
@@ -172,9 +254,11 @@ def bench_svi(rng, B=1024, n_iters=32, unroll=True):
 def bench_essvi(rng, B=1024, n_iters=32):
     """eSSVI global surface calibration at the production shape — one
     joint 3E-parameter LM per surface (theta increasing + butterfly-free
-    slices by construction, ops/essvi.py). Compute-bound (the P=90
-    Cholesky solve dominates), so the looped LM suffices — unroll was
-    measured within noise. Returns (surfaces_per_sec, mean_rmse)."""
+    slices by construction, ops/essvi.py). Uses the block-tridiagonal
+    slice-space solver (solver='block' default): O(E) closed-form 3x3
+    solves replace the dense P=90 Cholesky that dominated the dense
+    path's step — measured 874 -> 5,125 surfaces/s at this shape with
+    identical rmse. Returns (surfaces_per_sec, mean_rmse)."""
     from iv_interpolation_tpu.ops.essvi import essvi_w, fit_essvi_batched
 
     n = N_K
@@ -253,10 +337,11 @@ def bench_streaming(rng, B=1024, L_ticks=4096, n_minutes=512):
 def main():
     rng = np.random.default_rng(time.time_ns() % 2**31)
 
-    best, best_B = bench_spline(rng)
+    best, best_B, acc = bench_spline(rng)
     svi_sps, svi_rmse = bench_svi(rng)
     essvi_sps, essvi_rmse = bench_essvi(rng)
     stream_ups = bench_streaming(rng)
+    rbf_sps, rbf_frac = bench_rbf(rng)
 
     value = round(best, 1)
     print(json.dumps({
@@ -266,6 +351,12 @@ def main():
         "vs_baseline": round(value / TARGET, 3),
         "batch": best_B,
         "device": str(jax.devices()[0]),
+        # accuracy telemetry: throughput alone would stay green through
+        # a silent numeric regression (the bf16-MXU class of bug) —
+        # these fields pin values AND flags every bench run
+        "parity_max_err_vs_x64_oracle": float(f"{acc['parity_max_err']:.3g}"),
+        "butterfly_clean_frac": acc["butterfly_clean_frac"],
+        "butterfly_adversarial_frac": acc["butterfly_adversarial_frac"],
         "extra_metrics": [
             {"metric": "svi_lm_slices_per_sec_1024x30_quasi32",
              "value": round(svi_sps, 1), "unit": "slices/s",
@@ -275,6 +366,9 @@ def main():
              "rmse": round(essvi_rmse, 6)},
             {"metric": "streaming_refit_underlyings_per_sec_1024",
              "value": round(stream_ups, 1), "unit": "underlyings/s"},
+            {"metric": "rbf_arbfree_surfaces_per_sec_8x2048",
+             "value": round(rbf_sps, 2), "unit": "surfaces/s",
+             "arbfree_frac": rbf_frac},
         ],
     }))
 

@@ -179,9 +179,159 @@ def _residual(z, k, w, weights, k_pen, calendar_weight, E):
     return r
 
 
+# --- block-tridiagonal Gauss-Newton machinery (solver='block') -------------
+#
+# The generic LM path (ops.lm) forms the dense (3E, 3E) normal equations
+# and Cholesky-factorises them — measured ~60% of the step at E=30
+# (docs/PERF.md). But the problem is block-structured in SLICE space:
+# data residuals of slice e depend only on that slice's (theta, rho,
+# psi), and the calendar hinge couples only adjacent slices, so
+# B = J_s^T J_s is block-TRIDIAGONAL with 3x3 blocks. The z-space
+# Jacobian is J_z = J_s Phi with Phi = d(slice params)/dz (triangular
+# through the cumsum theta-transform, invertible since softplus' > 0),
+# and the undamped GN step satisfies
+#   (Phi^T B Phi) dz = -Phi^T g_s  <=>  dz = Phi^{-1} B^{-1} (-g_s),
+# i.e. solve the BLOCK-TRIDIAGONAL system in slice space, then pull the
+# step back through Phi^{-1} (a diagonal+differencing map — O(E)).
+# Marquardt damping is applied to B's diagonal blocks — damping in the
+# slice metric rather than the z metric, which changes the iterate path
+# but not the fixed points; acceptance still tests the true z-space
+# cost, so every structural guarantee of the transform is preserved.
+# O(E) 3x3 solves replace the O((3E)^3) dense factorisation.
+
+
+def _solve3x3_multi(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve A X = B for (..., 3, 3) A against (..., 3, r) B via the
+    closed-form adjugate (``_solve3x3``), vmapped over the r columns."""
+    return jnp.stack(
+        [_solve3x3(A, B[..., i]) for i in range(B.shape[-1])], axis=-1)
+
+
+def _block_thomas(D: jax.Array, U: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve the symmetric block-tridiagonal system with diagonal blocks
+    ``D`` (E, 3, 3), superdiagonal blocks ``U`` (E-1, 3, 3) (subdiagonal
+    = U^T), RHS ``b`` (E, 3). Unrolled block Thomas — E is static and
+    tiny, so this is straight-line code with closed-form 3x3 solves (an
+    on-device loop step costs ~1 ms on this runtime, docs/PERF.md)."""
+    E = D.shape[-3]
+    S = [D[0]]
+    y = [b[0]]
+    for e in range(1, E):
+        # L = U_{e-1}^T S_{e-1}^{-1}
+        SinvU = _solve3x3_multi(S[e - 1], U[e - 1])        # S^{-1} U
+        Sinvy = _solve3x3(S[e - 1], y[e - 1])
+        S.append(D[e] - U[e - 1].swapaxes(-1, -2) @ SinvU)
+        y.append(b[e] - (U[e - 1].swapaxes(-1, -2) @ Sinvy[..., None])[..., 0])
+    x = [None] * E
+    x[E - 1] = _solve3x3(S[E - 1], y[E - 1])
+    for e in range(E - 2, -1, -1):
+        x[e] = _solve3x3(S[e], y[e] - (U[e] @ x[e + 1][..., None])[..., 0])
+    return jnp.stack(x)
+
+
+def _pullback_step(z, d_slice, E):
+    """Map a slice-space step (E, 3) = (dtheta, drho, dpsi) to the exact
+    z-space step via Phi^{-1} (the transform's inverse tangent map)."""
+    z_th, z_rho, z_psi = z[:E], z[E:2 * E], z[2 * E:]
+    params = _transform(z, E)
+    theta, rho = params[:, 0], params[:, 1]
+    d_th, d_rho, d_psi = d_slice[:, 0], d_slice[:, 1], d_slice[:, 2]
+    # theta = cumsum(softplus(z_th) + eps): dz = diff(dtheta)/sigmoid
+    d_incr = jnp.diff(d_th, prepend=jnp.zeros((1,), d_th.dtype))
+    dz_th = d_incr / jnp.maximum(jax.nn.sigmoid(z_th), 1e-8)
+    # rho = RHO_MAX tanh(z_rho)
+    dz_rho = d_rho / jnp.maximum(
+        _RHO_MAX * (1.0 - jnp.tanh(z_rho) ** 2), 1e-8)
+    # psi = PSI_FRAC cap(theta, rho) sigmoid(z_psi): remove the induced
+    # (theta, rho) motion, then invert the sigmoid factor
+    cap = psi_butterfly_cap(theta, rho)
+    cap_th, cap_rho = jax.vmap(
+        jax.grad(psi_butterfly_cap, argnums=(0, 1)))(theta, rho)
+    sig = jax.nn.sigmoid(z_psi)
+    induced = _PSI_FRAC * sig * (cap_th * d_th + cap_rho * d_rho)
+    dz_psi = (d_psi - induced) / jnp.maximum(
+        _PSI_FRAC * cap * sig * (1.0 - sig), 1e-8)
+    return jnp.concatenate([dz_th, dz_rho, dz_psi])
+
+
+def _fit_essvi_block(k, w, weights, k_pen, max_iters, calendar_weight,
+                     unroll, tol=1e-12):
+    """Block-tridiagonal LM for one surface (see banner comment)."""
+    E = k.shape[-2]
+    dtype = w.dtype
+    cw = jnp.asarray(calendar_weight, dtype)
+
+    def slice_resid(p_e, k_e, w_e, wt_e):
+        return (essvi_w(p_e, k_e) - w_e) * wt_e            # (n,)
+
+    def slice_pen(p_e):
+        return essvi_w(p_e, k_pen)                         # (m,)
+
+    hp = jax.lax.Precision.HIGHEST  # full-f32 MXU (default is bf16)
+
+    def cost_of(z):
+        r = _residual(z, k, w, weights, k_pen, calendar_weight, E)
+        return 0.5 * jnp.sum(r * r)
+
+    def body(_, state):
+        z, lam, cost, n_acc, converged = state
+        params = _transform(z, E)                          # (E, 3)
+        r_d = jax.vmap(slice_resid)(params, k, w, weights)  # (E, n)
+        J_d = jax.vmap(jax.jacfwd(slice_resid))(params, k, w,
+                                                weights)    # (E, n, 3)
+        g = jnp.einsum("enp,en->ep", J_d, r_d, precision=hp)
+        D = jnp.einsum("enp,enq->epq", J_d, J_d, precision=hp)
+        if calendar_weight > 0.0:
+            wp = jax.vmap(slice_pen)(params)               # (E, m)
+            Dp = jax.vmap(jax.jacfwd(slice_pen))(params)   # (E, m, 3)
+            gap = wp[1:] - wp[:-1]
+            r_c = cw * jnp.minimum(gap, 0.0)               # (E-1, m)
+            mask = (gap < 0.0).astype(dtype)[..., None]
+            J_lo = -cw * mask * Dp[:-1]                    # d r_c/d theta_e
+            J_hi = cw * mask * Dp[1:]                      # d r_c/d theta_{e+1}
+            g = g.at[:-1].add(
+                jnp.einsum("emp,em->ep", J_lo, r_c, precision=hp))
+            g = g.at[1:].add(
+                jnp.einsum("emp,em->ep", J_hi, r_c, precision=hp))
+            D = D.at[:-1].add(
+                jnp.einsum("emp,emq->epq", J_lo, J_lo, precision=hp))
+            D = D.at[1:].add(
+                jnp.einsum("emp,emq->epq", J_hi, J_hi, precision=hp))
+            U = jnp.einsum("emp,emq->epq", J_lo, J_hi, precision=hp)
+        else:
+            U = jnp.zeros((E - 1, 3, 3), dtype)
+
+        diag = jnp.diagonal(D, axis1=-2, axis2=-1)         # (E, 3)
+        damp = lam * jnp.maximum(diag, 1e-12)
+        D_lam = D + damp[..., None] * jnp.eye(3, dtype=dtype)
+        d_slice = _block_thomas(D_lam, U, -g)              # (E, 3)
+        dz = _pullback_step(z, d_slice, E)
+        z_new = z + dz
+        cost_new = cost_of(z_new)
+        accept = (cost_new < cost) & jnp.all(jnp.isfinite(z_new))
+        z = jnp.where(accept & ~converged, z_new, z)
+        cost_next = jnp.where(accept & ~converged, cost_new, cost)
+        lam = jnp.where(converged, lam,
+                        jnp.where(accept, lam / 3.0, lam * 3.0))
+        lam = jnp.clip(lam, 1e-12, 1e12)
+        n_acc = n_acc + (accept & ~converged)
+        small_step = jnp.max(jnp.abs(d_slice)) < tol
+        small_impr = accept & (cost - cost_new < tol * jnp.maximum(cost, 1.0))
+        converged = converged | small_step | small_impr
+        return z, lam, cost_next, n_acc, converged
+
+    z0 = essvi_init(k, w)
+    state0 = (z0, jnp.asarray(1e-3, dtype), cost_of(z0),
+              jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    z, lam, cost, n_acc, converged = jax.lax.fori_loop(
+        0, max_iters, body, state0, unroll=max_iters if unroll else 1)
+    return EssviFit(params=_transform(z, E), cost=cost,
+                    n_accepted=n_acc, converged=converged)
+
+
 @partial(jax.jit, static_argnames=("max_iters", "calendar_weight",
                                    "n_penalty_grid", "unroll", "loss",
-                                   "huber_delta"))
+                                   "huber_delta", "solver"))
 def fit_essvi(k: jax.Array, w: jax.Array,
               weights: jax.Array | None = None,
               max_iters: int = 64,
@@ -189,7 +339,8 @@ def fit_essvi(k: jax.Array, w: jax.Array,
               n_penalty_grid: int = 33,
               unroll: bool = False,
               loss: str = "linear",
-              huber_delta: float = 1e-3) -> EssviFit:
+              huber_delta: float = 1e-3,
+              solver: str = "block") -> EssviFit:
     """Calibrate one eSSVI surface: ``k``/``w`` (E, n) -> params (E, 3).
 
     One global LM over 3E transformed parameters — every iterate is
@@ -198,12 +349,23 @@ def fit_essvi(k: jax.Array, w: jax.Array,
     ``loss='huber'`` makes the data term (and penalty) pseudo-Huber with
     scale ``huber_delta`` so outlier quotes cannot dominate the joint
     fit (``ops.lm.robustify``).
+    ``solver='block'`` (default) exploits the block-tridiagonal
+    structure of the normal equations in slice space — O(E) 3x3 solves
+    instead of the dense (3E)^3 Cholesky that dominated the step (see
+    the banner comment above ``_block_thomas``); ``solver='dense'`` is
+    the generic ``ops.lm`` path (also used for ``loss='huber'``, whose
+    row reweighting breaks the block assembly).
     """
     E = k.shape[-2]
     if weights is None:
         weights = jnp.ones_like(w)
     k_pen = jnp.linspace(jnp.max(k[..., 0]), jnp.min(k[..., -1]),
                          n_penalty_grid).astype(k.dtype)
+    if solver not in ("block", "dense"):
+        raise ValueError(f"unknown solver: {solver!r}")
+    if solver == "block" and loss == "linear":
+        return _fit_essvi_block(k, w, weights, k_pen, max_iters,
+                                calendar_weight, unroll)
     z0 = essvi_init(k, w)
     residual = partial(_residual, calendar_weight=calendar_weight, E=E)
     if loss == "huber":
@@ -220,7 +382,7 @@ def fit_essvi(k: jax.Array, w: jax.Array,
 
 @partial(jax.jit, static_argnames=("max_iters", "calendar_weight",
                                    "n_penalty_grid", "unroll", "loss",
-                                   "huber_delta"))
+                                   "huber_delta", "solver"))
 def fit_essvi_batched(k: jax.Array, w: jax.Array,
                       weights: jax.Array | None = None,
                       max_iters: int = 64,
@@ -228,7 +390,8 @@ def fit_essvi_batched(k: jax.Array, w: jax.Array,
                       n_penalty_grid: int = 33,
                       unroll: bool = False,
                       loss: str = "linear",
-                      huber_delta: float = 1e-3) -> EssviFit:
+                      huber_delta: float = 1e-3,
+                      solver: str = "block") -> EssviFit:
     """Batched eSSVI: ``k``/``w`` (..., E, n) -> params (..., E, 3).
 
     Unlike ``fit_svi_batched`` (which flattens surfaces x expiries into
@@ -246,6 +409,7 @@ def fit_essvi_batched(k: jax.Array, w: jax.Array,
                            calendar_weight=calendar_weight,
                            n_penalty_grid=n_penalty_grid,
                            unroll=unroll, loss=loss,
-                           huber_delta=huber_delta))(kf, wf, wtf)
+                           huber_delta=huber_delta,
+                           solver=solver))(kf, wf, wtf)
     reshape = lambda a: a.reshape(batch + a.shape[1:])
     return EssviFit(*map(reshape, fit))

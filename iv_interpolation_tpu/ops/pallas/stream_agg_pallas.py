@@ -1,0 +1,174 @@
+"""Pallas fused bucket-aggregation kernel for the streaming stage-1 path.
+
+Motivation (docs/PERF.md, round-2): the XLA sorted-path aggregation
+(``ops.segment_ohlcv._aggregate_sorted``) spends ~150 ms of the
+streaming step across four sparse-table range-reduction passes plus
+boundary compare-reduces and gathers — each materialising grid-sized
+intermediates in HBM with fused-op overhead near the relay's dispatch
+floor. This kernel collapses the whole per-underlying reduction into ONE
+``pallas_call``: every (underlying, bucket-tile) program holds the tick
+row in VMEM and produces all seven per-bucket outputs with no HBM
+intermediates at all.
+
+Design (per program = one underlying x one 128-bucket output tile):
+  * bucket membership is an EQUALITY mask ``seg[:, None] == ids[None, :]``
+    on a (L, 128) VMEM tile — no scatter, no sort requirement for
+    max/min/sum (the row-position first/last rule matches
+    ``aggregate_ohlcv``'s semantics, which already require valid rows
+    time-sorted for open/close to mean anything);
+  * high/low = masked max/min reductions over the tick axis (VPU);
+  * volume/count = mask-matmul contractions (MXU);
+  * open/close = one extra masked reduction against the per-bucket
+    first/last row offset (argmin/argmax by row position).
+
+Cost: ~8 passes over a (L, 128) tile per program — all VMEM-resident
+(L=4096 ticks -> ~2 MB per mask tile, well under the ~16 MB budget).
+
+Incomplete-bucket masking and NaN fill stay outside the kernel (cheap
+elementwise jnp, reference core.py:85-89 semantics preserved by the
+caller ``aggregate_ohlcv_pallas``).
+
+Reference analogue: pandas groupby first/max/min/last/sum
+(src/candle_reconstruction/core.py:73-80) — here as a TPU kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from iv_interpolation_tpu.ops.segment_ohlcv import Candles
+
+_MAX_TILE = 512  # output buckets per program: wider tiles amortise
+                 # per-program overhead (measured 91 -> 50 ms for the
+                 # 1024x4096->512 stage going 128 -> 512 lanes)
+_ROWS = 8        # underlyings per program (Mosaic sublane minimum, f32)
+
+
+def _agg_kernel(minute_ref, o_ref, h_ref, l_ref, c_ref, v_ref, ok_ref,
+                open_ref, high_ref, low_ref, close_ref, vol_ref, cnt_ref,
+                *, bucket_minutes: int, base_bucket: int,
+                num_segments: int, tile: int):
+    j = pl.program_id(1)
+    L = minute_ref.shape[1]
+    ids = j * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    big = jnp.float32(3.4e38)
+    bigi = jnp.int32(2**30)
+    ones = jnp.ones((1, L), jnp.float32)
+
+    # Mosaic requires >=8 sublanes per block, so each program reduces 8
+    # underlyings; the row loop is static and unrolls into straight-line
+    # vector code over (L, TILE) tiles
+    for r in range(_ROWS):
+        # reshape only 32-bit vectors (Mosaic cannot reshape i1 masks);
+        # out-of-range seg values can only match ids in the padded
+        # output tail, which the caller slices off, so the equality
+        # against in-tile ids doubles as the range check
+        seg = (minute_ref[r, :] // bucket_minutes
+               - base_bucket).reshape(L, 1)                     # (L, 1)
+        okc = ok_ref[r, :].reshape(L, 1)
+        mask = (seg == ids) & (okc != 0)                        # (L, TILE)
+        maskf = mask.astype(jnp.float32)
+
+        h = h_ref[r, :].reshape(L, 1)
+        l = l_ref[r, :].reshape(L, 1)
+        high_ref[r, :] = jnp.max(jnp.where(mask, h, -big), axis=0)
+        low_ref[r, :] = jnp.min(jnp.where(mask, l, big), axis=0)
+
+        # sums ride the MXU: (1, L) x (L, TILE)
+        vol_ref[r, :] = jnp.dot(v_ref[r, :].reshape(1, L), maskf,
+                                preferred_element_type=jnp.float32)[0]
+        cnt = jnp.dot(ones, maskf,
+                      preferred_element_type=jnp.float32)[0]
+        cnt_ref[r, :] = cnt.astype(jnp.int32)
+
+        # first/last valid row per bucket by ROW POSITION, then one more
+        # masked reduction selects that row's open/close
+        first = jnp.min(jnp.where(mask, offs, bigi), axis=0)    # (tile,)
+        last = jnp.max(jnp.where(mask, offs, -1), axis=0)
+        sel_first = mask & (offs == first.reshape(1, tile))
+        sel_last = mask & (offs == last.reshape(1, tile))
+        o = o_ref[r, :].reshape(L, 1)
+        c = c_ref[r, :].reshape(L, 1)
+        open_ref[r, :] = jnp.sum(jnp.where(sel_first, o, 0.0), axis=0)
+        close_ref[r, :] = jnp.sum(jnp.where(sel_last, c, 0.0), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_segments", "min_count", "bucket_minutes", "base_bucket",
+    "interpret"))
+def aggregate_ohlcv_pallas(minutes: jax.Array, o: jax.Array, h: jax.Array,
+                           l: jax.Array, c: jax.Array, v: jax.Array,
+                           valid: jax.Array, *, bucket_minutes: int,
+                           base_bucket: int = 0, num_segments: int,
+                           min_count: int,
+                           interpret: bool | None = None) -> Candles:
+    """Batched OHLCV bucket aggregation as one Pallas kernel.
+
+    Same contract as ``ops.segment_ohlcv.aggregate_ohlcv`` but batched
+    over a leading underlying axis and with static ``bucket_minutes`` /
+    ``base_bucket`` (the streaming pipeline's configuration — sessions
+    fix both): all arrays ``(B, L)``, outputs ``(B, num_segments)``.
+    ``interpret=True`` runs the kernel in the Pallas interpreter
+    (default: auto — interpreter everywhere except a real TPU backend,
+    so the CPU test suite exercises the same code path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, L = minutes.shape
+    B_pad = (B + _ROWS - 1) // _ROWS * _ROWS
+    ns128 = (num_segments + 127) // 128 * 128
+    tile = min(_MAX_TILE, ns128)
+    ns_pad = (num_segments + tile - 1) // tile * tile
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _agg_kernel, bucket_minutes=bucket_minutes,
+        base_bucket=base_bucket, num_segments=num_segments, tile=tile)
+
+    def pad_rows(a, fill):
+        if B_pad == B:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((B_pad - B, L), fill, a.dtype)], axis=0)
+
+    row = pl.BlockSpec((_ROWS, L), lambda b, j: (b, 0),
+                       memory_space=pltpu.VMEM)
+    out_tile = pl.BlockSpec((_ROWS, tile), lambda b, j: (b, j),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((B_pad, ns_pad), f32)
+                 for _ in range(5)]
+    out_shape.append(jax.ShapeDtypeStruct((B_pad, ns_pad), jnp.int32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B_pad // _ROWS, ns_pad // tile),
+        in_specs=[row] * 7,
+        out_specs=[out_tile] * 6,
+        out_shape=out_shape,
+        # the unrolled 8-row body keeps several (L, TILE) tiles live;
+        # the 16 MB default scoped-vmem limit is conservative on v5e
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pad_rows(minutes.astype(jnp.int32), 0),
+      pad_rows(o.astype(f32), 0.0), pad_rows(h.astype(f32), 0.0),
+      pad_rows(l.astype(f32), 0.0), pad_rows(c.astype(f32), 0.0),
+      pad_rows(v.astype(f32), 0.0),
+      pad_rows(valid.astype(jnp.int32), 0))
+    open_, high, low, close, volume, count = (
+        a[:B, :num_segments] for a in outs)
+
+    nonempty = count > 0
+    valid_out = nonempty & (count >= min_count)
+    nan = jnp.asarray(jnp.nan, f32)
+    fix = lambda a: jnp.where(nonempty, a, nan)
+    return Candles(
+        open=fix(open_), high=fix(high), low=fix(low), close=fix(close),
+        volume=jnp.where(nonempty, volume, 0.0),
+        count=count,
+        valid=valid_out,
+    )

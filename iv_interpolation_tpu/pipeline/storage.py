@@ -225,8 +225,11 @@ def _ident(name: str) -> str:
 
 class PostgresStore:
     """Drop-in adapter for reference deployments (same tables/queries as
-    src/database/connection.py). Requires psycopg2, which this image does
-    not ship — constructing it without psycopg2 raises ImportError.
+    src/database/connection.py). Uses psycopg2 when available and falls
+    back to the bundled pure-Python wire driver
+    (``pipeline.pgwire`` — startup/SCRAM auth, simple-query protocol,
+    DECLARE/FETCH streaming) otherwise, so the adapter runs with zero
+    native dependencies.
 
     * identifiers are validated and quoted (``_ident``);
     * the pipeline DDL (pipeline/schema.py — same constraints as the
@@ -237,12 +240,21 @@ class PostgresStore:
 
     def __init__(self, host, database, user, password, port=5432,
                  connect_test: bool = False):
-        import psycopg2  # noqa: F401 — gate on availability
-        import psycopg2.extras
-        self._psycopg2 = psycopg2
-        self._extras = psycopg2.extras
-        self._dsn = dict(host=host, database=database, user=user,
-                         password=password, port=port)
+        try:
+            import psycopg2  # noqa: F401 — prefer the C driver
+            import psycopg2.extras
+            self._connect_fn = lambda: psycopg2.connect(
+                host=host, database=database, user=user,
+                password=password, port=port)
+            self._execute_values = psycopg2.extras.execute_values
+            self._pgwire = False
+        except ImportError:
+            from iv_interpolation_tpu.pipeline import pgwire
+            self._connect_fn = lambda: pgwire.connect(
+                host=host, database=database, user=user,
+                password=password, port=port)
+            self._execute_values = pgwire.execute_values
+            self._pgwire = True
         self._ensured: set = set()
         if connect_test:  # reference connection self-test (connection.py:18-27)
             with self._connect() as conn, conn.cursor() as cur:
@@ -250,7 +262,7 @@ class PostgresStore:
                 cur.fetchone()
 
     def _connect(self):
-        return self._psycopg2.connect(**self._dsn)
+        return self._connect_fn()
 
     def ensure_schema(self, table: str) -> None:
         """Idempotently apply the pipeline DDL for a known table."""
@@ -287,6 +299,11 @@ class PostgresStore:
             q += " WHERE symbol = ANY(%s)"
             params = (list(symbols),)
         with self._connect() as conn:
+            if self._pgwire:
+                with conn.cursor() as cur:
+                    cur.execute(q, params)
+                    cols = [d[0] for d in cur.description]
+                    return pd.DataFrame(cur.fetchall(), columns=cols)
             return pd.read_sql(q, conn, params=params)
 
     def read_iter(self, table: str, symbols: Optional[List[str]] = None,
@@ -330,7 +347,7 @@ class PostgresStore:
              f"VALUES %s{conflict}")
         rows = [tuple(r) for r in df.itertuples(index=False)]
         with self._connect() as conn, conn.cursor() as cur:
-            self._extras.execute_values(cur, q, rows, page_size=1000)
+            self._execute_values(cur, q, rows, page_size=1000)
             conn.commit()
         return len(rows)
 

@@ -241,3 +241,37 @@ def test_essvi_slice_is_svi_slice(rng):
     g_s = svi_g(svi_params, kg[None, :])
     np.testing.assert_allclose(np.asarray(g_e), np.asarray(g_s),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_block_solver_matches_dense(rng):
+    """solver='block' (slice-space block-tridiagonal GN) converges to
+    the same fit as the dense ops.lm path: same rmse to float precision
+    and all structural guarantees intact. The iterate paths differ
+    (damping acts in different metrics) so parameters are compared by
+    fit quality, not elementwise."""
+    import jax.numpy as jnp
+    import numpy as np
+    from iv_interpolation_tpu.ops.essvi import (essvi_w, fit_essvi_batched,
+                                                psi_butterfly_cap)
+
+    B, E, n = 4, 10, 30
+    k = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, n), (B, E, n))
+    theta = jnp.asarray(np.cumsum(rng.uniform(0.005, 0.03, (B, E)),
+                                  axis=-1))
+    rho = jnp.asarray(np.broadcast_to(rng.uniform(-0.5, 0.5, (B, 1)),
+                                      (B, E)))
+    psi = psi_butterfly_cap(theta, rho) * 0.4
+    w = essvi_w(jnp.stack([theta, rho, psi], axis=-1), k)
+    w = w + 1e-4 * jnp.asarray(rng.normal(size=(B, E, n)))
+
+    fits = {s: fit_essvi_batched(k, w, max_iters=32, solver=s)
+            for s in ("dense", "block")}
+    rmse = {s: float(jnp.sqrt(jnp.mean((essvi_w(f.params, k) - w) ** 2)))
+            for s, f in fits.items()}
+    assert rmse["block"] < 1.5 * rmse["dense"] + 1e-6, rmse
+    assert rmse["block"] < 5e-4
+    th = np.asarray(fits["block"].params[..., 0])
+    assert (np.diff(th, axis=-1) > 0).all()      # theta stays monotone
+    cap = np.asarray(psi_butterfly_cap(fits["block"].params[..., 0],
+                                       fits["block"].params[..., 1]))
+    assert (np.asarray(fits["block"].params[..., 2]) <= cap + 1e-9).all()

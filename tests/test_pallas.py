@@ -47,3 +47,81 @@ def test_multidim_batch(rng):
         *map(jnp.asarray, (dl, d, du, b)), interpret=True))
     x_scan = np.asarray(tridiag_solve(*map(jnp.asarray, (dl, d, du, b))))
     np.testing.assert_allclose(x, x_scan, atol=1e-10)
+
+
+def test_stream_agg_pallas_matches_xla(rng):
+    """Fused Pallas bucket-aggregation kernel (interpret mode on CPU) ==
+    the XLA segment-reduction path on every Candles field. Volume rides
+    the MXU matmul in the kernel, so it is compared at f32 tolerance;
+    everything else must be exact (open/close/high/low are selections,
+    count is integer)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from iv_interpolation_tpu.ops.pallas.stream_agg_pallas import (
+        aggregate_ohlcv_pallas)
+    from iv_interpolation_tpu.ops.segment_ohlcv import aggregate_ohlcv
+
+    B, L, ns = 4, 512, 100
+    minute = np.sort(rng.integers(0, ns * 5, (B, L)).astype(np.int32),
+                     axis=-1)
+    o = rng.normal(100, 1, (B, L)).astype(np.float32)
+    h = o + rng.uniform(0, 1, (B, L)).astype(np.float32)
+    l = o - rng.uniform(0, 1, (B, L)).astype(np.float32)
+    c = o + rng.normal(0, 0.5, (B, L)).astype(np.float32)
+    v = rng.uniform(0, 5, (B, L)).astype(np.float32)
+    valid = rng.random((B, L)) > 0.1
+
+    ref = jax.vmap(lambda m, oo, hh, ll, cc, vv, ok: aggregate_ohlcv(
+        m, oo, hh, ll, cc, vv, ok, jnp.int32(5), jnp.int32(0),
+        num_segments=ns, min_count=3))(
+        jnp.asarray(minute), jnp.asarray(o), jnp.asarray(h),
+        jnp.asarray(l), jnp.asarray(c), jnp.asarray(v),
+        jnp.asarray(valid))
+    got = aggregate_ohlcv_pallas(
+        jnp.asarray(minute), jnp.asarray(o), jnp.asarray(h),
+        jnp.asarray(l), jnp.asarray(c), jnp.asarray(v),
+        jnp.asarray(valid), bucket_minutes=5, num_segments=ns,
+        min_count=3, interpret=True)
+    for f in ("open", "high", "low", "close", "count", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(got, f)),
+            err_msg=f)
+    np.testing.assert_allclose(np.asarray(got.volume),
+                               np.asarray(ref.volume), rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_stream_agg_pallas_unsorted_minmax(rng):
+    """The equality-mask kernel needs NO sort for high/low/volume/count
+    (unlike the XLA sorted path): shuffled rows give identical
+    reductions; open/close follow the row-position rule by contract."""
+    import jax.numpy as jnp
+    import numpy as np
+    from iv_interpolation_tpu.ops.pallas.stream_agg_pallas import (
+        aggregate_ohlcv_pallas)
+
+    B, L, ns = 2, 256, 64
+    minute = rng.integers(0, ns, (B, L)).astype(np.int32)  # unsorted
+    p = rng.normal(100, 1, (B, L)).astype(np.float32)
+    v = rng.uniform(0, 5, (B, L)).astype(np.float32)
+    valid = np.ones((B, L), bool)
+    got = aggregate_ohlcv_pallas(
+        jnp.asarray(minute), jnp.asarray(p), jnp.asarray(p),
+        jnp.asarray(p), jnp.asarray(p), jnp.asarray(v),
+        jnp.asarray(valid), bucket_minutes=1, num_segments=ns,
+        min_count=1, interpret=True)
+    # oracle per bucket with numpy
+    for b in range(B):
+        for j in (0, ns // 2, ns - 1):
+            rows = np.flatnonzero(minute[b] == j)
+            if len(rows) == 0:
+                assert not bool(got.valid[b, j])
+                continue
+            assert np.isclose(float(got.high[b, j]), p[b, rows].max())
+            assert np.isclose(float(got.low[b, j]), p[b, rows].min())
+            assert np.isclose(float(got.volume[b, j]), v[b, rows].sum(),
+                              rtol=1e-5)
+            assert int(got.count[b, j]) == len(rows)
+            assert np.isclose(float(got.open[b, j]), p[b, rows[0]])
+            assert np.isclose(float(got.close[b, j]), p[b, rows[-1]])

@@ -1,0 +1,108 @@
+"""Wire-driver unit tests: pgwire against the loopback v3 mock server
+(real bytes, every auth mode) plus pure rendering/decoding units."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from iv_interpolation_tpu.pipeline import pgwire
+from tests.pg_mock_server import MockPgServer
+
+
+@pytest.mark.parametrize("auth", ["trust", "cleartext", "md5",
+                                  "scram-sha-256"])
+def test_auth_modes(auth):
+    with MockPgServer(auth=auth, user="u", password="pw") as srv:
+        conn = pgwire.connect("127.0.0.1", "db", "u", "pw",
+                              port=srv.port)
+        with conn.cursor() as cur:
+            cur.execute("SELECT version()")
+            assert "PostgreSQL" in cur.fetchone()[0]
+        conn.close()
+
+
+@pytest.mark.parametrize("auth", ["cleartext", "md5", "scram-sha-256"])
+def test_wrong_password_rejected(auth):
+    with MockPgServer(auth=auth, user="u", password="pw") as srv:
+        with pytest.raises((pgwire.PgError, pgwire.InterfaceError)):
+            pgwire.connect("127.0.0.1", "db", "u", "WRONG",
+                           port=srv.port)
+
+
+def test_roundtrip_types_and_params():
+    with MockPgServer(auth="trust") as srv:
+        conn = pgwire.connect("127.0.0.1", "db", "ivtpu", "secret",
+                              port=srv.port)
+        cur = conn.cursor()
+        cur.execute('CREATE TABLE "t" ("sym" VARCHAR(50), "x" '
+                    'DOUBLE PRECISION, "n" BIGINT, "ok" BOOLEAN)')
+        cur.execute('INSERT INTO "t" ("sym", "x", "n", "ok") VALUES '
+                    "(%s, %s, %s, %s)",
+                    ("o'brien", 1.5, np.int64(7), True))
+        cur.execute('INSERT INTO "t" ("sym", "x", "n", "ok") VALUES '
+                    "(%s, %s, %s, %s)", (None, float("nan"), -3, False))
+        cur.execute('SELECT "sym", "x", "n", "ok" FROM "t"')
+        rows = cur.fetchall()
+        assert rows[0] == ("o'brien", 1.5, 7, True)
+        assert rows[1][0] is None and np.isnan(rows[1][1])
+        assert rows[1][2:] == (-3, False)
+        conn.close()
+
+
+def test_any_array_filter_and_named_cursor():
+    with MockPgServer(auth="trust") as srv:
+        conn = pgwire.connect("127.0.0.1", "db", "ivtpu", "secret",
+                              port=srv.port)
+        cur = conn.cursor()
+        cur.execute('CREATE TABLE "t" ("symbol" VARCHAR(50), "v" BIGINT)')
+        pgwire.execute_values(
+            cur, 'INSERT INTO "t" ("symbol", "v") VALUES %s',
+            [(f"s{i % 5}", i) for i in range(100)], page_size=30)
+        cur.execute('SELECT "symbol", "v" FROM "t" WHERE symbol = '
+                    "ANY(%s)", (["s1", "s3"],))
+        rows = cur.fetchall()
+        assert len(rows) == 40
+        assert {r[0] for r in rows} == {"s1", "s3"}
+        # server-side streaming via DECLARE/FETCH
+        with conn.cursor(name="stream") as named:
+            named.itersize = 7
+            named.execute('SELECT "symbol", "v" FROM "t"')
+            chunks = []
+            while True:
+                chunk = named.fetchmany(7)
+                if not chunk:
+                    break
+                chunks.append(chunk)
+        assert sum(len(c) for c in chunks) == 100
+        assert all(len(c) == 7 for c in chunks[:-1])
+        conn.close()
+
+
+def test_error_response_raises_and_connection_survives():
+    with MockPgServer(auth="trust") as srv:
+        conn = pgwire.connect("127.0.0.1", "db", "ivtpu", "secret",
+                              port=srv.port)
+        cur = conn.cursor()
+        with pytest.raises(pgwire.PgError):
+            cur.execute('SELECT * FROM "missing"')
+        cur.execute("SELECT version()")  # still usable after error
+        assert cur.fetchone() is not None
+        conn.close()
+
+
+def test_render_literal_units():
+    rl = pgwire.render_literal
+    assert rl(None) == "NULL"
+    assert rl(True) == "TRUE"
+    assert rl(3) == "3"
+    assert rl(1.5) == "1.5"
+    assert rl(float("inf")) == "'Infinity'"
+    assert rl("a'b") == "'a''b'"
+    assert rl(dt.datetime(2023, 1, 2, 3, 4, 5)) == "'2023-01-02 03:04:05'"
+    assert rl([1, 2]) == "ARRAY[1, 2]"
+    assert rl(np.float32(2.0)) == "2.0"
+    with pytest.raises(pgwire.InterfaceError):
+        rl("bad\x00byte")
+    with pytest.raises(pgwire.InterfaceError):
+        pgwire.render_query("SELECT %s", (1, 2))

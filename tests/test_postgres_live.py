@@ -1,15 +1,20 @@
-"""Live-PostgreSQL integration test, gated on ``IVTPU_PG_TEST_DSN``.
+"""PostgreSQL integration tests over a REAL socket.
 
-Set e.g. ``IVTPU_PG_TEST_DSN=host=localhost dbname=test user=postgres
-password=pw`` and run ``pytest -m pg_live``. Skipped (not failed) when
-no server is configured or psycopg2 is absent — this image ships
-neither (ROADMAP #2); the adapter's SQL is still covered by
-tests/test_postgres_contract.py.
+Two modes, same tests:
+  * ``IVTPU_PG_TEST_DSN`` set (e.g. ``host=localhost dbname=test
+    user=postgres password=pw``): runs against that live server, with
+    psycopg2 if installed or the bundled pure-Python wire driver
+    (pipeline/pgwire.py) otherwise.
+  * no DSN (this image — no psycopg2, no pg8000, no server, nothing
+    installable): runs against the in-process loopback mock server
+    (tests/pg_mock_server.py) speaking the actual v3 byte protocol with
+    SCRAM-SHA-256 auth, through the same PostgresStore + pgwire path a
+    live deployment without psycopg2 would use. Nothing skips.
 
-Exercises the full adapter surface against a real server: DDL on first
-write, upsert overwrite semantics, CHECK-constraint enforcement
-(valid_ohlc — reference candle_schema.py:41-48), streaming reads, and a
-small end-to-end pipeline run through the PostgresStore.
+Exercises the full adapter surface: DDL on first write, upsert
+overwrite semantics, CHECK-constraint enforcement (valid_ohlc —
+reference candle_schema.py:41-48), streaming reads, and a small
+end-to-end pipeline run through the PostgresStore.
 """
 
 import os
@@ -23,33 +28,41 @@ pytestmark = pytest.mark.pg_live
 _DSN = os.environ.get("IVTPU_PG_TEST_DSN")
 
 
-def _store():
-    pytest.importorskip("psycopg2")
-    if not _DSN:
-        pytest.skip("IVTPU_PG_TEST_DSN not set")
-    from iv_interpolation_tpu.pipeline.storage import PostgresStore
+def _live_params():
     parts = dict(kv.split("=", 1) for kv in _DSN.split())
-    return PostgresStore(
+    return dict(
         host=parts.get("host", "localhost"),
         database=parts.get("dbname", parts.get("database", "test")),
         user=parts.get("user", "postgres"),
         password=parts.get("password", ""),
         port=int(parts.get("port", 5432)),
-        connect_test=True,
     )
 
 
 @pytest.fixture
 def live_store():
-    store = _store()
     from iv_interpolation_tpu.pipeline import storage as st
-    for t in (st.TICKERS, st.INTERPOLATED, st.MINUTE_CANDLES,
-              st.RECONSTRUCTED):
+    from iv_interpolation_tpu.pipeline.storage import PostgresStore
+    server = None
+    if _DSN:
+        store = PostgresStore(**_live_params(), connect_test=True)
+    else:
+        from tests.pg_mock_server import MockPgServer
+        server = MockPgServer(auth="scram-sha-256", user="ivtpu",
+                              password="secret")
+        store = PostgresStore(host="127.0.0.1", database="test",
+                              user="ivtpu", password="secret",
+                              port=server.port, connect_test=True)
+        assert store._pgwire  # the pure-Python driver is the path under test
+    tables = (st.TICKERS, st.INTERPOLATED, st.MINUTE_CANDLES,
+              st.RECONSTRUCTED)
+    for t in tables:
         store.drop(t)
     yield store
-    for t in (st.TICKERS, st.INTERPOLATED, st.MINUTE_CANDLES,
-              st.RECONSTRUCTED):
+    for t in tables:
         store.drop(t)
+    if server is not None:
+        server.close()
 
 
 def test_upsert_overwrites(live_store):
