@@ -146,7 +146,8 @@ def _spline_accuracy(step_jit, k_row, T_host):
     atm = rng.uniform(0.15, 0.6, (Bs, 1, 1))
     curv = rng.uniform(0.05, 0.3, (Bs, 1, 1))
     kk = k_row[None, None, :]
-    iv_clean = (atm + curv * kk * kk).astype(np.float32)
+    iv_clean = np.broadcast_to(atm + curv * kk * kk,
+                               (Bs, E, N_K)).astype(np.float32)
     w_dev, bfly_clean, _ = step_jit(jnp.asarray(iv_clean))
     w_dev = np.asarray(w_dev)
 

@@ -97,7 +97,71 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="wrap the run in a jax.profiler trace "
                         "(written to monitoring.profiler_dir)")
+    p.add_argument("--init-env", action="store_true",
+                   help="write a .env template with every IVTPU_* knob "
+                        "(reference setup.py:104-129 operator "
+                        "convenience) and exit")
+    p.add_argument("--check-db", action="store_true",
+                   help="run the storage-backend connectivity self-test "
+                        "(reference setup.py:202-232) and exit")
     return p
+
+
+_ENV_TEMPLATE = """\
+# iv_interpolation_tpu environment template (reference setup.py:108-117).
+# Every IVTPU_<SECTION>__<FIELD> maps onto config.py; uncomment to
+# override. ENVIRONMENT selects the preset (development|testing|production).
+ENVIRONMENT=development
+
+# storage backend: parquet (default) | memory | postgres
+#IVTPU_STORAGE__BACKEND=parquet
+#IVTPU_STORAGE__ROOT=./data
+
+# postgres (used when backend=postgres; pure-Python driver built in,
+# psycopg2 optional)
+#IVTPU_STORAGE__PG_HOST=localhost
+#IVTPU_STORAGE__PG_PORT=5432
+#IVTPU_STORAGE__PG_DATABASE=trading
+#IVTPU_STORAGE__PG_USER=postgres
+#IVTPU_STORAGE__PG_PASSWORD=
+
+# processing
+#IVTPU_PROCESSING__BATCH_SIZE=256
+#IVTPU_PROCESSING__MAX_RETRIES=3
+
+# surface engine
+#IVTPU_SURFACE__SMILE_METHOD=cubic_spline
+#IVTPU_SURFACE__GRID_STRIKES=50
+
+# monitoring
+#IVTPU_MONITORING__LOG_DIR=./logs
+#IVTPU_MONITORING__SNAPSHOT_DIR=./snapshots
+"""
+
+
+def _check_db(config, args) -> int:
+    """Connectivity self-test for the configured backend (reference
+    setup.py:202-232 ran SELECT version() against Postgres)."""
+    from iv_interpolation_tpu.pipeline.storage import get_store
+    try:
+        store = get_store(config.storage)
+        if hasattr(store, "probe_permissions"):     # PostgresStore
+            with store._connect() as conn, conn.cursor() as cur:
+                cur.execute("SELECT version()")
+                version = cur.fetchone()[0]
+            payload = {"ok": True, "backend": "postgres",
+                       "server": version,
+                       "permissions": store.probe_permissions()}
+        else:
+            tables = store.tables()
+            payload = {"ok": True,
+                       "backend": config.storage.backend,
+                       "tables": len(tables)}
+    except Exception as e:
+        payload = {"ok": False, "backend": config.storage.backend,
+                   "error": str(e)}
+    _emit(args, payload, "storage connectivity")
+    return 0 if payload["ok"] else 1
 
 
 def _emit(args, payload: dict, title: str) -> None:
@@ -113,6 +177,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.env:
         os.environ["ENVIRONMENT"] = args.env
+
+    if args.init_env:
+        path = os.path.join(args.data_root or ".", ".env")
+        if os.path.exists(path):
+            print(f"refusing to overwrite existing {path}")
+            return 1
+        with open(path, "w") as f:
+            f.write(_ENV_TEMPLATE)
+        print(f"wrote {path}")
+        return 0
 
     from iv_interpolation_tpu.config import get_config
     from iv_interpolation_tpu.monitoring.logging import setup_logging
@@ -136,6 +210,9 @@ def main(argv=None) -> int:
 
     from iv_interpolation_tpu.pipeline import PipelineRunner, RunManifest
     from iv_interpolation_tpu.pipeline import storage as st
+
+    if args.check_db:
+        return _check_db(config, args)
 
     if args.list_batches:
         batches = RunManifest.list_batches(config.checkpoint.manifest_dir)

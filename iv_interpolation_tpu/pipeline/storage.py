@@ -362,6 +362,131 @@ class PostgresStore:
             conn.commit()
         self._ensured.discard(table)
 
+    # -- operational features (reference user_optimized_connection.py) --
+
+    #: session-level tuning for shared servers where postgresql.conf is
+    #: out of reach (reference user_optimized_connection.py:65-97)
+    SESSION_TUNING = (
+        ("work_mem", "'128MB'"),
+        ("maintenance_work_mem", "'256MB'"),
+        ("effective_cache_size", "'4GB'"),
+        ("random_page_cost", "1.1"),      # SSD cost model
+        ("enable_nestloop", "off"),
+    )
+
+    def tune_session(self, conn) -> dict:
+        """Apply conservative session-level SETs on ``conn`` (no server
+        admin needed). Returns {setting: applied_bool} — settings a
+        shared server rejects are reported, not fatal (reference
+        user_optimized_connection.py:65-97 behavior)."""
+        applied = {}
+        for name, value in self.SESSION_TUNING:
+            try:
+                with conn.cursor() as cur:
+                    cur.execute(f"SET {name} = {value}")
+                applied[name] = True
+            except Exception:
+                applied[name] = False
+        return applied
+
+    def probe_permissions(self) -> dict:
+        """Probe what this role may do on the server: index creation,
+        statistics access, database-size introspection (reference
+        permission probing, user_optimized_connection.py:178-222)."""
+        out = {}
+        with self._connect() as conn:
+            def attempt(key, sql, cleanup=None):
+                try:
+                    with conn.cursor() as cur:
+                        cur.execute(sql)
+                        if cleanup:
+                            cur.execute(cleanup)
+                    conn.commit()
+                    out[key] = True
+                except Exception:
+                    try:
+                        conn.rollback()
+                    except Exception:
+                        pass
+                    out[key] = False
+
+            attempt("create_table",
+                    'CREATE TABLE "ivtpu_probe" ("x" INTEGER)',
+                    'DROP TABLE IF EXISTS "ivtpu_probe"')
+            attempt("pg_stat_access",
+                    "SELECT COUNT(*) FROM pg_stat_user_tables")
+            attempt("database_size",
+                    "SELECT pg_database_size(current_database())")
+        return out
+
+    def create_indexes(self, table: str, concurrently: bool = True) -> int:
+        """Create the pipeline's indexes for ``table``, opportunistically
+        CONCURRENTLY so production tables stay writable during the build
+        (reference user_optimized_connection.py:224-265). Returns the
+        number of index statements issued; permission errors on
+        individual indexes are non-fatal."""
+        from iv_interpolation_tpu.pipeline.schema import DDL
+        ddl = DDL.get(table)
+        if ddl is None:
+            return 0
+        stmts = [s.strip() for s in ddl.split(";")
+                 if "CREATE INDEX" in s.upper()]
+        issued = 0
+        conn = self._connect()
+        try:
+            if concurrently and hasattr(conn, "autocommit"):
+                conn.autocommit = True  # CONCURRENTLY refuses txn blocks
+            for s in stmts:
+                if concurrently:
+                    s = s.replace("CREATE INDEX IF NOT EXISTS",
+                                  "CREATE INDEX CONCURRENTLY IF NOT "
+                                  "EXISTS")
+                try:
+                    with conn.cursor() as cur:
+                        cur.execute(s)
+                    if not getattr(conn, "autocommit", False):
+                        conn.commit()
+                    issued += 1
+                except Exception:
+                    try:
+                        conn.rollback()
+                    except Exception:
+                        pass
+        finally:
+            conn.close()
+        return issued
+
+    def table_report(self) -> List[dict]:
+        """Census of the pipeline tables: row counts plus the date range
+        where a time column exists (reference table census report,
+        user_optimized_connection.py:267-304)."""
+        report = []
+        with self._connect() as conn:
+            for table in self.tables():
+                entry = {"table": table}
+                with conn.cursor() as cur:
+                    cur.execute(
+                        f"SELECT COUNT(*) FROM {_ident(table)}")
+                    entry["rows"] = cur.fetchone()[0]
+                for col in ("date", "timestamp"):
+                    try:
+                        with conn.cursor() as cur:
+                            cur.execute(
+                                f"SELECT MIN({_ident(col)}), "
+                                f"MAX({_ident(col)}) "
+                                f"FROM {_ident(table)}")
+                            lo, hi = cur.fetchone()
+                        if lo is not None:
+                            entry["from"], entry["to"] = str(lo), str(hi)
+                            break
+                    except Exception:
+                        try:
+                            conn.rollback()
+                        except Exception:
+                            pass
+                report.append(entry)
+        return report
+
 
 def get_store(cfg) -> "MemoryStore | ParquetStore | PostgresStore":
     """Build the configured storage adapter (cfg: StorageConfig)."""

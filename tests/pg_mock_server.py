@@ -210,6 +210,11 @@ class MiniEngine:
         if "from pg_tables" in low:
             rows = [(t,) for t in sorted(self.tables)]
             return ["tablename"], rows, f"SELECT {len(rows)}"
+        if "from pg_stat_user_tables" in low:
+            return ["count"], [(len(self.tables),)], "SELECT 1"
+        if "pg_database_size" in low:
+            size = sum(len(t["rows"]) * 100 for t in self.tables.values())
+            return ["pg_database_size"], [(8192 + size,)], "SELECT 1"
         m = re.match(
             r"select\s+(.*?)\s+from\s+(\S+)"
             r"(?:\s+where\s+(.*?))?(?:\s+order by\s+(.*?))?$",
@@ -235,6 +240,15 @@ class MiniEngine:
             proj = proj[len("distinct "):]
         if proj.strip().lower() == "count(*)":
             return ["count"], [(len(rows),)], "SELECT 1"
+        mm = re.match(r"min\((\S+?)\)\s*,\s*max\((\S+?)\)\s*$",
+                      proj.strip(), re.I)
+        if mm:
+            c1, c2 = (_unquote_ident(g) for g in mm.groups())
+            v1 = [r[c1] for r in rows if r.get(c1) is not None]
+            v2 = [r[c2] for r in rows if r.get(c2) is not None]
+            return (["min", "max"],
+                    [(min(v1) if v1 else None, max(v2) if v2 else None)],
+                    "SELECT 1")
         if proj.strip() == "*":
             cols = tbl["columns"]
         else:

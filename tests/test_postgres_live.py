@@ -124,3 +124,37 @@ def test_pipeline_end_to_end_on_postgres(live_store, tmp_path):
     res = runner.run_all()
     assert res["task1"]["by_status"].get("completed") == 2
     assert live_store.count(st.RECONSTRUCTED) > 0
+
+
+def test_operational_features(live_store):
+    """User-level operational surface (reference
+    user_optimized_connection.py): session tuning, permission probing,
+    opportunistic CONCURRENTLY index creation, table census report."""
+    from iv_interpolation_tpu.pipeline import storage as st
+
+    conn = live_store._connect()
+    try:
+        applied = live_store.tune_session(conn)
+        assert set(k for k, _ in live_store.SESSION_TUNING) == set(applied)
+    finally:
+        conn.close()
+
+    perms = live_store.probe_permissions()
+    assert set(perms) == {"create_table", "pg_stat_access",
+                          "database_size"}
+    assert perms["create_table"] in (True, False)
+
+    df = pd.DataFrame({
+        "symbol": ["a"], "timestamp": [pd.Timestamp("2023-01-01")],
+        "open": [1.0], "high": [2.0], "low": [0.5], "close": [1.5],
+        "volume": [3.0]})
+    live_store.write(st.MINUTE_CANDLES, df,
+                     upsert_keys=["symbol", "timestamp"])
+    n_idx = live_store.create_indexes(st.MINUTE_CANDLES,
+                                      concurrently=True)
+    assert n_idx >= 1
+
+    report = live_store.table_report()
+    entry = next(e for e in report if e["table"] == st.MINUTE_CANDLES)
+    assert entry["rows"] == 1
+    assert "from" in entry and "2023-01-01" in entry["from"]

@@ -419,3 +419,28 @@ def test_surface_task_rbf_penalized_batched(tmp_path):
     assert df["butterfly_ok"].all()
     assert df["calendar_ok"].all()
     assert np.isfinite(df["total_variance"]).all()
+
+
+def test_cli_init_env_and_check_db(tmp_path, capsys):
+    """Setup-time operator conveniences (reference setup.py:104-232):
+    --init-env writes a .env template; --check-db self-tests the
+    configured storage backend."""
+    import json as _json
+    import os
+    from iv_interpolation_tpu import cli
+
+    rc = cli.main(["--init-env", "--data-root", str(tmp_path)])
+    assert rc == 0
+    env_path = tmp_path / ".env"
+    assert env_path.exists()
+    text = env_path.read_text()
+    assert "IVTPU_STORAGE__BACKEND" in text and "ENVIRONMENT" in text
+    # refuses to clobber
+    assert cli.main(["--init-env", "--data-root", str(tmp_path)]) == 1
+
+    capsys.readouterr()
+    rc = cli.main(["--check-db", "--json", "--storage", "parquet",
+                   "--data-root", str(tmp_path / "data")])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["ok"] and payload["backend"] == "parquet"
