@@ -23,6 +23,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# The suite is compile-dominated (hundreds of small jits at x64 on the
+# 8-device virtual mesh); a persistent compilation cache cuts repeat runs
+# by several-fold. Keyed by jaxlib version automatically, safe to share.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~"), ".cache", "ivtpu_test_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jaxlib without the knob — cache is best-effort
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
