@@ -164,7 +164,7 @@ def _spline_accuracy(step_jit, k_row, T_host):
                 parity = max(parity, float(
                     np.abs(w_dev[b, e] - ref).max()))
     except ImportError:                       # pragma: no cover
-        parity = float("nan")
+        parity = None                          # JSON null, not NaN
 
     # adversarial: wiggles at the grid scale carry butterfly arbitrage
     iv_bad = (iv_clean + 0.08 * np.sin(20 * kk)).astype(np.float32)
@@ -355,7 +355,9 @@ def main():
         # accuracy telemetry: throughput alone would stay green through
         # a silent numeric regression (the bf16-MXU class of bug) —
         # these fields pin values AND flags every bench run
-        "parity_max_err_vs_x64_oracle": float(f"{acc['parity_max_err']:.3g}"),
+        "parity_max_err_vs_x64_oracle": (
+            None if acc["parity_max_err"] is None
+            else float(f"{acc['parity_max_err']:.3g}")),
         "butterfly_clean_frac": acc["butterfly_clean_frac"],
         "butterfly_adversarial_frac": acc["butterfly_adversarial_frac"],
         "extra_metrics": [

@@ -188,8 +188,13 @@ def main(argv=None) -> int:
         print(f"wrote {path}")
         return 0
 
-    from iv_interpolation_tpu.config import get_config
+    from iv_interpolation_tpu.config import get_config, load_dotenv
     from iv_interpolation_tpu.monitoring.logging import setup_logging
+
+    # a --data-root .env (written by --init-env) participates in the
+    # overlay; get_config() additionally loads ./.env from the CWD
+    if args.data_root:
+        load_dotenv(os.path.join(args.data_root, ".env"))
 
     # persistent XLA compilation cache: first-compile on this runtime runs
     # 1-2 min per kernel shape; cached reloads are seconds

@@ -222,13 +222,41 @@ _ENV_PRESETS = {
 }
 
 
+def load_dotenv(path: str = ".env", override: bool = False) -> bool:
+    """Load ``KEY=VALUE`` lines from a ``.env`` file into ``os.environ``.
+
+    The reference loaded ``.env`` via python-dotenv (config.py:4-7);
+    this is the same contract without the dependency: ``#`` comments and
+    blank lines are ignored, optional surrounding quotes are stripped,
+    and existing environment variables win unless ``override``. Returns
+    True if the file existed.
+    """
+    if not os.path.isfile(path):
+        return False
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key, value = key.strip(), value.strip()
+            if value[:1] in ("'", '"') and value[-1:] == value[:1]:
+                value = value[1:-1]
+            if override or key not in os.environ:
+                os.environ[key] = value
+    return True
+
+
 def get_config(environment: Optional[str] = None, **overrides) -> Config:
     """Build a config for the given environment.
 
     ``environment`` falls back to the ``ENVIRONMENT`` env var (the reference
     honoured the same variable, config.py:97). ``overrides`` accepts
     dotted-path keys, e.g. ``get_config(surface__grid_strikes=64)``.
+    A ``.env`` file in the working directory is loaded first (reference
+    parity: python-dotenv at config.py:4-7; real environment wins).
     """
+    load_dotenv()
     env = environment or os.getenv("ENVIRONMENT", "production")
     if env not in _ENV_PRESETS:
         raise ValueError(f"Unknown environment: {env!r}")

@@ -16,8 +16,10 @@ Design (per program = one underlying x one 128-bucket output tile):
     max/min/sum (the row-position first/last rule matches
     ``aggregate_ohlcv``'s semantics, which already require valid rows
     time-sorted for open/close to mean anything);
-  * high/low = masked max/min reductions over the tick axis (VPU);
-  * volume/count = mask-matmul contractions (MXU);
+  * high/low/volume = masked max/min/sum reductions over the tick axis
+    (VPU — exact f32; an MXU mask-matmul for volume loses ~1e-3 to
+    default bf16 operand rounding, see docs/PERF.md);
+  * count = mask-matmul contraction (MXU, exact for 0/1 operands);
   * open/close = one extra masked reduction against the per-bucket
     first/last row offset (argmin/argmax by row position).
 
@@ -80,9 +82,16 @@ def _agg_kernel(minute_ref, o_ref, h_ref, l_ref, c_ref, v_ref, ok_ref,
         high_ref[r, :] = jnp.max(jnp.where(mask, h, -big), axis=0)
         low_ref[r, :] = jnp.min(jnp.where(mask, l, big), axis=0)
 
-        # sums ride the MXU: (1, L) x (L, TILE)
-        vol_ref[r, :] = jnp.dot(v_ref[r, :].reshape(1, L), maskf,
-                                preferred_element_type=jnp.float32)[0]
+        # volume: exact-f32 VPU masked sum, NOT an MXU dot — the MXU's
+        # default bf16 operand rounding costs ~1e-3 relative error on
+        # summed tick sizes (measured on chip vs the XLA segment-sum
+        # path), and masking via where() also keeps NaN/Inf payloads in
+        # invalid rows (allowed by the aggregate_ohlcv contract) out of
+        # the sum, where a maskf multiply would poison it (NaN*0=NaN)
+        v = v_ref[r, :].reshape(L, 1)
+        vol_ref[r, :] = jnp.sum(jnp.where(mask, v, 0.0), axis=0)
+        # count stays an MXU contraction: 0/1 products are exact in
+        # bf16 and accumulate in f32
         cnt = jnp.dot(ones, maskf,
                       preferred_element_type=jnp.float32)[0]
         cnt_ref[r, :] = cnt.astype(jnp.int32)

@@ -92,19 +92,33 @@ def render_literal(v: Any) -> str:
 
 
 def render_query(query: str, params: Optional[Sequence[Any]]) -> str:
-    """Substitute ``%s`` placeholders with safely rendered literals."""
+    """Substitute ``%s`` placeholders with safely rendered literals.
+
+    Follows psycopg2's escaping convention: ``%%`` is a literal percent
+    sign (e.g. ``LIKE '%%btc%%'``) and never counts as a placeholder.
+    """
     if params is None:
         return query
-    parts = query.split("%s")
-    if len(parts) - 1 != len(params):
+    # split on %% first so literal percents are never parsed as %s
+    out_segments = []
+    n_placeholders = 0
+    for seg in query.split("%%"):
+        parts = seg.split("%s")
+        n_placeholders += len(parts) - 1
+        out_segments.append(parts)
+    if n_placeholders != len(params):
         raise InterfaceError(
-            f"query has {len(parts) - 1} placeholders, "
+            f"query has {n_placeholders} placeholders, "
             f"{len(params)} parameters given")
-    out = [parts[0]]
-    for part, p in zip(parts[1:], params):
-        out.append(render_literal(p))
-        out.append(part)
-    return "".join(out)
+    it = iter(params)
+    rendered = []
+    for parts in out_segments:
+        out = [parts[0]]
+        for part in parts[1:]:
+            out.append(render_literal(next(it)))
+            out.append(part)
+        rendered.append("".join(out))
+    return "%".join(rendered)
 
 
 # --------------------------------------------------------------------------
@@ -336,6 +350,11 @@ class Connection:
         self._in_tx = False
         self.closed = False
         self._startup(database, user, password)
+        # the timeout guards only connection establishment + auth
+        # (psycopg2 semantics): long statements — CREATE INDEX
+        # CONCURRENTLY, COUNT(*) over 32M-row tables — must not hit a
+        # mid-read socket.timeout, which would desynchronise the wire
+        self._sock.settimeout(None)
 
     # -- protocol -----------------------------------------------------
     def _startup(self, database: str, user: str, password: str):

@@ -384,8 +384,17 @@ class PostgresStore:
             try:
                 with conn.cursor() as cur:
                     cur.execute(f"SET {name} = {value}")
+                # commit per SET: a session-level SET inside a
+                # transaction is reverted on rollback, and one rejected
+                # SET must not abort the tx and poison the rest
+                if not getattr(conn, "autocommit", False):
+                    conn.commit()
                 applied[name] = True
             except Exception:
+                try:
+                    conn.rollback()
+                except Exception:
+                    pass
                 applied[name] = False
         return applied
 
@@ -464,10 +473,20 @@ class PostgresStore:
         with self._connect() as conn:
             for table in self.tables():
                 entry = {"table": table}
-                with conn.cursor() as cur:
-                    cur.execute(
-                        f"SELECT COUNT(*) FROM {_ident(table)}")
-                    entry["rows"] = cur.fetchone()[0]
+                # shared public schemas contain foreign tables: names
+                # _ident rejects, or tables this role cannot SELECT —
+                # skip those rather than abort the whole census
+                try:
+                    with conn.cursor() as cur:
+                        cur.execute(
+                            f"SELECT COUNT(*) FROM {_ident(table)}")
+                        entry["rows"] = cur.fetchone()[0]
+                except Exception:
+                    try:
+                        conn.rollback()
+                    except Exception:
+                        pass
+                    continue
                 for col in ("date", "timestamp"):
                     try:
                         with conn.cursor() as cur:

@@ -1,5 +1,7 @@
 """Config system: presets, overrides, env-var overlay — every knob wired."""
 
+import os
+
 import pytest
 
 from iv_interpolation_tpu.config import Config, config_to_dict, get_config
@@ -83,3 +85,44 @@ def test_models_and_utils_namespaces():
     assert choose_bucket(100, (64, 256)) == 256
     import pandas as pd
     assert to_epoch_minutes(pd.Series([pd.Timestamp("1970-01-01 01:00")]))[0] == 60
+
+
+def test_load_dotenv_and_cli_env_file(tmp_path, monkeypatch):
+    """A .env written by --init-env actually participates in the config
+    overlay (regression: round-3 review found the template inert —
+    nothing ever parsed .env). Real environment variables win."""
+    from iv_interpolation_tpu.config import get_config, load_dotenv
+
+    env_file = tmp_path / ".env"
+    env_file.write_text(
+        "# comment\n"
+        "IVTPU_STORAGE__BACKEND=postgres\n"
+        "IVTPU_PROCESSING__BATCH_SIZE='64'\n"
+        "\n"
+        "not a kv line\n")
+    monkeypatch.delenv("IVTPU_STORAGE__BACKEND", raising=False)
+    monkeypatch.delenv("IVTPU_PROCESSING__BATCH_SIZE", raising=False)
+    assert load_dotenv(str(env_file)) is True
+    try:
+        assert os.environ["IVTPU_STORAGE__BACKEND"] == "postgres"
+        cfg = get_config()
+        assert cfg.storage.backend == "postgres"
+        assert cfg.processing.batch_size == 64
+
+        # environ wins over the file unless override=True
+        os.environ["IVTPU_STORAGE__BACKEND"] = "parquet"
+        load_dotenv(str(env_file))
+        assert os.environ["IVTPU_STORAGE__BACKEND"] == "parquet"
+    finally:
+        os.environ.pop("IVTPU_STORAGE__BACKEND", None)
+        os.environ.pop("IVTPU_PROCESSING__BATCH_SIZE", None)
+
+    # missing file is a no-op
+    assert load_dotenv(str(tmp_path / "absent.env")) is False
+
+    # get_config() picks up ./..env from the CWD
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("IVTPU_STORAGE__BACKEND", raising=False)
+    cfg = get_config()
+    assert cfg.storage.backend == "postgres"
+    os.environ.pop("IVTPU_STORAGE__BACKEND", None)

@@ -125,3 +125,41 @@ def test_stream_agg_pallas_unsorted_minmax(rng):
             assert int(got.count[b, j]) == len(rows)
             assert np.isclose(float(got.open[b, j]), p[b, rows[0]])
             assert np.isclose(float(got.close[b, j]), p[b, rows[-1]])
+
+
+def test_stream_agg_pallas_nan_in_invalid_rows(rng):
+    """Invalid rows may carry anything — including NaN/Inf sizes and
+    prices (the aggregate_ohlcv contract). The kernel must zero invalid
+    rows' values before the volume dot: NaN * 0 = NaN would otherwise
+    poison every bucket in the tile (regression: round-3 review)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from iv_interpolation_tpu.ops.pallas.stream_agg_pallas import (
+        aggregate_ohlcv_pallas)
+
+    B, L, ns = 2, 128, 32
+    minute = rng.integers(0, ns, (B, L)).astype(np.int32)
+    p = rng.normal(100, 1, (B, L)).astype(np.float32)
+    v = rng.uniform(0, 5, (B, L)).astype(np.float32)
+    valid = rng.random((B, L)) > 0.3
+    p_bad, v_bad = p.copy(), v.copy()
+    p_bad[~valid] = np.nan
+    v_bad[~valid] = np.nan
+    v_bad[0, np.flatnonzero(~valid[0])[:1]] = np.inf
+
+    got = aggregate_ohlcv_pallas(
+        jnp.asarray(minute), jnp.asarray(p_bad), jnp.asarray(p_bad),
+        jnp.asarray(p_bad), jnp.asarray(p_bad), jnp.asarray(v_bad),
+        jnp.asarray(valid), bucket_minutes=1, num_segments=ns,
+        min_count=1, interpret=True)
+    clean = aggregate_ohlcv_pallas(
+        jnp.asarray(minute), jnp.asarray(p), jnp.asarray(p),
+        jnp.asarray(p), jnp.asarray(p), jnp.asarray(v),
+        jnp.asarray(valid), bucket_minutes=1, num_segments=ns,
+        min_count=1, interpret=True)
+    nonempty = np.asarray(clean.count) > 0
+    for f in ("open", "high", "low", "close", "volume"):
+        a, b = np.asarray(getattr(got, f)), np.asarray(getattr(clean, f))
+        np.testing.assert_allclose(a[nonempty], b[nonempty], rtol=1e-6,
+                                   err_msg=f)
+        assert np.isfinite(a[nonempty]).all(), f

@@ -19,6 +19,10 @@ def test_auth_modes(auth):
         with conn.cursor() as cur:
             cur.execute("SELECT version()")
             assert "PostgreSQL" in cur.fetchone()[0]
+        # the 30 s timeout guards only connect+auth: long statements
+        # (CREATE INDEX CONCURRENTLY, big COUNTs) must never hit a
+        # mid-read socket.timeout (round-3 review)
+        assert conn._sock.gettimeout() is None
         conn.close()
 
 
@@ -106,3 +110,17 @@ def test_render_literal_units():
         rl("bad\x00byte")
     with pytest.raises(pgwire.InterfaceError):
         pgwire.render_query("SELECT %s", (1, 2))
+
+
+def test_render_query_percent_escape():
+    """psycopg2 convention: %% is a literal percent (LIKE patterns) and
+    never counts as a placeholder (regression: round-3 review)."""
+    rq = pgwire.render_query
+    assert rq("SELECT 1", None) == "SELECT 1"
+    assert (rq("SELECT * FROM t WHERE s LIKE '%%btc%%' AND v = %s", (5,))
+            == "SELECT * FROM t WHERE s LIKE '%btc%' AND v = 5")
+    assert rq("SELECT '100%%'", ()) == "SELECT '100%'"
+    assert (rq("%s LIKE '%%a%%' AND %s", ("x", 2))
+            == "'x' LIKE '%a%' AND 2")
+    with pytest.raises(pgwire.InterfaceError):
+        rq("SELECT '%%' WHERE a = %s", (1, 2))

@@ -145,3 +145,54 @@ def test_drop_table(pg):
     store = PostgresStore("h", "db", "u", "p")
     store.drop("minute_candles")
     assert 'DROP TABLE IF EXISTS "minute_candles"' in pg["executed"][-1][0]
+
+
+def test_tune_session_failed_set_does_not_poison_rest():
+    """One rejected SET must not abort the transaction and cascade
+    failures onto the remaining settings (regression: round-3 review —
+    psycopg2 non-autocommit connections abort the tx on first error).
+    Each SET commits on success and rolls back on failure."""
+    from iv_interpolation_tpu.pipeline.storage import PostgresStore
+
+    class FakeCursor:
+        def __init__(self, conn):
+            self.conn = conn
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def execute(self, sql):
+            if self.conn.aborted:
+                raise RuntimeError("current transaction is aborted")
+            if "enable_nestloop" in sql:
+                self.conn.aborted = True   # tx now poisoned until rollback
+                raise RuntimeError("permission denied")
+
+    class FakeConn:
+        autocommit = False
+
+        def __init__(self):
+            self.aborted = False
+            self.commits = 0
+            self.rollbacks = 0
+
+        def cursor(self):
+            return FakeCursor(self)
+
+        def commit(self):
+            self.commits += 1
+
+        def rollback(self):
+            self.aborted = False
+            self.rollbacks += 1
+
+    conn = FakeConn()
+    store = PostgresStore.__new__(PostgresStore)  # no real connection
+    applied = store.tune_session(conn)
+    assert applied["enable_nestloop"] is False
+    others = {k: v for k, v in applied.items() if k != "enable_nestloop"}
+    assert all(others.values()), applied       # rest still applied
+    assert conn.rollbacks >= 1 and conn.commits == len(others)

@@ -158,3 +158,24 @@ def test_operational_features(live_store):
     entry = next(e for e in report if e["table"] == st.MINUTE_CANDLES)
     assert entry["rows"] == 1
     assert "from" in entry and "2023-01-01" in entry["from"]
+
+
+def test_table_report_skips_foreign_tables(live_store, monkeypatch):
+    """A shared public schema may contain third-party tables with names
+    _ident rejects (or without SELECT permission): the census skips
+    them instead of aborting (regression: round-3 review)."""
+    from iv_interpolation_tpu.pipeline import storage as st
+
+    df = pd.DataFrame({
+        "symbol": ["a"], "timestamp": [pd.Timestamp("2023-01-01")],
+        "open": [1.0], "high": [2.0], "low": [0.5], "close": [1.5],
+        "volume": [3.0]})
+    live_store.write(st.MINUTE_CANDLES, df,
+                     upsert_keys=["symbol", "timestamp"])
+    real = live_store.tables()
+    monkeypatch.setattr(live_store, "tables",
+                        lambda: ["my-weird table", "no_such_table"] + real)
+    report = live_store.table_report()
+    names = [e["table"] for e in report]
+    assert st.MINUTE_CANDLES in names
+    assert "my-weird table" not in names and "no_such_table" not in names
