@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip interactive confirmations (large runs)")
     p.add_argument("--serve-port", type=int, default=8787,
                    help="TCP port for --task serve (0 = auto)")
+    p.add_argument("--serve-transport", choices=["jsonl", "flight"],
+                   default="jsonl",
+                   help="serving wire protocol: newline-delimited JSON "
+                        "or Arrow Flight (gRPC, columnar; needs pyarrow "
+                        "with Flight)")
     p.add_argument("--profile", action="store_true",
                    help="wrap the run in a jax.profiler trace "
                         "(written to monitoring.profiler_dir)")
@@ -385,9 +390,16 @@ def _dispatch(args, runner, limit):
                                           limit=limit,
                                           method=args.method)}
     elif args.task == "serve":
-        from iv_interpolation_tpu.pipeline.serve import run_serve
-        run_serve(runner.config, runner.store, port=args.serve_port,
-                  n_underlyings=limit or 64)
+        if args.serve_transport == "flight":
+            from iv_interpolation_tpu.pipeline.flight_service import (
+                run_serve_flight)
+            run_serve_flight(runner.config, runner.store,
+                             port=args.serve_port,
+                             n_underlyings=limit or 64)
+        else:
+            from iv_interpolation_tpu.pipeline.serve import run_serve
+            run_serve(runner.config, runner.store, port=args.serve_port,
+                      n_underlyings=limit or 64)
         out = {"serve": "stopped"}
     elif args.task == "stream":
         from iv_interpolation_tpu.pipeline.stream_service import (

@@ -1,0 +1,206 @@
+"""Arrow Flight transport for the streaming serving daemon.
+
+The JSONL/TCP server (``pipeline/serve.py``) completes the reference's
+operator surface; this module adds the production transport the ROADMAP
+left as a nice-to-have: gRPC + Arrow columnar batches, so tick ingest
+is zero-copy-decoded straight into the NumPy arrays the device ring
+wants (no per-row JSON parsing), and refit results come back as a
+RecordBatch table instead of per-underlying JSON dicts.
+
+Protocol (same single-writer :class:`StreamingSession` behind it, same
+serialisation lock — COMPONENTS.md §5.2):
+
+* ``do_put`` with any descriptor: a stream of RecordBatches with
+  columns ``underlying: utf8 | dictionary``, ``minute: int32``,
+  ``price: float32/64``, ``size: float32/64`` — buffered and flushed
+  to the session ring in one padded batch per flush.
+* ``do_get(Ticket(b"refit"))``: flush + refit; returns a table
+  ``underlying, realized_vol, atm_iv, butterfly_ok, calendar_ok``.
+* ``do_get(Ticket(b"surfaces"))``: flush + refit; returns the full
+  IV grids as ``underlying, expiry, iv: fixed_size_list<float32>[m]``
+  (one row per (underlying, expiry) slice).
+* ``do_action``: ``flush`` / ``stats`` (JSON payload back) / ``stop``.
+
+Reference analogue: none — the reference's only "serving" is Postgres
+polling (SURVEY.md §5.8); this is the TPU-native replacement's wire
+tier. Requires ``pyarrow`` (already a parquet dependency); the module
+import-guards so environments without Flight still serve JSONL.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+try:  # pyarrow.flight ships with the pyarrow the parquet tier uses
+    import pyarrow as pa
+    import pyarrow.flight as fl
+    HAVE_FLIGHT = True
+except Exception:  # pragma: no cover - exercised via import guard test
+    pa = None
+    fl = None
+    HAVE_FLIGHT = False
+
+
+TICK_SCHEMA_DOC = ("underlying: utf8, minute: int32, price: float, "
+                   "size: float")
+
+
+def _require_flight():
+    if not HAVE_FLIGHT:
+        raise RuntimeError(
+            "pyarrow.flight is unavailable — install pyarrow with Flight "
+            "support or use the JSONL server (pipeline/serve.py)")
+
+
+class FlightStreamServer(fl.FlightServerBase if HAVE_FLIGHT else object):
+    """Arrow Flight front-end over one :class:`StreamingSession`."""
+
+    def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
+        _require_flight()
+        self._location = f"grpc+tcp://{host}:{port}"
+        super().__init__(self._location)
+        self.session = session
+        self._lock = threading.Lock()
+        self._buffer: List = []           # pending (und, minute, price, size)
+        self._ingested = 0
+
+    # -- ingest --------------------------------------------------------
+    def do_put(self, context, descriptor, reader, writer):
+        for chunk in reader:
+            batch = chunk.data
+            with self._lock:
+                self._buffer.append(batch)
+                # flush at ~the JSONL server's default batching depth
+                if sum(b.num_rows for b in self._buffer) >= 10_000:
+                    self._flush_locked()
+
+    def _flush_locked(self) -> int:
+        if not self._buffer:
+            return 0
+        import pandas as pd
+        tbl = pa.Table.from_batches(self._buffer)
+        self._buffer = []
+        df = pd.DataFrame({
+            "underlying": tbl.column("underlying").to_numpy(
+                zero_copy_only=False),
+            "minute": tbl.column("minute").to_numpy(zero_copy_only=False),
+            "price": tbl.column("price").to_numpy(zero_copy_only=False),
+            "size": tbl.column("size").to_numpy(zero_copy_only=False),
+        })
+        n = self.session.ingest_ticks(df)
+        self._ingested += n
+        return n
+
+    # -- results -------------------------------------------------------
+    def do_get(self, context, ticket):
+        kind = ticket.ticket.decode()
+        with self._lock:
+            self._flush_locked()
+            out = self.session.refit()
+            unds = self.session.underlyings
+            if kind == "refit":
+                m = out.iv_grid.shape[-1]
+                table = pa.table({
+                    "underlying": pa.array(unds),
+                    "realized_vol": pa.array(
+                        np.asarray(out.realized_vol, np.float64)),
+                    "atm_iv": pa.array(np.asarray(
+                        out.iv_grid[:, 0, m // 2], np.float64)),
+                    "butterfly_ok": pa.array(
+                        np.asarray(out.butterfly_ok, bool)),
+                    "calendar_ok": pa.array(
+                        np.asarray(out.calendar_ok, bool)),
+                })
+            elif kind == "surfaces":
+                iv = np.asarray(out.iv_grid, np.float32)  # (B, E, m)
+                B, E, m = iv.shape
+                table = pa.table({
+                    "underlying": pa.array(
+                        [u for u in unds for _ in range(E)]),
+                    "expiry": pa.array(
+                        np.tile(np.arange(E, dtype=np.int32), B)),
+                    "iv": pa.FixedSizeListArray.from_arrays(
+                        pa.array(iv.reshape(-1)), m),
+                })
+            else:
+                raise fl.FlightServerError(f"unknown ticket {kind!r}")
+        return fl.RecordBatchStream(table)
+
+    # -- control -------------------------------------------------------
+    def do_action(self, context, action):
+        if action.type == "flush":
+            with self._lock:
+                n = self._flush_locked()
+            body = {"ok": True, "ingested": n, "total": self._ingested}
+        elif action.type == "stats":
+            with self._lock:
+                self._flush_locked()
+                body = {"ok": True, **self.session.stats(),
+                        "server_ingested": self._ingested}
+        elif action.type == "stop":
+            with self._lock:
+                self._flush_locked()
+            body = {"ok": True}
+            threading.Thread(target=self.shutdown, daemon=True).start()
+        else:
+            raise fl.FlightServerError(f"unknown action {action.type!r}")
+        yield fl.Result(json.dumps(body).encode())
+
+    def list_actions(self, context):
+        return [("flush", "flush buffered ticks to the device ring"),
+                ("stats", "session statistics (JSON)"),
+                ("stop", "flush and shut the server down")]
+
+    def list_flights(self, context, criteria):
+        for name in ("refit", "surfaces"):
+            desc = fl.FlightDescriptor.for_path(name)
+            yield fl.FlightInfo(pa.schema([]), desc,
+                                [fl.FlightEndpoint(name, [self._location])])
+
+
+# ---------------------------------------------------------------------
+# client helpers (tests + operator tooling)
+# ---------------------------------------------------------------------
+
+def put_ticks(client, underlying, minute, price, size) -> None:
+    """Upload one columnar tick batch over an open FlightClient."""
+    _require_flight()
+    batch = pa.record_batch({
+        "underlying": pa.array(underlying),
+        "minute": pa.array(np.asarray(minute, np.int32)),
+        "price": pa.array(np.asarray(price, np.float32)),
+        "size": pa.array(np.asarray(size, np.float32)),
+    })
+    writer, _ = client.do_put(
+        fl.FlightDescriptor.for_path("ticks"), batch.schema)
+    writer.write_batch(batch)
+    writer.close()
+
+
+def action_json(client, name: str) -> dict:
+    """Run a named action and decode its JSON reply."""
+    _require_flight()
+    results = list(client.do_action(fl.Action(name, b"")))
+    return json.loads(results[0].body.to_pybytes())
+
+
+def run_serve_flight(config, store, port: int = 8815,
+                     n_underlyings: int = 64,
+                     blocking: bool = True) -> "FlightStreamServer":
+    """CLI entry (``--task serve --transport flight``): same session
+    bootstrap as the JSONL server, Flight transport in front."""
+    _require_flight()
+    from iv_interpolation_tpu.pipeline.serve import build_session
+    session, unds = build_session(config, store,
+                                  n_underlyings=n_underlyings)
+    server = FlightStreamServer(session, port=port)
+    print(f"serving {len(unds)} underlyings on grpc+tcp://127.0.0.1:"
+          f"{server.port} (Arrow Flight; do_action('stop') to exit)",
+          flush=True)
+    if blocking:
+        server.serve()
+    return server

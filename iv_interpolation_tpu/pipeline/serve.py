@@ -153,12 +153,11 @@ def send_lines(host: str, port: int, lines) -> list:
     return replies
 
 
-def run_serve(config, store, port: int = 8787,
-              n_underlyings: int = 64,
-              blocking: bool = True) -> "StreamServer":
-    """CLI entry: build a session from the store's fitted chains when
-    available (surface_task.build_chains over interpolated data), else a
-    synthetic universe, and serve on localhost:port (blocking)."""
+def build_session(config, store, n_underlyings: int = 64):
+    """Build the serving :class:`StreamingSession` from the store's
+    fitted chains when available (surface_task.build_chains over
+    interpolated data), else a synthetic universe. Shared by the JSONL
+    and Arrow Flight transports. Returns ``(session, underlyings)``."""
     import jax.numpy as jnp
 
     from iv_interpolation_tpu.pipeline import storage as st
@@ -203,6 +202,16 @@ def run_serve(config, store, port: int = 8787,
     session = StreamingSession(unds, jnp.asarray(k), jnp.asarray(iv),
                                jnp.asarray(T),
                                n_grid=config.surface.grid_strikes)
+    return session, unds
+
+
+def run_serve(config, store, port: int = 8787,
+              n_underlyings: int = 64,
+              blocking: bool = True) -> "StreamServer":
+    """CLI entry: serve the session over newline-delimited JSON on
+    localhost:port (blocking unless told otherwise)."""
+    session, unds = build_session(config, store,
+                                  n_underlyings=n_underlyings)
     server = StreamServer(session, port=port)
     print(f"serving {len(unds)} underlyings on 127.0.0.1:{server.port} "
           f"(JSONL protocol; send {{\"cmd\": \"stop\"}} to exit)",
