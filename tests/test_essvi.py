@@ -56,6 +56,7 @@ def _mk_surface(rng, E=6, n=21, B=None, consistent=True):
     return params, jnp.asarray(k), w
 
 
+@pytest.mark.slow
 def test_derivs_match_autodiff(rng):
     params, k, _ = _mk_surface(rng)
     kq = jnp.asarray(np.linspace(-0.9, 0.9, 17))
@@ -127,6 +128,7 @@ def test_roundtrip_free_rho_without_penalty(rng):
     assert rmse < 5e-4, f"rmse={rmse:.2e}"
 
 
+@pytest.mark.slow
 def test_batched_matches_single(rng):
     params, k, w = _mk_surface(rng, B=3)
     fb = fit_essvi_batched(k, w, max_iters=48)
@@ -172,6 +174,7 @@ def test_calendar_repair_on_crossing_slices(rng):
     assert np.all(np.diff(theta) > 0)
 
 
+@pytest.mark.slow
 def test_surface_api_essvi(rng):
     """fit_eval_surface(method='essvi'): diagnostics clean on admissible
     data; maturity interpolation works via eval path."""
@@ -243,6 +246,7 @@ def test_essvi_slice_is_svi_slice(rng):
                                rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_block_solver_matches_dense(rng):
     """solver='block' (slice-space block-tridiagonal GN) converges to
     the same fit as the dense ops.lm path: same rmse to float precision

@@ -116,6 +116,7 @@ def test_svi_g_detects_arbitrage():
     assert not bool(svi_is_butterfly_free(bad, k))
 
 
+@pytest.mark.slow
 def test_svi_g_matches_finite_differences():
     """g(k) uses closed-form w', w''; verify against autodiff."""
     params = jnp.array(TRUE_SVI)

@@ -165,6 +165,7 @@ def test_resume_reprocesses_only_pending(cfg):
     assert m2.is_done()
 
 
+@pytest.mark.slow
 def test_bridge_determinism(cfg):
     tickers = generate_sample_tickers(num_symbols=2, hours=8)
     results = []

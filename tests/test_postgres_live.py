@@ -93,6 +93,7 @@ def test_check_constraint_rejects_bad_ohlc(live_store):
                          upsert_keys=["symbol", "timestamp"])
 
 
+@pytest.mark.slow
 def test_read_iter_streams_chunks(live_store):
     from iv_interpolation_tpu.pipeline import storage as st
     n = 5000
@@ -107,6 +108,7 @@ def test_read_iter_streams_chunks(live_store):
     assert sum(len(c) for c in chunks) == n
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_on_postgres(live_store, tmp_path):
     from iv_interpolation_tpu.config import get_config
     from iv_interpolation_tpu.pipeline import PipelineRunner

@@ -70,6 +70,7 @@ def test_calibration_free_beta_refits_curve(rng):
     np.testing.assert_allclose(np.asarray(iv_fit), np.asarray(iv), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batched_calibration(rng):
     B, E, n = 4, 8, 25
     F = 100.0 * (1 + 0.1 * rng.uniform(-1, 1, (B, E)))

@@ -212,6 +212,7 @@ def test_fit_rmse_reported(rng):
     assert np.all(r > 1e-6) and np.all(r < 5e-2)
 
 
+@pytest.mark.slow
 def test_eval_surface_parametric_branches(rng):
     """eval_surface's svi/essvi/sabr gather branches == the closed-form
     slice evaluation at bracketing maturities (round-2 verdict: these

@@ -316,6 +316,7 @@ def test_cli_both_flow(tmp_path, monkeypatch, capsys):
     assert payload["task2"]["by_status"]["completed"] == 2
 
 
+@pytest.mark.slow
 def test_large_run_confirmation(tmp_path, monkeypatch, capsys):
     """>100 symbols on a TTY prompts; 'n' aborts; --yes bypasses."""
     from iv_interpolation_tpu import cli

@@ -27,6 +27,7 @@ def ran(tmp_path_factory):
     return cfg, store, tmp
 
 
+@pytest.mark.slow
 def test_all_figures_render(ran):
     cfg, store, tmp = ran
     viz = PipelineVisualizer(store, out_dir=str(tmp / "figs"))
