@@ -359,6 +359,11 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
 
     penalized = butterfly_weight > 0.0 or calendar_weight > 0.0
     if penalized:
+        # u0 = 0, NOT the smooth unpenalized fit: warm-starting from the
+        # data-optimal surface was tried and stalls — its deep butterfly
+        # violations (g ~ -0.7) sit where the g-linearisation is ill-
+        # conditioned, LM rejects steps and mu grows until progress
+        # stops (~-0.6 after 24 iters vs full repair from zero).
         u0 = jnp.zeros((n + p,), dtype)
         cost0, smooth0, _ = cost_of(u0)
         state0 = (u0, jnp.asarray(1e-4, dtype), cost0, u0,
