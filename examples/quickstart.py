@@ -97,6 +97,39 @@ def main():
           "| realized vol mean:",
           round(float(np.asarray(refit.realized_vol).mean()), 3))
 
+    # ------------------------------------------------------------------
+    # 5. Scattered quotes: RBF surface with no-arbitrage penalty repair
+    # ------------------------------------------------------------------
+    from iv_interpolation_tpu.ops.rbf import eval_rbf, fit_rbf_arbfree
+
+    nq = 512
+    kq = jnp.asarray(rng.uniform(-1, 1, nq))
+    Tq = jnp.asarray(rng.uniform(0.05, 2.0, nq))
+    wq = (0.04 + 0.3 * kq**2) * Tq + 0.01 * jnp.sin(8 * kq) * Tq  # arby
+    fit = fit_rbf_arbfree(jnp.stack([kq, Tq], -1), wq, n_iters=24)
+    w_at = eval_rbf(fit, jnp.array([[0.0, 1.0]]))
+    print("rbf arbfree: butterfly-free:", bool(fit["butterfly_ok"]),
+          "| calendar-free:", bool(fit["calendar_ok"]),
+          "| w(0, 1y):", round(float(w_at[0]), 4))
+
+    # ------------------------------------------------------------------
+    # 6. Serving: the same session over Arrow Flight (columnar gRPC)
+    # ------------------------------------------------------------------
+    from iv_interpolation_tpu.pipeline import flight_service as fs
+
+    if fs.HAVE_FLIGHT:
+        import pyarrow.flight as fl
+        srv = fs.FlightStreamServer(sess, port=0)
+        client = fl.connect(f"grpc+tcp://127.0.0.1:{srv.port}")
+        tbl = client.do_get(fl.Ticket(b"refit")).read_all()
+        print("flight refit table:", tbl.num_rows, "underlyings,",
+              "cols:", tbl.column_names)
+        client.close()
+        srv.shutdown()
+    else:
+        print("pyarrow.flight unavailable — JSONL server only "
+              "(pipeline/serve.py)")
+
 
 if __name__ == "__main__":
     main()

@@ -160,6 +160,17 @@ def _aggregate_sorted(seg: jax.Array, o, h, l, c, v, ok, *,
     per call at (1024, 4096) x 512 segments on this backend vs 33 ms
     for the compare-reduce.) Sums are cumsum differences; max/min/
     first/last are sparse-table range reductions — dense ops + gathers.
+
+    Precision note (volume): a bucket sum computed as the difference of
+    two f32 window-prefix values carries absolute error ~ eps * (window
+    running total), NOT eps * (bucket total) — at L=4096 rows of O(1)
+    sizes that is ~1e-3 absolute, which is a large RELATIVE error on
+    near-empty buckets late in the window (measured 0.14 rel on a
+    1.7e-3-volume bucket vs the f64 oracle). The production TPU path
+    (``ops.pallas.stream_agg_pallas``) sums each bucket directly in f32
+    and matches the f64 oracle to f32 eps; this fallback's volume is
+    accurate to ~eps * sum(|v|) per row, asserted in
+    tests/test_pallas.py::test_volume_accuracy_vs_f64_oracle.
     """
     L = seg.shape[-1]
     ns = num_segments

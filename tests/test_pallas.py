@@ -51,10 +51,12 @@ def test_multidim_batch(rng):
 
 def test_stream_agg_pallas_matches_xla(rng):
     """Fused Pallas bucket-aggregation kernel (interpret mode on CPU) ==
-    the XLA segment-reduction path on every Candles field. Volume rides
-    the MXU matmul in the kernel, so it is compared at f32 tolerance;
-    everything else must be exact (open/close/high/low are selections,
-    count is integer)."""
+    the XLA segment-reduction path on every Candles field. Volume is a
+    direct f32 masked sum in the kernel but a cumsum DIFFERENCE in the
+    XLA sorted fallback (abs err ~ eps * window total — see
+    test_volume_accuracy_vs_f64_oracle), so it is compared at f32
+    tolerance; everything else must be exact (open/close/high/low are
+    selections, count is integer)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -163,3 +165,94 @@ def test_stream_agg_pallas_nan_in_invalid_rows(rng):
         np.testing.assert_allclose(a[nonempty], b[nonempty], rtol=1e-6,
                                    err_msg=f)
         assert np.isfinite(a[nonempty]).all(), f
+
+
+def test_volume_accuracy_vs_f64_oracle(rng):
+    """Bucket-volume accuracy ordering, pinned against the f64 oracle.
+
+    The XLA sorted fallback computes volume as a difference of two f32
+    window-prefix values, so its ABSOLUTE error scales with the window
+    running total (~eps * sum|v|) — a large RELATIVE error on near-empty
+    buckets late in a long window (measured 0.14 rel at L=4096 on TPU,
+    verify drive 2026-08-17). The Pallas kernel sums each bucket
+    directly and must stay at f32 eps of the oracle; the fallback must
+    stay within its documented eps * total bound."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from iv_interpolation_tpu.ops.pallas.stream_agg_pallas import (
+        aggregate_ohlcv_pallas)
+    from iv_interpolation_tpu.ops.segment_ohlcv import aggregate_ohlcv
+
+    B, L, ns = 2, 4096, 512
+    minute = np.sort(rng.integers(0, ns * 5, (B, L)).astype(np.int32), -1)
+    p = rng.normal(100, 1, (B, L)).astype(np.float32)
+    v = rng.uniform(0, 5, (B, L)).astype(np.float32)
+    # make some LATE buckets tiny: zero out most sizes in the last fifth
+    tail = slice(int(0.8 * L), None)
+    v[:, tail] *= (rng.random((B, L - int(0.8 * L))) > 0.95) * 1e-3
+    valid = rng.random((B, L)) > 0.1
+    args = tuple(jnp.asarray(a) for a in
+                 (minute, p, p, p, p, v, valid))
+
+    pal = aggregate_ohlcv_pallas(*args, bucket_minutes=5,
+                                 num_segments=ns, min_count=1,
+                                 interpret=True)
+    ref = jax.vmap(lambda m, oo, hh, ll, cc, vv, ok: aggregate_ohlcv(
+        m, oo, hh, ll, cc, vv, ok, jnp.int32(5), jnp.int32(0),
+        num_segments=ns, min_count=1, assume_sorted=True))(*args)
+
+    # f64 oracle
+    seg = minute // 5
+    oracle = np.zeros((B, ns))
+    for b in range(B):
+        for s in range(ns):
+            rows = (seg[b] == s) & valid[b]
+            oracle[b, s] = v[b][rows].astype(np.float64).sum()
+    nonempty = np.asarray(pal.count) > 0
+    err_pal = np.abs(np.asarray(pal.volume) - oracle)[nonempty]
+    err_ref = np.abs(np.asarray(ref.volume) - oracle)[nonempty]
+    total = np.abs(v[valid]).sum() / B   # per-row window running total
+    assert err_pal.max() < 1e-4, err_pal.max()           # direct f32 sum
+    assert err_ref.max() < 4e-7 * total + 1e-5, err_ref.max()  # cumsum bound
+    assert err_pal.max() <= err_ref.max() + 1e-6          # ordering
+
+
+def test_stream_agg_pallas_chunked_tick_axis(rng):
+    """The tick axis is chunked at ``l_tile`` rows per grid step so VMEM
+    stays bounded for long windows (L=8192 blew the 100 MB scoped limit
+    unchunked — found by examples/quickstart.py). Forcing several small
+    chunks that straddle bucket boundaries must reproduce the unchunked
+    kernel exactly, including the cross-chunk open (first chunk that saw
+    the bucket wins) and close (last chunk wins) hand-off and buckets
+    whose rows are split across 3+ chunks."""
+    import jax.numpy as jnp
+    import numpy as np
+    from iv_interpolation_tpu.ops.pallas.stream_agg_pallas import (
+        aggregate_ohlcv_pallas)
+
+    B, L, ns = 4, 1000, 40  # L deliberately not a multiple of l_tile
+    # sorted minutes: every bucket's rows straddle the 128-row chunk
+    # boundary somewhere in the batch
+    minute = np.sort(rng.integers(0, ns * 5, (B, L)).astype(np.int32),
+                     axis=-1)
+    o = rng.normal(100, 1, (B, L)).astype(np.float32)
+    h = o + rng.uniform(0, 1, (B, L)).astype(np.float32)
+    l = o - rng.uniform(0, 1, (B, L)).astype(np.float32)
+    c = o + rng.normal(0, 0.5, (B, L)).astype(np.float32)
+    v = rng.uniform(0, 5, (B, L)).astype(np.float32)
+    valid = rng.random((B, L)) > 0.2
+
+    args = (jnp.asarray(minute), jnp.asarray(o), jnp.asarray(h),
+            jnp.asarray(l), jnp.asarray(c), jnp.asarray(v),
+            jnp.asarray(valid))
+    kw = dict(bucket_minutes=5, num_segments=ns, min_count=3,
+              interpret=True)
+    one = aggregate_ohlcv_pallas(*args, **kw)            # single chunk
+    many = aggregate_ohlcv_pallas(*args, l_tile=128, **kw)  # 8 chunks
+    for f in ("open", "high", "low", "close", "count", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(one, f)), np.asarray(getattr(many, f)),
+            err_msg=f)
+    np.testing.assert_allclose(np.asarray(many.volume),
+                               np.asarray(one.volume), rtol=1e-6)
