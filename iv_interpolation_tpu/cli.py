@@ -60,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="limit number of symbols processed")
     p.add_argument("--method", default=None,
                    choices=["cubic_spline", "smoothing_spline", "svi",
-                            "essvi", "sabr", "rbf"],
+                            "essvi", "sabr", "rbf", "ah"],
                    help="smile/surface family for --task surface "
                         "(default: config surface.smile_method)")
     p.add_argument("--env", choices=["development", "testing", "production"],

@@ -135,7 +135,8 @@ class SurfaceConfig:
     """
 
     smile_method: str = "cubic_spline"
-    # 'cubic_spline' | 'smoothing_spline' | 'svi' | 'essvi' | 'sabr' | 'rbf'
+    # 'cubic_spline' | 'smoothing_spline' | 'svi' | 'essvi' | 'sabr'
+    # | 'rbf' | 'ah'
     grid_strikes: int = 50   # dense eval grid in strike (per expiry)
     # cubic-spline boundary condition; 'not-a-knot' (SciPy's default)
     # avoids the natural-BC edge artifact in the butterfly diagnostics
@@ -162,6 +163,10 @@ class SurfaceConfig:
     rbf_butterfly_penalty: float = 0.0
     rbf_calendar_penalty: float = 0.0
     rbf_penalty_iters: int = 16     # damped Gauss-Newton budget
+    # Andreasen-Huge one-step surfaces (method 'ah'): dense PDE grid
+    # resolution and per-slice LM budget (ops.andreasen_huge)
+    ah_grid: int = 257
+    ah_iters: int = 16
     # No-arbitrage handling: hinge-penalty weight on negative butterfly-g
     # during SVI calibration (calendar no-arb is structural: total-variance
     # interpolation between calendar-ordered slices cannot create it)

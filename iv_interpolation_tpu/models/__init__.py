@@ -8,11 +8,13 @@ fit (calibration) and an evaluation path, all batched and jit-compiled.
   * eSSVI surfaces        -> :mod:`iv_interpolation_tpu.models.essvi`
   * SABR (Hagan)          -> :mod:`iv_interpolation_tpu.models.sabr`
   * RBF/thin-plate        -> :mod:`iv_interpolation_tpu.models.rbf`
+  * Andreasen-Huge        -> :mod:`iv_interpolation_tpu.models.andreasen_huge`
   * Black-Scholes         -> :mod:`iv_interpolation_tpu.models.black_scholes`
   * full surfaces         -> :mod:`iv_interpolation_tpu.surface`
 """
 
 from iv_interpolation_tpu.models import (  # noqa: F401
+    andreasen_huge,
     black_scholes,
     essvi,
     rbf,

@@ -71,22 +71,34 @@ def _normalized_vega_w(k: jax.Array, w: jax.Array) -> jax.Array:
 def _step_system(sig2: jax.Array, x: jax.Array, dt: jax.Array):
     """Tridiagonal (I - dt*A) rows for one implicit Dupire step.
 
-    A = (sigma^2/2)(D2 - D1) with central differences on the uniform
-    grid ``x``. Boundary rows pin the SLOPE in strike K = e^x — dC/dK =
-    -1 at the deep-ITM edge, 0 at the deep-OTM edge (linear wings).
-    Call slopes live in [-1, 0], so the boundary-adjacent discrete
-    density is non-negative BY CONSTRUCTION — a Dirichlet
-    pin-at-intrinsic instead leaves a concave kink one node in (~4e-5
-    negative density measured at grid_pad=1), which would break the
-    method's whole point. Returns (dl, d, du), system dim axis 0.
+    The operator is the STRIKE-SPACE Dupire forward generator
+    A = (sigma^2 K^2 / 2) d^2/dK^2 as second divided differences on the
+    non-uniform strike grid K = e^x (uniform in log-moneyness for
+    resolution, exact in strike for the no-arbitrage argument). This
+    form — pure second derivative, no drift — is what makes the step an
+    M-matrix whose inverse is a discrete MARTINGALE kernel (rows are
+    probability weights with mean K_i: A annihilates constants and the
+    linear function K, even on a non-uniform grid), which is the
+    Andreasen-Huge theorem's engine: convexity of C in K and calendar
+    monotonicity survive every step exactly. The log-space form
+    (sigma^2/2)(d_kk - d_k) was measured to leak ~1.7e-5 negative
+    density through its drift discretisation and was rejected.
+
+    Boundary rows pin the SLOPE in K — dC/dK = -1 at the deep-ITM edge,
+    0 at the deep-OTM edge (linear wings). Call slopes live in [-1, 0],
+    so the boundary-adjacent discrete density is non-negative by
+    construction (a Dirichlet pin-at-intrinsic leaves a ~4e-5 concave
+    kink one node in; also measured). Returns (dl, d, du), axis 0 =
+    system dim.
     """
-    h = x[1] - x[0]
-    alpha = 0.5 * dt * sig2
-    inv_h2 = 1.0 / (h * h)
-    inv_2h = 0.5 / h
-    dl = -alpha * (inv_h2 + inv_2h)
-    du = -alpha * (inv_h2 - inv_2h)
-    d = 1.0 + 2.0 * alpha * inv_h2
+    K = jnp.exp(x)
+    h_lo = jnp.diff(K, prepend=K[:1])            # K_i - K_{i-1} (h_lo[0] dummy)
+    h_hi = jnp.diff(K, append=K[-1:])            # K_{i+1} - K_i (h_hi[-1] dummy)
+    safe = lambda a: jnp.where(a == 0, 1.0, a)
+    alpha = 0.5 * dt * sig2 * K * K              # (n,)
+    dl = -alpha * 2.0 / (safe(h_lo) * safe(h_lo + h_hi))
+    du = -alpha * 2.0 / (safe(h_hi) * safe(h_lo + h_hi))
+    d = 1.0 + alpha * 2.0 / safe(h_lo * h_hi)
     one = jnp.ones((), x.dtype)
     neg = -one
     dl = dl.at[0].set(0.0).at[-1].set(neg)
@@ -96,15 +108,27 @@ def _step_system(sig2: jax.Array, x: jax.Array, dt: jax.Array):
 
 
 def ah_step(c_prev: jax.Array, sig2: jax.Array, x: jax.Array,
-            dt: jax.Array) -> jax.Array:
+            dt: jax.Array, refine: bool = False) -> jax.Array:
     """One implicit step of the Dupire forward PDE: solve
     (I - dt*A(sigma^2)) c = c_prev with linear-wing boundaries
     C_0 - C_1 = K_1 - K_0 (slope -1 in strike) and C_{n-1} = C_{n-2}
-    (slope 0)."""
+    (slope 0).
+
+    refine: one sweep of iterative refinement (residual + correction
+    solve). The f32 PCR solution carries ~6.5e-5 price error vs x64 on
+    production-shaped systems — enough to wobble the c >= c_prev
+    monotonicity the construction guarantees in exact arithmetic. Off
+    inside LM residuals (Jacobian accuracy is irrelevant there), on for
+    the final per-slice curves and eval-time interpolation steps."""
     dl, d, du = _step_system(sig2, x, dt)
     dK0 = jnp.exp(x[1]) - jnp.exp(x[0])
     rhs = c_prev.at[0].set(dK0).at[-1].set(0.0)
-    return tridiag_solve_pcr(dl, d, du, rhs)
+    c = tridiag_solve_pcr(dl, d, du, rhs)
+    if refine:
+        from iv_interpolation_tpu.ops.tridiag import tridiag_matvec
+        r = rhs - tridiag_matvec(dl, d, du, c)
+        c = c + tridiag_solve_pcr(dl, d, du, r)
+    return c
 
 
 def _cells_to_grid(theta: jax.Array, k_q: jax.Array,
@@ -125,10 +149,21 @@ def _interp_grid(c: jax.Array, x: jax.Array, k_q: jax.Array) -> jax.Array:
     return c[i0] * (1.0 - frac) + c[i0 + 1] * frac
 
 
+def _interp_price(c: jax.Array, x: jax.Array, k_q: jax.Array) -> jax.Array:
+    """Price interpolation via the TIME VALUE: intrinsic 1 - e^k is
+    concave in k, so interpolating c directly undershoots it by O(h^2)
+    on the ITM wing — orders of magnitude above the true wing time
+    value. Interpolate c - intrinsic (smooth, >= 0) and add intrinsic
+    back exactly at the query."""
+    tv = jnp.maximum(c - jnp.maximum(1.0 - jnp.exp(x), 0.0), 0.0)
+    return (_interp_grid(tv, x, k_q)
+            + jnp.maximum(1.0 - jnp.exp(k_q), 0.0))
+
+
 def _slice_residual(theta, c_prev, k_q, c_mkt, wgt, x, dt):
     sig2 = _cells_to_grid(theta, k_q, x)
     c = ah_step(c_prev, sig2, x, dt)
-    return (_interp_grid(c, x, k_q) - c_mkt) * wgt
+    return (_interp_price(c, x, k_q) - c_mkt) * wgt
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -176,6 +211,13 @@ def _fit_one(k_q, iv, expiries, x, quote_wgt, *, n_iters: int):
     theta0 = jnp.sqrt(jnp.maximum(w_mkt - w_prev, 1e-6)
                       / jnp.maximum(dts[:, None], 1e-12))
     theta0 = jnp.clip(theta0, _VOL_LO, _VOL_HI)
+    # masked quotes may carry garbage; their cells' init must not (LM
+    # recovers slowly from a 5.0-vol start). Use each slice's unmasked
+    # mean for masked cells.
+    live = (quote_wgt > 0).astype(theta0.dtype)
+    mean0 = (jnp.sum(theta0 * live, axis=-1, keepdims=True)
+             / jnp.maximum(jnp.sum(live, axis=-1, keepdims=True), 1.0))
+    theta0 = jnp.where(live > 0, theta0, mean0)
 
     c0 = jnp.maximum(1.0 - jnp.exp(x), 0.0)
 
@@ -185,8 +227,8 @@ def _fit_one(k_q, iv, expiries, x, quote_wgt, *, n_iters: int):
             _slice_residual, th0_j, c_prev, kq_j, cm_j, wg_j, x, dt_j,
             max_iters=n_iters, lower=_VOL_LO, upper=_VOL_HI, unroll=True)
         sig2 = _cells_to_grid(res.params, kq_j, x)
-        c_j = ah_step(c_prev, sig2, x, dt_j)
-        err = _interp_grid(c_j, x, kq_j) - cm_j
+        c_j = ah_step(c_prev, sig2, x, dt_j, refine=True)
+        err = _interp_price(c_j, x, kq_j) - cm_j
         return c_j, (res.params, c_j, err)
 
     _, (theta, c, err) = jax.lax.scan(
@@ -272,10 +314,10 @@ def eval_ah(fit: AHFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
 
         def step_one(cb, th, kq, dt_q):
             sig2 = _cells_to_grid(th, kq, x)
-            return ah_step(cb, sig2, x, dt_q)
+            return ah_step(cb, sig2, x, dt_q, refine=True)
 
         c_at = jax.vmap(step_one)(c_base, theta_op, kq_op, dt)  # (Q, n)
-        c_pts = jax.vmap(_interp_grid, in_axes=(0, None, 0))(
+        c_pts = jax.vmap(_interp_price, in_axes=(0, None, 0))(
             c_at, x, k_pts[:, None])[:, 0]
         return _invert_w(c_pts, k_pts)
 
@@ -311,13 +353,35 @@ def _invert_w(c: jax.Array, k: jax.Array, max_iters: int = 64) -> jax.Array:
 def _price_space_density(c: jax.Array, x: jax.Array) -> jax.Array:
     """Discrete risk-neutral density 2 * d^2C/dK^2 on K = e^x (divided
     differences on the non-uniform K grid); >= 0 iff butterfly-free.
-    Shape: c (..., n), x (..., n) -> (..., n-2) interior columns."""
+    Shape: c (..., n), x (..., n) -> (..., n-2) interior columns.
+
+    CONDITIONING WARNING: second divided differences divide f32 price
+    rounding by h_K^2 (down to ~6e-6 on the ITM wing of a log grid) —
+    O(1) garbage in f32. Use only at x64 (tests/oracles); the
+    production diagnostic is :func:`_step_identity_density`."""
     K = jnp.exp(x)
     dK_lo = K[..., 1:-1] - K[..., :-2]
     dK_hi = K[..., 2:] - K[..., 1:-1]
     s_lo = (c[..., 1:-1] - c[..., :-2]) / dK_lo
     s_hi = (c[..., 2:] - c[..., 1:-1]) / dK_hi
     return 2.0 * (s_hi - s_lo) / (dK_lo + dK_hi)
+
+
+def _step_identity_density(c: jax.Array, c_prev: jax.Array,
+                           sig2: jax.Array, x: jax.Array,
+                           dt: jax.Array) -> jax.Array:
+    """Discrete density via the step identity — f32-safe.
+
+    From (I - dt*A)c = c_prev: A c = (c - c_prev)/dt, and A is
+    (sigma^2 K^2/2) d^2/dK^2, so 2*d^2C/dK^2 = 4 (c - c_prev) /
+    (dt sigma^2 K^2). A difference of NEARBY CURVES (error ~ f32 eps of
+    the price scale) replaces second differences over h_K^2 (error
+    amplified ~1e5x on the ITM wing — measured min g of -3.5 in f32
+    where x64 says -1e-10). Boundary rows carry slope conditions, not
+    the PDE; callers drop them. Shapes: all (..., n); dt broadcasts."""
+    K2 = jnp.exp(2.0 * x)
+    denom = jnp.maximum(dt * sig2 * K2, 1e-12)
+    return 4.0 * (c - c_prev) / denom
 
 
 @partial(jax.jit, static_argnames=("n_grid", "n_iters"))
@@ -334,25 +398,43 @@ def fit_eval_ah_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     the price-space construction:
 
       * ``g`` is the discrete risk-neutral DENSITY 2*d^2C/dK^2 on the
-        grid interior (zero-padded at the two edge columns), not the
-        Gatheral butterfly function — same sign test (>= 0 iff
-        butterfly-free), different scale;
-      * the flags are computed in PRICE space (convexity in strike and
-        calendar monotonicity of the call curves), where the
-        construction's guarantee actually lives — the implied-variance
-        grid is Black-inverted afterwards, and its deep wings clamp to
-        w=0 where prices touch intrinsic.
+        grid interior (zero at the two boundary-condition columns), not
+        the Gatheral butterfly function — same sign test (>= 0 iff
+        butterfly-free), different scale. It comes from the f32-safe
+        step identity (:func:`_step_identity_density`), not from
+        second differences of the price curves;
+      * the flags are computed in PRICE space (the step identity IS
+        convexity in strike, and calendar monotonicity reads off the
+        call curves directly), where the construction's guarantee
+        actually lives — the implied-variance grid is Black-inverted
+        afterwards, and its deep wings clamp to w=0 where prices touch
+        intrinsic.
     """
     fit = fit_ah(k, iv, expiries, n_grid=n_grid, n_iters=n_iters,
                  grid_pad=grid_pad, quote_mask=quote_mask)
     x = fit.x                                  # (B, n)
     k_grid = jnp.broadcast_to(x[:, None, :], fit.c.shape)
-    dens = _price_space_density(fit.c, x[:, None, :])
+    c0 = jnp.maximum(1.0 - jnp.exp(x), 0.0)[:, None, :]
+    c_prev = jnp.concatenate([c0, fit.c[:, :-1]], axis=1)
+    dts = jnp.diff(fit.expiries, prepend=jnp.zeros_like(
+        fit.expiries[:, :1]), axis=-1)
+    sig2 = jax.vmap(jax.vmap(_cells_to_grid, in_axes=(0, 0, None)))(
+        fit.theta, fit.k_q, x)
+    dens = _step_identity_density(
+        fit.c, c_prev, sig2, x[:, None, :], dts[..., None])[..., 1:-1]
     pad = jnp.zeros_like(dens[..., :1])
     g = jnp.concatenate([pad, dens, pad], axis=-1)
-    butterfly_ok = jnp.all(dens >= -1e-8, axis=(-2, -1))
+    # the construction guarantees c >= c_prev in EXACT arithmetic
+    # (x64 measures min(c - c_prev) = +2e-16); in f32 the PCR solve
+    # carries ~4e-5 of price noise (measured, after one refinement
+    # sweep), so the flags tolerate 1024 ulps of the unit-forward price
+    # scale — 1.2e-4 of notional at f32 (well below any market spread),
+    # 2.3e-13 at x64
+    tol = 1024.0 * jnp.finfo(k.dtype).eps
+    butterfly_ok = jnp.all(
+        fit.c[..., 1:-1] >= c_prev[..., 1:-1] - tol, axis=(-2, -1))
     calendar_ok = jnp.all(
-        fit.c[:, 1:] >= fit.c[:, :-1] - 1e-10, axis=(-2, -1))
+        fit.c[:, 1:] >= fit.c[:, :-1] - tol, axis=(-2, -1))
     w_grid = jax.vmap(jax.vmap(_invert_w))(
         fit.c, jnp.broadcast_to(x[:, None, :], fit.c.shape))
     iv_grid = jnp.sqrt(w_grid / jnp.maximum(fit.expiries[..., None], 1e-12))

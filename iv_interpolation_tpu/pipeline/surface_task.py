@@ -172,7 +172,7 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
     the evaluated grid + diagnostics.
 
     ``surface.smile_method`` selects cubic_spline / smoothing_spline /
-    svi / essvi / sabr / rbf; ``surface.lm_max_iters`` bounds LM
+    svi / essvi / sabr / rbf / ah; ``surface.lm_max_iters`` bounds LM
     calibration; ``surface.butterfly_penalty`` adds the no-arb hinge to
     SVI fits; ``surface.spline_bc`` picks the cubic boundary condition;
     ``surface.rbf_kernel`` / ``surface.rbf_smoothing`` shape the RBF
@@ -242,6 +242,22 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 T[b, e] = c["T"] + max(0, e - (len(slices) - 1)) * 1e-3
         if method == "rbf":
             res_all = _fit_rbf_surfaces(k, iv, T, quote_mask, scfg)
+            keys = ["k_grid", "w_grid", "iv_grid",
+                    "butterfly_ok", "calendar_ok", "fit_rmse"]
+            results = [
+                {key: res_all[key][b:b + 1] for key in keys}
+                for b in range(B)
+            ]
+        elif method == "ah":
+            # Andreasen-Huge one-step surfaces: arbitrage-free BY
+            # CONSTRUCTION (ops.andreasen_huge) — same output contract
+            # as fit_eval_surface, on the method's own dense PDE grid
+            from iv_interpolation_tpu.ops.andreasen_huge import (
+                fit_eval_ah_surface)
+            res_all = fit_eval_ah_surface(
+                jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T),
+                n_grid=scfg.ah_grid, n_iters=scfg.ah_iters,
+                quote_mask=jnp.asarray(quote_mask))
             keys = ["k_grid", "w_grid", "iv_grid",
                     "butterfly_ok", "calendar_ok", "fit_rmse"]
             results = [

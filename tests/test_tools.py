@@ -157,7 +157,7 @@ def test_cli_rejects_unknown_task():
         cli.main(["--task", "nonsense"])
 
 
-@pytest.mark.parametrize("method", ["svi", "essvi", "rbf"])
+@pytest.mark.parametrize("method", ["svi", "essvi", "rbf", "ah"])
 def test_surface_task_alternative_methods(ran_store, method):
     from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
     cfg, store = ran_store
