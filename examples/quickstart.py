@@ -113,7 +113,24 @@ def main():
           "| w(0, 1y):", round(float(w_at[0]), 4))
 
     # ------------------------------------------------------------------
-    # 6. Serving: the same session over Arrow Flight (columnar gRPC)
+    # 6. Andreasen-Huge: arbitrage-free BY CONSTRUCTION (even on
+    #    arbitrage-laden quotes, and between quoted maturities)
+    # ------------------------------------------------------------------
+    from iv_interpolation_tpu.ops.andreasen_huge import (eval_ah,
+                                                         fit_eval_ah_surface)
+
+    iv_arby = np.asarray(iv[:4, :, :16]).copy()
+    iv_arby[:, :, 8] *= 1.4     # butterfly violation at the money
+    ah = fit_eval_ah_surface(k[:4, :, :16], jnp.asarray(iv_arby),
+                             T[:4], n_grid=129, n_iters=8)
+    w_mid = eval_ah(ah["fit"], jnp.zeros((4, 1)), jnp.full((4, 1), 0.5))
+    print("andreasen-huge on arby quotes: butterfly-free:",
+          int(ah["butterfly_ok"].sum()), "/ 4",
+          "| calendar-free:", int(ah["calendar_ok"].sum()), "/ 4",
+          "| w(0, 0.5y):", round(float(w_mid[0, 0]), 4))
+
+    # ------------------------------------------------------------------
+    # 7. Serving: the same session over Arrow Flight (columnar gRPC)
     # ------------------------------------------------------------------
     from iv_interpolation_tpu.pipeline import flight_service as fs
 
