@@ -338,6 +338,43 @@ def bench_streaming(rng, B=1024, L_ticks=4096, n_minutes=512):
     return B / dt
 
 
+def bench_ah(rng, B=64, n_iters=16, n_grid=257):
+    """Andreasen-Huge one-step surfaces (method 'ah'): per-slice LM over
+    implicit Dupire steps, arbitrage-free by construction
+    (ops/andreasen_huge.py). Arbitrage-LADEN quotes (ATM spike) prove
+    the structural guarantee every bench run. Returns
+    (surfaces_per_sec, arbfree_frac, price_rmse)."""
+    from iv_interpolation_tpu.ops.andreasen_huge import fit_eval_ah_surface
+
+    E_a, m = 8, 16
+    k = jnp.asarray(np.broadcast_to(
+        np.linspace(-0.6, 0.6, m, dtype=np.float32), (B, E_a, m)).copy())
+    T = jnp.asarray(np.broadcast_to(
+        np.linspace(0.08, 1.5, E_a, dtype=np.float32), (B, E_a)).copy())
+
+    @jax.jit
+    def gen_iv(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), 2)
+        lvl = jax.random.uniform(keys[0], (B, 1, 1), jnp.float32,
+                                 0.18, 0.30)
+        iv = lvl + 0.1 * k * k + 0.02 * jnp.sqrt(T)[..., None]
+        spike = jnp.zeros((m,), jnp.float32).at[m // 2].set(0.4)
+        return iv * (1.0 + spike)          # butterfly-violating quotes
+
+    fit = jax.jit(lambda iv: fit_eval_ah_surface(
+        k, iv, T, n_grid=n_grid, n_iters=n_iters))
+    seed0 = int(rng.integers(0, 2**31 - 16))
+    inputs = [(gen_iv(seed0 + i),) for i in range(4)]
+    for args in inputs:
+        jax.block_until_ready(args)
+    dt = _median_time(fit, inputs)
+    out = fit(*inputs[0])
+    frac = float((np.asarray(out["butterfly_ok"])
+                  & np.asarray(out["calendar_ok"])).mean())
+    rmse = float(np.asarray(out["fit_rmse"]).max())
+    return B / dt, frac, rmse
+
+
 def main():
     rng = np.random.default_rng(time.time_ns() % 2**31)
 
@@ -346,6 +383,7 @@ def main():
     essvi_sps, essvi_rmse = bench_essvi(rng)
     stream_ups = bench_streaming(rng)
     rbf_sps, rbf_frac = bench_rbf(rng)
+    ah_sps, ah_frac, ah_rmse = bench_ah(rng)
 
     value = round(best, 1)
     print(json.dumps({
@@ -375,6 +413,10 @@ def main():
             {"metric": "rbf_arbfree_surfaces_per_sec_8x2048_iters24",
              "value": round(rbf_sps, 2), "unit": "surfaces/s",
              "arbfree_frac": rbf_frac},
+            {"metric": "ah_surfaces_per_sec_64x8x16_grid257_iters16",
+             "value": round(ah_sps, 1), "unit": "surfaces/s",
+             "arbfree_frac": ah_frac,
+             "price_rmse": float(f"{ah_rmse:.3g}")},
         ],
     }))
 

@@ -4,18 +4,20 @@ The one construction in this framework whose output is arbitrage-free
 *by construction*, not by penalty or post-hoc diagnosis: following
 Andreasen & Huge, "Volatility interpolation" (Risk, 2011), each expiry
 slice is ONE implicit finite-difference step of the Dupire forward PDE
+in strike space,
 
-    dC/dT = (sigma^2(k)/2) (d^2C/dk^2 - dC/dk)
+    dC/dT = (sigma^2(K) K^2 / 2) d^2C/dK^2,
 
-on a dense log-moneyness grid, with a piecewise-constant (per quote
-cell) local volatility calibrated so the step reprices the market
-quotes. The implicit step operator (I - dt*A) is an M-matrix whenever
-the grid spacing satisfies h <= 2 (always true here), so each step
-preserves positivity, monotonicity and convexity of the call-price
-curve, and stepping forward in maturity can only increase prices —
-i.e. the discrete surface has no butterfly and no calendar arbitrage at
-ANY grid point, including between quoted expiries (interpolation in T
-is a partial step of the same operator).
+discretised as second divided differences on the non-uniform strike
+grid K = e^x (x uniform in log-moneyness), with a piecewise-constant
+(per quote cell) local volatility calibrated so the step reprices the
+market quotes. The implicit step matrix (I - dt*A) is an M-matrix
+whose inverse is a discrete martingale kernel (see ``_step_system``),
+so each step preserves positivity, monotonicity and convexity of the
+call-price curve, and stepping forward in maturity can only increase
+prices — i.e. the discrete surface has no butterfly and no calendar
+arbitrage at ANY grid point, including between quoted expiries
+(interpolation in T is a partial step of the same operator).
 
 TPU-native design:
   * the implicit step is a batched tridiagonal solve — parallel cyclic
@@ -253,8 +255,8 @@ def fit_ah(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       n_grid: dense-grid resolution (uniform in k).
       n_iters: LM iterations per slice (unrolled).
       grid_pad: grid extension beyond the quote range on each side (the
-        Dirichlet boundaries must sit in the wings where the price is
-        effectively intrinsic/zero).
+        linear-wing boundary rows must sit where the call curve is
+        effectively linear in strike, i.e. slope -1 / 0).
       quote_mask: (B, E, m) bool — False rows get zero residual weight.
 
     Returns an :class:`AHFit`; the fitted ``c`` curves are free of
@@ -300,7 +302,7 @@ def eval_ah(fit: AHFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
     """
 
     def one(x, expiries, c_all, theta_all, kq_slice, k_pts, T_pts):
-        E, n = c_all.shape
+        E = c_all.shape[0]
         lo = _bracket_lo(expiries, T_pts)              # (Q,) in [-1, E-1]
         c0 = jnp.maximum(1.0 - jnp.exp(x), 0.0)
         c_base = jnp.where(

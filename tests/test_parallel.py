@@ -102,6 +102,41 @@ def test_pad_to_multiple():
 
 
 @pytest.mark.slow
+def test_sharded_ah_fit_matches_single_device(rng):
+    """Andreasen-Huge (scan over maturities, per-slice LM, PCR solves)
+    is batch-pure like every other family: sharding the surface axis
+    over the mesh must not change a single bit of the output."""
+    from iv_interpolation_tpu.ops.andreasen_huge import fit_eval_ah_surface
+
+    B, E, m = 16, 3, 9
+    k = jnp.broadcast_to(jnp.linspace(-0.5, 0.5, m), (B, E, m))
+    T = jnp.broadcast_to(jnp.array([0.2, 0.6, 1.1]), (B, E))
+    iv = (0.25 + 0.1 * k * k
+          + 0.02 * jnp.asarray(rng.normal(size=(B, 1, 1))))
+
+    fit = lambda a, b, c: fit_eval_ah_surface(a, b, c, n_grid=65,
+                                              n_iters=8)
+    ref = fit(k, iv, T)
+
+    mesh = make_mesh((8, 1))
+    ks, ivs, Ts = shard_batch(mesh, k, iv, T)
+    out = jax.jit(fit)(ks, ivs, Ts)
+    # prices are the well-conditioned quantity: compare the fitted call
+    # curves and flags tightly. w_grid passes through the Black
+    # inversion, whose deep wings amplify last-ulp scheduling
+    # differences (dC/dw -> 0 near intrinsic), so it gets a loose bound.
+    np.testing.assert_allclose(np.asarray(out["fit"].c),
+                               np.asarray(ref["fit"].c), atol=1e-12)
+    for key in ("butterfly_ok", "calendar_ok"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    np.testing.assert_allclose(np.asarray(out["fit_rmse"]),
+                               np.asarray(ref["fit_rmse"]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["w_grid"]),
+                               np.asarray(ref["w_grid"]), atol=1e-4)
+
+
+@pytest.mark.slow
 def test_sharded_essvi_fit_matches_single_device(rng):
     """eSSVI (one joint LM per surface) shards over the data axis like
     every other method: identical numerics sharded vs unsharded."""
