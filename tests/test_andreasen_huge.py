@@ -171,6 +171,24 @@ def test_eval_calendar_monotone_between_slices():
 
 
 @pytest.mark.slow
+def test_eval_extrapolates_beyond_last_expiry():
+    """T past the last quoted expiry extrapolates with the LAST slice's
+    operator: total variance keeps growing (calendar-consistent) and the
+    implied vol stays near the last slice's level rather than blowing
+    up or collapsing."""
+    k, iv, T = _chain()
+    fit = fit_ah(jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T),
+                 n_grid=257, n_iters=12)
+    B = k.shape[0]
+    T_ext = np.broadcast_to(np.array([1.2, 1.5, 2.0, 3.0]), (B, 4)).copy()
+    w = np.asarray(eval_ah(fit, jnp.zeros((B, 4)), jnp.asarray(T_ext)))
+    assert (np.diff(w, axis=-1) > 0).all()
+    iv_ext = np.sqrt(w / T_ext)
+    iv_last = iv[0, -1, iv.shape[-1] // 2]
+    assert (np.abs(iv_ext - iv_last) < 0.05).all()
+
+
+@pytest.mark.slow
 def test_quote_mask_ignores_poisoned_quotes():
     k, iv, T = _chain()
     iv_poison = iv.copy()
