@@ -277,6 +277,19 @@ def fit_ah(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                  fit_rmse=rmse)
 
 
+@jax.jit
+def ah_local_vol(fit: AHFit) -> jax.Array:
+    """The calibrated model's OWN local volatility on the dense grid:
+    (B, E, n) sigma_loc, piecewise-constant per quote cell within each
+    maturity interval. The one-step model is a local-vol model by
+    definition, so unlike ``surface.localvol``'s Dupire extraction from
+    an implied grid (finite differences + clamping), this is exact —
+    theta is the object the calibration solves for."""
+    sig2 = jax.vmap(jax.vmap(_cells_to_grid, in_axes=(0, 0, None)))(
+        fit.theta, fit.k_q, fit.x)
+    return jnp.sqrt(sig2)
+
+
 def _bracket_lo(expiries: jax.Array, T_q: jax.Array) -> jax.Array:
     """Index of the slice at-or-below each query maturity: -1 when the
     query sits before the first expiry (step from the T=0 intrinsic)."""

@@ -234,6 +234,27 @@ def test_f32_flags_stable():
             assert np.asarray(out["calendar_ok"]).all(), seed
 
 
+def test_ah_local_vol_matches_theta_cells():
+    """ah_local_vol returns theta mapped onto the grid through the
+    quote-midpoint cells — exact, piecewise-constant, positive."""
+    from iv_interpolation_tpu.ops.andreasen_huge import ah_local_vol
+
+    k, iv, T = _chain(B=1, E=2)
+    fit = fit_ah(jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T),
+                 n_grid=129, n_iters=6)
+    lv = np.asarray(ah_local_vol(fit))
+    assert lv.shape == (1, 2, 129)
+    assert (lv > 0).all()
+    theta = np.asarray(fit.theta)
+    x = np.asarray(fit.x)[0]
+    kq = k[0, 0]
+    mids = 0.5 * (kq[1:] + kq[:-1])
+    idx = np.sum(x[:, None] > mids[None, :], axis=1)
+    np.testing.assert_allclose(lv[0, 0], theta[0, 0][idx], rtol=1e-12)
+    # each grid value IS one of the calibrated cell vols
+    assert set(np.round(lv[0, 1], 10)) <= set(np.round(theta[0, 1], 10))
+
+
 def test_normalized_call_limits():
     k = jnp.asarray([-5.0, 0.0, 5.0])
     w = jnp.asarray([0.04, 0.04, 0.04])
