@@ -197,6 +197,39 @@ def test_surface_task_local_vol_columns(tmp_path):
     assert (df["local_vol"] >= 0).all()
 
 
+def test_surface_task_ah_local_vol_columns(tmp_path):
+    """method='ah' + compute_local_vol persists the model's OWN local
+    vol (exact calibration product) and its price-space density."""
+    import numpy as np
+    from iv_interpolation_tpu.pipeline.surface_task import (SURFACES,
+                                                            run_surface_fit)
+    cfg = get_config("testing")
+    cfg.checkpoint.manifest_dir = str(tmp_path / "runs")
+    cfg.interpolation.min_data_points = 5
+    cfg.surface.smile_method = "ah"
+    cfg.surface.compute_local_vol = True
+    cfg.surface.ah_grid = 65      # light quick-tier shapes
+    cfg.surface.ah_iters = 6
+    symbols = [f"btc-{exp}-{strike}-c"
+               for exp in ("28apr23", "30jun23")
+               for strike in (20000, 22000, 24000, 26000, 28000, 30000)]
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(hours=8,
+                                                    symbols=symbols))
+    runner = PipelineRunner(cfg, store=store)
+    runner.run_task1()
+    rep = run_surface_fit(cfg, store)
+    assert rep["surfaces"] == 1 and rep["method"] == "ah"
+    df = store.read(SURFACES)
+    assert "local_vol" in df.columns and "density" in df.columns
+    assert np.isfinite(df["local_vol"]).all()
+    assert (df["local_vol"] > 0).all()
+    # AH guarantee: the persisted surface is arbitrage-free
+    assert df["butterfly_ok"].all() and df["calendar_ok"].all()
+    # density >= 0 up to the documented f32/f64 price tolerance
+    assert df["density"].min() > -1e-10
+
+
 def test_parquet_parts_and_compaction(tmp_path):
     from iv_interpolation_tpu.pipeline import ParquetStore
     store = ParquetStore(str(tmp_path / "d"), compact_after=4)
