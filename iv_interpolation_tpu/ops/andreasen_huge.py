@@ -125,9 +125,20 @@ def ah_step(c_prev: jax.Array, sig2: jax.Array, x: jax.Array,
     dl, d, du = _step_system(sig2, x, dt)
     dK0 = jnp.exp(x[1]) - jnp.exp(x[0])
     rhs = c_prev.at[0].set(dK0).at[-1].set(0.0)
-    c = tridiag_solve_pcr(dl, d, du, rhs)
+    # custom_linear_solve gives the IMPLICIT-FUNCTION derivative rules:
+    # a jvp solves A dx = db - dA x with the SAME operator instead of
+    # differentiating through every PCR level, so the per-slice LM's
+    # jacfwd (m tangents through this solve) costs m same-matrix solves
+    # rather than m re-linearised PCR passes
+    from iv_interpolation_tpu.ops.tridiag import tridiag_matvec
+    # transpose bands: (A^T)[i, i-1] = du[i-1], (A^T)[i, i+1] = dl[i+1]
+    dl_t = jnp.concatenate([jnp.zeros_like(du[:1]), du[:-1]], axis=0)
+    du_t = jnp.concatenate([dl[1:], jnp.zeros_like(dl[:1])], axis=0)
+    c = jax.lax.custom_linear_solve(
+        lambda v: tridiag_matvec(dl, d, du, v), rhs,
+        solve=lambda _, b: tridiag_solve_pcr(dl, d, du, b),
+        transpose_solve=lambda _, b: tridiag_solve_pcr(dl_t, d, du_t, b))
     if refine:
-        from iv_interpolation_tpu.ops.tridiag import tridiag_matvec
         r = rhs - tridiag_matvec(dl, d, du, c)
         c = c + tridiag_solve_pcr(dl, d, du, r)
     return c
