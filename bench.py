@@ -62,6 +62,14 @@ def _wait_for_backend(budget_s: float = 900.0, poll_s: float = 30.0):
     succeeds. Falls through after the budget so the real error surfaces."""
     import subprocess
     import sys
+    try:  # CPU-forced sessions (the test suite) must not probe the TPU:
+        # a subprocess re-runs sitecustomize, which re-forces the axon
+        # platform regardless of the inherited JAX_PLATFORMS=cpu — with
+        # the relay down that turned a CPU test into a 15-min hang
+        if "cpu" in str(jax.config.jax_platforms or ""):
+            return
+    except AttributeError:
+        pass
     deadline = time.time() + budget_s
     probe = "import jax; jax.devices()"
     while True:

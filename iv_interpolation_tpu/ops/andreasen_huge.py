@@ -46,7 +46,8 @@ import jax.numpy as jnp
 from jax.scipy.stats import norm
 
 from iv_interpolation_tpu.ops.lm import levenberg_marquardt
-from iv_interpolation_tpu.ops.tridiag import tridiag_solve_pcr
+from iv_interpolation_tpu.ops.tridiag import (tridiag_matvec,
+                                              tridiag_solve_pcr)
 
 _VOL_LO, _VOL_HI = 1e-3, 5.0
 
@@ -130,7 +131,6 @@ def ah_step(c_prev: jax.Array, sig2: jax.Array, x: jax.Array,
     # differentiating through every PCR level, so the per-slice LM's
     # jacfwd (m tangents through this solve) costs m same-matrix solves
     # rather than m re-linearised PCR passes
-    from iv_interpolation_tpu.ops.tridiag import tridiag_matvec
     # transpose bands: (A^T)[i, i-1] = du[i-1], (A^T)[i, i+1] = dl[i+1]
     dl_t = jnp.concatenate([jnp.zeros_like(du[:1]), du[:-1]], axis=0)
     du_t = jnp.concatenate([dl[1:], jnp.zeros_like(dl[:1])], axis=0)
@@ -211,23 +211,30 @@ def _fit_one(k_q, iv, expiries, x, quote_wgt, *, n_iters: int):
     k_q: (E, m) quote log-moneyness (ascending in m); iv: (E, m);
     expiries: (E,); x: (n,) uniform grid; quote_wgt: (E, m).
     """
-    w_mkt = iv * iv * expiries[:, None]
+    live = (quote_wgt > 0).astype(iv.dtype)
+    # masked quotes may carry ANYTHING (NaN/garbage iv): sanitize their
+    # market variance to the slice's unmasked mean so every downstream
+    # use (prices, vega weights, forward-variance init via the PREVIOUS
+    # slice's w) stays finite — a NaN times the zero weight is still NaN
+    w_raw = iv * iv * expiries[:, None]
+    w_fill = (jnp.sum(jnp.where(live > 0, w_raw, 0.0), -1, keepdims=True)
+              / jnp.maximum(jnp.sum(live, -1, keepdims=True), 1.0))
+    w_mkt = jnp.where(live > 0, w_raw, w_fill)
     c_mkt = normalized_call(k_q, w_mkt)
     # equalize implied-variance (not price) error across strikes: weight
     # each price residual by 1/(dc/dw), floored to keep far wings from
     # dominating; zero-weight rows (padding) are inert in the LM
     vega = _normalized_vega_w(k_q, w_mkt)
-    wgt = quote_wgt / jnp.maximum(vega, 1e-3)
+    wgt = jnp.where(live > 0, quote_wgt / jnp.maximum(vega, 1e-3), 0.0)
     # forward-variance init: theta0^2 ~ (w_j - w_{j-1}) / dt
     w_prev = jnp.concatenate([jnp.zeros_like(w_mkt[:1]), w_mkt[:-1]], 0)
     dts = jnp.diff(expiries, prepend=jnp.zeros((1,), expiries.dtype))
     theta0 = jnp.sqrt(jnp.maximum(w_mkt - w_prev, 1e-6)
                       / jnp.maximum(dts[:, None], 1e-12))
     theta0 = jnp.clip(theta0, _VOL_LO, _VOL_HI)
-    # masked quotes may carry garbage; their cells' init must not (LM
-    # recovers slowly from a 5.0-vol start). Use each slice's unmasked
+    # masked cells' init must not start at a garbage-driven extreme (LM
+    # recovers slowly from a 5.0-vol start): use each slice's unmasked
     # mean for masked cells.
-    live = (quote_wgt > 0).astype(theta0.dtype)
     mean0 = (jnp.sum(theta0 * live, axis=-1, keepdims=True)
              / jnp.maximum(jnp.sum(live, axis=-1, keepdims=True), 1.0))
     theta0 = jnp.where(live > 0, theta0, mean0)
@@ -265,9 +272,18 @@ def fit_ah(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       expiries: (B, E) maturities in years, ascending.
       n_grid: dense-grid resolution (uniform in k).
       n_iters: LM iterations per slice (unrolled).
-      grid_pad: grid extension beyond the quote range on each side (the
-        linear-wing boundary rows must sit where the call curve is
-        effectively linear in strike, i.e. slope -1 / 0).
+      grid_pad: MINIMUM grid extension beyond the quote range on each
+        side. The effective pad scales with the surface's own scale,
+        max(grid_pad, 3 sqrt(w_max) + w_max/2): the linear-wing
+        boundary rows need N(d2) ~ 1 at the ITM edge, and d2 there is
+        pad/sqrt(w) - sqrt(w)/2 — a FIXED pad put the boundary where a
+        high-vol long-dated call (iv=2, T=5y -> w=20) is nowhere near
+        linear, and the distorted interior could not reprice (0.12
+        price rmse; round-3 review). The 3-sigma constant reproduces
+        the measured-good default (pad 1.0 at w~0.1) exactly. Very
+        high vol*sqrt(T) also warrants a larger ``n_grid``: the span
+        grows as ~7 sqrt(w), so h = span/n_grid must stay below the
+        quote-cell spacing for the piecewise vols to be resolvable.
       quote_mask: (B, E, m) bool — False rows get zero residual weight.
 
     Returns an :class:`AHFit`; the fitted ``c`` curves are free of
@@ -275,12 +291,21 @@ def fit_ah(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     construction (monotone implicit scheme).
     """
     B, E, m = k.shape
-    lo = jnp.min(k, axis=(1, 2)) - grid_pad
-    hi = jnp.max(k, axis=(1, 2)) + grid_pad
-    steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)
-    x = lo[:, None] + (hi - lo)[:, None] * steps[None, :]
     wgt = (jnp.ones_like(k) if quote_mask is None
            else quote_mask.astype(k.dtype))
+    # grid bounds come from UNMASKED strikes only: a sentinel strike in
+    # a masked slot (k=-999) must not stretch the grid until all real
+    # quotes collapse into a handful of cells. Masked strikes do still
+    # anchor vol-cell boundaries (_cells_to_grid), so they must be
+    # FINITE; keep padding strikes within a few units of the real ones.
+    w_q = iv * iv * expiries[..., None]
+    w_max = jnp.max(jnp.where(wgt > 0, w_q, 0.0), axis=(1, 2))
+    pad = jnp.maximum(jnp.asarray(grid_pad, k.dtype),
+                      3.0 * jnp.sqrt(w_max) + 0.5 * w_max)
+    lo = jnp.min(jnp.where(wgt > 0, k, jnp.inf), axis=(1, 2)) - pad
+    hi = jnp.max(jnp.where(wgt > 0, k, -jnp.inf), axis=(1, 2)) + pad
+    steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)
+    x = lo[:, None] + (hi - lo)[:, None] * steps[None, :]
     theta, c, rmse = jax.vmap(
         partial(_fit_one, n_iters=int(n_iters)))(
         k, iv, expiries, x, wgt)
@@ -318,6 +343,12 @@ def eval_ah(fit: AHFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
     the in-between surface arbitrage-free (same monotone operator).
     Beyond the last expiry the last slice's operator extrapolates.
 
+    Cost note: each query POINT builds and solves one full n-point
+    tridiagonal system, so Q strikes sharing one maturity cost Q
+    identical steps. For dense per-expiry grids use
+    ``fit_eval_ah_surface`` (one step per slice); this entry point is
+    for scattered (k, T) queries.
+
     Args:
       fit: batched AHFit.
       k_q, T_q: (B, Q) query log-moneyness / maturities.
@@ -345,17 +376,24 @@ def eval_ah(fit: AHFit, k_q: jax.Array, T_q: jax.Array) -> jax.Array:
         c_at = jax.vmap(step_one)(c_base, theta_op, kq_op, dt)  # (Q, n)
         c_pts = jax.vmap(_interp_price, in_axes=(0, None, 0))(
             c_at, x, k_pts[:, None])[:, 0]
-        return _invert_w(c_pts, k_pts)
+        return _invert_w(c_pts, k_pts,
+                         w_hi=_VOL_HI * _VOL_HI * jnp.maximum(T_pts, 1.0))
 
     return jax.vmap(one)(fit.x, fit.expiries, fit.c, fit.theta,
                          fit.k_q, k_q, T_q)
 
 
-def _invert_w(c: jax.Array, k: jax.Array, max_iters: int = 64) -> jax.Array:
+def _invert_w(c: jax.Array, k: jax.Array, max_iters: int = 64,
+              w_hi=16.0) -> jax.Array:
     """Black-invert normalized call prices to total variance via
-    safeguarded bisection+Newton on w (monotone: dc/dw > 0)."""
+    safeguarded bisection+Newton on w (monotone: dc/dw > 0).
+
+    ``w_hi`` is the bracket's upper edge and MUST cover the surface's
+    maximum total variance — callers scale it as _VOL_HI^2 * T (a fixed
+    16.0 silently capped long-dated high-vol surfaces: iv=2 at T=5y is
+    w=20, inside the model's own vol box)."""
     lo = jnp.full_like(c, 1e-10)
-    hi = jnp.full_like(c, 16.0)
+    hi = jnp.broadcast_to(jnp.asarray(w_hi, c.dtype), c.shape)
     w = jnp.full_like(c, 0.04)
 
     def body(_, state):
@@ -371,9 +409,13 @@ def _invert_w(c: jax.Array, k: jax.Array, max_iters: int = 64) -> jax.Array:
         return w, lo, hi
 
     w, _, _ = jax.lax.fori_loop(0, max_iters, body, (w, lo, hi))
-    # prices at/below intrinsic carry no variance information
+    # prices at/below intrinsic carry no variance information; the
+    # cutoff scales with the dtype's solve-noise floor (same 1024-ulp
+    # policy as the arbitrage flags) — a fixed 1e-14 let f32 PCR noise
+    # (~4e-5 of notional) masquerade as deep-ITM wing variance
     intrinsic = jnp.maximum(1.0 - jnp.exp(k), 0.0)
-    return jnp.where(c > intrinsic + 1e-14, w, 0.0)
+    tol = 1024.0 * jnp.finfo(c.dtype).eps
+    return jnp.where(c > intrinsic + tol, w, 0.0)
 
 
 def _price_space_density(c: jax.Array, x: jax.Array) -> jax.Array:
@@ -461,8 +503,10 @@ def fit_eval_ah_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
         fit.c[..., 1:-1] >= c_prev[..., 1:-1] - tol, axis=(-2, -1))
     calendar_ok = jnp.all(
         fit.c[:, 1:] >= fit.c[:, :-1] - tol, axis=(-2, -1))
+    w_hi = _VOL_HI * _VOL_HI * jnp.maximum(fit.expiries, 1.0)[..., None]
     w_grid = jax.vmap(jax.vmap(_invert_w))(
-        fit.c, jnp.broadcast_to(x[:, None, :], fit.c.shape))
+        fit.c, jnp.broadcast_to(x[:, None, :], fit.c.shape),
+        w_hi=jnp.broadcast_to(w_hi, fit.c.shape))
     iv_grid = jnp.sqrt(w_grid / jnp.maximum(fit.expiries[..., None], 1e-12))
     return {
         "fit": fit,
@@ -473,4 +517,8 @@ def fit_eval_ah_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
         "butterfly_ok": butterfly_ok,
         "calendar_ok": calendar_ok,
         "fit_rmse": fit.fit_rmse,
+        # the model's own local vol — sqrt of the sig2 the density
+        # diagnostic already expanded (same values as ah_local_vol(fit),
+        # without a second cells-to-grid pass)
+        "local_vol": jnp.sqrt(sig2),
     }

@@ -262,13 +262,9 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                     "butterfly_ok", "calendar_ok", "fit_rmse"]
             if scfg.compute_local_vol:
                 # the AH model's local vol is its own calibration
-                # product (exact, no Dupire extraction) and its 'g' IS
-                # the risk-neutral density in strike
-                from iv_interpolation_tpu.ops.andreasen_huge import (
-                    ah_local_vol)
-                res_all = {**res_all,
-                           "local_vol": ah_local_vol(res_all["fit"]),
-                           "density": res_all["g"]}
+                # product (exact, no Dupire extraction; already in the
+                # fused output) and its 'g' IS the risk-neutral density
+                res_all = {**res_all, "density": res_all["g"]}
                 keys += ["local_vol", "density"]
             results = [
                 {key: res_all[key][b:b + 1] for key in keys}

@@ -142,11 +142,12 @@ def test_eval_at_quoted_expiry_and_strikes():
         tv = np.asarray(normalized_call(jnp.asarray(k[:, j]),
                                         jnp.asarray(w_true))
                         ) - np.maximum(1 - np.exp(k[:, j]), 0)
-        # the calibration resolves prices to ~1e-6 of notional (vega
-        # weights are floored), so only quotes with time value above
-        # that are recoverable
-        live = tv > 1e-6
-        assert live.sum() >= 0.5 * live.size  # the chain is mostly live
+        # w is only recoverable where the price carries vega: at a
+        # 5-sigma wing a 1e-9 price error maps to ~1e-3 in w, so the
+        # tight w assertion holds where time value is material
+        live = tv > 1e-4
+        # at T=0.1 only the near-ATM quotes carry this much time value
+        assert live.sum() >= 4 * k.shape[0]
         w = np.asarray(eval_ah(
             fit, jnp.asarray(k[:, j]),
             jnp.asarray(np.broadcast_to(T[:, j:j + 1], k[:, j].shape))))
@@ -253,6 +254,56 @@ def test_ah_local_vol_matches_theta_cells():
     np.testing.assert_allclose(lv[0, 0], theta[0, 0][idx], rtol=1e-12)
     # each grid value IS one of the calibrated cell vols
     assert set(np.round(lv[0, 1], 10)) <= set(np.round(theta[0, 1], 10))
+
+
+@pytest.mark.slow
+def test_high_vol_long_dated_inversion_not_capped():
+    """iv=2.0 at T=5y gives total variance w=20 — inside the model's
+    own vol box (_VOL_HI=5 allows up to 125) but above the old fixed
+    inversion bracket hi=16, which silently reported iv=1.79 with green
+    flags (round-3 review finding). The bracket now scales with T."""
+    B, E, m = 1, 2, 9
+    k = np.broadcast_to(np.linspace(-0.4, 0.4, m), (B, E, m)).copy()
+    T = np.array([[3.0, 5.0]])
+    iv = np.full((B, E, m), 2.0)
+    # n_grid=1025: the pad scales as ~7 sqrt(w) (span ~48 here), so the
+    # default 257 leaves h ~ 0.19 — too coarse for 0.1-spaced vol cells
+    # (rmse 6.8e-3); 1025 resolves them (5.2e-4)
+    out = fit_eval_ah_surface(jnp.asarray(k), jnp.asarray(iv),
+                              jnp.asarray(T), n_grid=1025, n_iters=16)
+    assert float(np.asarray(out["fit_rmse"]).max()) < 1e-3
+    w = np.asarray(eval_ah(out["fit"], jnp.zeros((B, 1)),
+                           jnp.full((B, 1), 5.0)))
+    np.testing.assert_allclose(w[0, 0], 20.0, rtol=1e-2)
+    xg = np.asarray(out["k_grid"])[0, 0]
+    atm = np.argmin(np.abs(xg))
+    np.testing.assert_allclose(
+        np.asarray(out["iv_grid"])[0, 1, atm], 2.0, rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_quote_mask_sentinel_strike_and_nan_iv():
+    """Masked slots carrying a sentinel strike (k=-9, still finite) and
+    NaN iv must stay inert: the grid spans the UNMASKED strikes, every
+    output stays finite, and unmasked quotes reprice (round-3 review
+    finding: the old grid bounds used masked strikes and NaN market
+    variance leaked through zero weights as NaN*0)."""
+    k, iv, T = _chain()
+    k_bad = k.copy(); iv_bad = iv.copy()
+    k_bad[:, :, 0] = -9.0
+    iv_bad[:, :, 0] = np.nan
+    mask = np.ones_like(iv, bool)
+    mask[:, :, 0] = False
+    out = fit_eval_ah_surface(jnp.asarray(k_bad), jnp.asarray(iv_bad),
+                              jnp.asarray(T), n_grid=257, n_iters=12,
+                              quote_mask=jnp.asarray(mask))
+    assert np.isfinite(np.asarray(out["fit_rmse"])).all()
+    assert float(np.asarray(out["fit_rmse"]).max()) < 1e-5
+    assert np.isfinite(np.asarray(out["fit"].c)).all()
+    # grid bounded by the real strikes (plus pad), not the sentinel
+    assert np.asarray(out["fit"].x).min() > -9.0 + 5.0
+    assert np.asarray(out["butterfly_ok"]).all()
+    assert np.asarray(out["calendar_ok"]).all()
 
 
 def test_normalized_call_limits():
