@@ -64,7 +64,10 @@ _L_TILE = 4096   # tick rows per grid step: bounds live VMEM tiles at
 def _agg_kernel(minute_ref, o_ref, h_ref, l_ref, c_ref, v_ref, ok_ref,
                 open_ref, high_ref, low_ref, close_ref, vol_ref, cnt_ref,
                 *, bucket_minutes: int, base_bucket: int,
-                num_segments: int, tile: int, n_chunks: int):
+                tile: int, n_chunks: int):
+    # NOTE: the kernel needs no num_segments range check — out-of-range
+    # bucket ids only land in the padded ns_pad tail, which the wrapper
+    # slices off.
     j = pl.program_id(1)
     L = minute_ref.shape[1]
     ids = j * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
@@ -173,20 +176,38 @@ def aggregate_ohlcv_pallas(minutes: jax.Array, o: jax.Array, h: jax.Array,
     ``interpret=True`` runs the kernel in the Pallas interpreter
     (default: auto — interpreter everywhere except a real TPU backend,
     so the CPU test suite exercises the same code path).
+
+    ``l_tile`` (rows per tick-axis grid step) bounds live VMEM tiles at
+    (l_tile, 512) f32 regardless of the window length. Default: windows
+    split into the fewest chunks of <= _L_TILE rows, then BALANCED so a
+    window of 4224 rows runs as 2x2176 instead of 4096+padding (~94%
+    wasted passes on the tail chunk otherwise). An explicit value is
+    rounded up to the 128-lane multiple Mosaic requires and is a
+    jit-static recompile trigger — it exists for tests and for tuning
+    the VMEM/overhead trade on other chip generations.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, L = minutes.shape
+    if L < 1:
+        raise ValueError(f"empty tick window: L={L}")
+    ceil128 = lambda v: (v + 127) // 128 * 128
     B_pad = (B + _ROWS - 1) // _ROWS * _ROWS
-    l_tile = min(l_tile or _L_TILE, (L + 127) // 128 * 128)
+    if l_tile is not None:
+        if l_tile < 1:
+            raise ValueError(f"l_tile must be positive, got {l_tile}")
+        l_tile = min(ceil128(l_tile), ceil128(L))
+    else:
+        n_chunks = -(-L // _L_TILE)
+        l_tile = ceil128(-(-L // n_chunks))
     L_pad = (L + l_tile - 1) // l_tile * l_tile
-    ns128 = (num_segments + 127) // 128 * 128
+    ns128 = ceil128(num_segments)
     tile = min(_MAX_TILE, ns128)
     ns_pad = (num_segments + tile - 1) // tile * tile
     f32 = jnp.float32
     kernel = functools.partial(
         _agg_kernel, bucket_minutes=bucket_minutes,
-        base_bucket=base_bucket, num_segments=num_segments, tile=tile,
+        base_bucket=base_bucket, tile=tile,
         n_chunks=L_pad // l_tile)
 
     def pad2(a, fill):

@@ -92,9 +92,13 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
         auto: the fused Pallas VMEM kernel on a real TPU backend
         (``ops.pallas.stream_agg_pallas``; measured 3.1x), the XLA
         sorted path elsewhere. True/False force a backend (the Pallas
-        kernel runs in interpreter mode off-TPU). Volume sums ride the
-        MXU in the kernel, so they may differ from the XLA path at f32
-        rounding; all other outputs are bit-identical.
+        kernel runs in interpreter mode off-TPU). Volume can differ
+        between backends: the Pallas kernel sums each bucket directly
+        (f32-exact vs the f64 oracle) while the XLA sorted path uses
+        f32 cumsum DIFFERENCES, whose absolute error scales with the
+        window running total (tests/test_pallas.py::
+        test_volume_accuracy_vs_f64_oracle pins the ordering); all
+        other outputs are bit-identical.
     """
     # 1) ticks -> 1-min candles (open=first/high=max/low=min/close=last)
     n5 = n_minutes // bucket_minutes + 1
@@ -106,8 +110,9 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
         use_pallas_agg = jax.default_backend() == "tpu"
     if use_pallas_agg:
         # single fused VMEM kernel per stage (ops.pallas.stream_agg_pallas)
-        # instead of the sparse-table XLA pipeline — volume sums ride the
-        # MXU, so they can differ from the XLA path at f32 rounding
+        # instead of the sparse-table XLA pipeline — bucket volume is a
+        # direct f32 masked sum here (MORE accurate than the sorted
+        # path's cumsum differences; see the kernel's precision note)
         from iv_interpolation_tpu.ops.pallas.stream_agg_pallas import (
             aggregate_ohlcv_pallas)
         c1 = aggregate_ohlcv_pallas(

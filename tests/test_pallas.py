@@ -256,3 +256,42 @@ def test_stream_agg_pallas_chunked_tick_axis(rng):
             err_msg=f)
     np.testing.assert_allclose(np.asarray(many.volume),
                                np.asarray(one.volume), rtol=1e-6)
+    with pytest.raises(ValueError):
+        aggregate_ohlcv_pallas(*args, l_tile=0, **kw)
+
+
+@pytest.mark.slow
+def test_stream_agg_pallas_balanced_default_chunks(rng):
+    """A window just over _L_TILE splits into BALANCED chunks (4224 ->
+    2x2176) instead of 4096 + a 128-row tail padded to 4096 (~94%
+    wasted passes — round-3 review finding). Checked by parity against
+    an explicit single-chunk run at the same shapes."""
+    import jax.numpy as jnp
+    import numpy as np
+    from iv_interpolation_tpu.ops.pallas.stream_agg_pallas import (
+        aggregate_ohlcv_pallas)
+
+    B, L, ns = 2, 4224, 64
+    minute = np.sort(rng.integers(0, ns * 5, (B, L)).astype(np.int32), -1)
+    p = rng.normal(100, 1, (B, L)).astype(np.float32)
+    v = rng.uniform(0, 5, (B, L)).astype(np.float32)
+    valid = rng.random((B, L)) > 0.1
+    args = tuple(jnp.asarray(a) for a in (minute, p, p, p, p, v, valid))
+    kw = dict(bucket_minutes=5, num_segments=ns, min_count=1,
+              interpret=True)
+    auto = aggregate_ohlcv_pallas(*args, **kw)             # 2x2176
+    ref = aggregate_ohlcv_pallas(*args, l_tile=4224, **kw)  # one chunk
+    # explicit l_tile is rounded up to the 128-lane multiple Mosaic
+    # needs (200 -> 256) and must agree as well
+    odd = aggregate_ohlcv_pallas(*args, l_tile=200, **kw)
+    for f in ("open", "high", "low", "close", "count", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(auto, f)), np.asarray(getattr(ref, f)),
+            err_msg=f)
+        np.testing.assert_array_equal(
+            np.asarray(getattr(auto, f)), np.asarray(getattr(odd, f)),
+            err_msg=f"{f} (l_tile=200)")
+    np.testing.assert_allclose(np.asarray(auto.volume),
+                               np.asarray(ref.volume), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(odd.volume),
+                               np.asarray(ref.volume), rtol=1e-6)
