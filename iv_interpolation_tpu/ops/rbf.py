@@ -13,11 +13,14 @@ single solve.
 
 Kernels:
   * ``thin_plate``   phi(r) = r^2 log r, with degree-1 polynomial tail
-                     (conditionally positive definite -> saddle-point
-                     system, solved with a general LU)
-  * ``gaussian``     phi(r) = exp(-(eps r)^2)   (PD -> Cholesky)
-  * ``multiquadric`` phi(r) = -sqrt(1 + (eps r)^2)  (CPD order 1, solved
-                     with the polynomial tail like thin_plate)
+                     (conditionally positive definite)
+  * ``gaussian``     phi(r) = exp(-(eps r)^2)   (PD; still gets SciPy's
+                     degree-0 tail, so the bordered system is indefinite)
+  * ``multiquadric`` phi(r) = -sqrt(1 + (eps r)^2)  (CPD order 1)
+
+All kernels solve the same bordered saddle system with a general LU —
+there is no PD fast path (the polynomial border makes every system
+indefinite).
 """
 
 from __future__ import annotations
@@ -213,10 +216,13 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
       grid, ``pen_g`` (E, m) butterfly g, ``butterfly_ok``/``calendar_ok``
       scalars on the penalty grid.
     """
+    if kernel not in _POLY_TERMS:  # friendly error, matching fit_rbf
+        raise ValueError(f"unknown RBF kernel: {kernel!r}")
     dtype = values.dtype
     n = points.shape[0]
     p = _POLY_TERMS[kernel]
-    eye = jnp.eye(n, dtype=dtype)
+    wts = jnp.ones((n,), dtype) if weights is None else weights.astype(dtype)
+    live = wts > 0
 
     # data operator A_d = [K_dd | P_d]  (N, n+p)
     K_dd = _kernel(_pairwise_r(points, points), kernel, epsilon)
@@ -224,12 +230,20 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     P_d = ones if p == 1 else jnp.concatenate([ones, points], axis=1)
     A_d = jnp.concatenate([K_dd, P_d], axis=1)
 
-    # uniform penalty grid over the quote bounding box
-    k_lo, k_hi = jnp.min(points[:, 0]), jnp.max(points[:, 0])
-    t_lo, t_hi = jnp.min(points[:, 1]), jnp.max(points[:, 1])
+    # uniform penalty grid over the LIVE quotes' bounding box: padded
+    # weight-0 sites (the pipeline extends strike ladders beyond the
+    # real range) must not stretch the grid, or the hinge budget drains
+    # into pure extrapolation while violations between the coarsened
+    # nodes over the real quotes go unpenalized
+    k_lo = jnp.min(jnp.where(live, points[:, 0], jnp.inf))
+    k_hi = jnp.max(jnp.where(live, points[:, 0], -jnp.inf))
+    t_lo = jnp.min(jnp.where(live, points[:, 1], jnp.inf))
+    t_hi = jnp.max(jnp.where(live, points[:, 1], -jnp.inf))
     kg = jnp.linspace(0.0, 1.0, n_pen_k).astype(dtype) * (k_hi - k_lo) + k_lo
     tg = jnp.linspace(0.0, 1.0, n_pen_t).astype(dtype) * (t_hi - t_lo) + t_lo
-    h_k = (k_hi - k_lo) / (n_pen_k - 1)
+    # degenerate k-range guard (all live quotes at one strike): h_k = 0
+    # would NaN the FD stencils and silently return the zero surface
+    h_k = jnp.maximum((k_hi - k_lo) / (n_pen_k - 1), 1e-6)
     qk = jnp.tile(kg, n_pen_t)
     qt = jnp.repeat(tg, n_pen_k)
     q = jnp.stack([qk, qt], axis=1)                       # (G, 2)
@@ -259,16 +273,29 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     # penalty weights mean the same thing at 200 quotes as at 2k
     # (sum-form objectives silently rebalance with N; measured: the
     # weight that cleans 512 sites leaves 2k-site fits arbitrageable).
-    wts = jnp.ones((n,), dtype) if weights is None else weights.astype(dtype)
+    # The data term is sum w_i r_i^2, i.e. residuals scaled by SQRT(w):
+    # squaring pre-multiplied w*r would optimise the w^2-weighted
+    # objective and diverge from the zero-penalty direct path (which
+    # solves the W-weighted saddle system) for any non-binary weights.
     inv_nd = 1.0 / jnp.maximum(jnp.sum(wts), 1.0)
     inv_gb = 1.0 / (n_pen_t * n_pen_k)
     inv_gc = 1.0 / ((n_pen_t - 1) * n_pen_k)
-    A_dw = wts[:, None] * A_d
-    y_w = wts * values
+    sqw = jnp.sqrt(wts)
+    A_dw = sqw[:, None] * A_d
+    y_w = sqw * values
     K_pad = jnp.zeros((n + p, n + p), dtype).at[:n, :n].set(K_dd)
     scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diag(K_dd))), 1.0)
     H0 = inv_nd * (mm(A_dw.T, A_dw) + smoothing * K_pad) \
         + 1e-12 * scale * jnp.eye(n + p, dtype=dtype)
+    # pin weight-0 quotes' RBF coefficients to ~0 (the direct path's
+    # s_eff row does this exactly): without the pin, padded sites'
+    # centers stay FREE basis functions the hinge solver can deploy, so
+    # the fitted surface would depend on padding contents — and near-
+    # duplicate padded centers degrade KKT conditioning. Strength is
+    # relative to H0's own diagonal so it dominates the Gram coupling.
+    pin = jnp.zeros((n + p,), dtype).at[:n].set(
+        jnp.where(live, 0.0, 1.0))
+    H0 = H0 + jnp.diag(pin) * 1e6 * jnp.max(jnp.diag(H0))
     b0 = inv_nd * mm(A_dw.T, y_w)
 
     # CPD side condition P^T c = 0 via KKT rows (exact, not penalized)
@@ -277,7 +304,9 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     kg_row = jnp.broadcast_to(kg, (n_pen_t, n_pen_k))
 
     def hinge_parts(u):
-        """(g flat, butterfly hinge, calendar hinge) at coefficients u."""
+        """Penalty-grid pieces at coefficients u: (g flattened,
+        dg/dw, dg/dw1 — the Gauss-Newton Jacobian partials, both
+        flattened — and the calendar slice differences dw)."""
         w = mm(A_g, u).reshape(n_pen_t, n_pen_k)
         g, dg_dw, dg_dw1 = _g_partials(kg_row, w, _fd1(w, h_k),
                                        _fd2(w, h_k))
@@ -288,7 +317,7 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     def cost_of(u):
         """(total cost, smooth data+seminorm cost, feasible on the raw
         margin-free no-arb constraints)."""
-        r_d = wts * (mm(A_d, u) - values)
+        r_d = sqw * (mm(A_d, u) - values)
         gf, _, _, dw = hinge_parts(u)
         smooth_c = inv_nd * (jnp.sum(r_d * r_d)
                              + smoothing * jnp.dot(u, mm(K_pad, u)))

@@ -153,3 +153,75 @@ def test_arbfree_weights_drop_padding(rng):
                              butterfly_weight=0.0, calendar_weight=0.0)
     w_pad = np.asarray(eval_rbf(padded, jnp.array(q)))
     np.testing.assert_allclose(w_pad, w_base, atol=1e-4)
+
+
+def test_arbfree_nonbinary_weights_match_direct_path(rng):
+    """Non-binary weights: the penalized Gauss-Newton path (with a
+    vanishing hinge weight) must optimise the SAME sum w_i r_i^2
+    objective as the zero-penalty direct saddle solve. The old code
+    squared pre-multiplied w*r (a w^2-weighted objective), diverging
+    from the direct path by ~2% of typical w at smoothing=1e-2
+    (round-3 review finding)."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    pts, w = _scattered_quotes(rng, 160)
+    wts = np.where(np.arange(160) % 2 == 0, 3.0, 1.0)
+    q, _ = _scattered_quotes(rng, 50)
+    direct = fit_rbf_arbfree(jnp.array(pts), jnp.array(w),
+                             weights=jnp.array(wts), smoothing=1e-2,
+                             butterfly_weight=0.0, calendar_weight=0.0)
+    gn = fit_rbf_arbfree(jnp.array(pts), jnp.array(w),
+                         weights=jnp.array(wts), smoothing=1e-2,
+                         butterfly_weight=1e-12, calendar_weight=0.0,
+                         n_iters=32)
+    w_direct = np.asarray(eval_rbf(direct, jnp.array(q)))
+    w_gn = np.asarray(eval_rbf(gn, jnp.array(q)))
+    np.testing.assert_allclose(w_gn, w_direct, atol=2e-4)
+
+
+def test_arbfree_padding_outside_box_is_inert(rng):
+    """Weight-0 sites OUTSIDE the live quotes' range (how the pipeline
+    pads strike ladders) must not stretch the penalty grid and their
+    centers must stay pinned even with the hinge on (round-3 review
+    findings: the bbox used all points, and padded centers were free
+    basis functions in the penalized path)."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    pts, w = _arb_quotes(rng, 256)
+    pad_pts = np.stack([rng.uniform(4.0, 9.0, 32),       # far outside
+                        rng.uniform(5.0, 9.0, 32)], axis=1)
+    pts2 = np.concatenate([pts, pad_pts])
+    w2 = np.concatenate([w, np.full(32, 17.0)])
+    wts = np.concatenate([np.ones(256), np.zeros(32)])
+    fit = fit_rbf_arbfree(jnp.array(pts2), jnp.array(w2),
+                          weights=jnp.array(wts), smoothing=1e-8,
+                          n_iters=32)
+    # penalty grid spans the LIVE quotes only
+    assert float(fit["pen_k_grid"].max()) <= float(pts[:, 0].max()) + 1e-6
+    assert float(fit["pen_t_grid"].max()) <= float(pts[:, 1].max()) + 1e-6
+    # padded centers pinned to ~0 even with the hinge active
+    assert float(np.abs(np.asarray(fit["coef"])[256:]).max()) < 1e-3
+    assert bool(fit["butterfly_ok"]) and bool(fit["calendar_ok"])
+
+
+def test_arbfree_degenerate_strike_range_is_finite(rng):
+    """All live quotes at ONE strike: h_k would be 0 (NaN stencils, the
+    zero surface returned silently). The guard keeps outputs finite."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    T = rng.uniform(0.05, 2.0, 64)
+    pts = np.stack([np.zeros(64), T], axis=1)
+    w = 0.04 * T
+    fit = fit_rbf_arbfree(jnp.array(pts), jnp.array(w), smoothing=1e-6,
+                          n_iters=8)
+    assert np.isfinite(np.asarray(fit["coef"])).all()
+    assert np.isfinite(np.asarray(fit["pen_w"])).all()
+    got = np.asarray(eval_rbf(fit, jnp.array(pts)))
+    assert np.isfinite(got).all()
+
+
+def test_arbfree_unknown_kernel_raises_value_error():
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    with pytest.raises(ValueError, match="unknown RBF kernel"):
+        fit_rbf_arbfree(jnp.zeros((8, 2)), jnp.zeros(8), kernel="cubic")
