@@ -150,8 +150,12 @@ class SurfaceConfig:
     svi_weighting: str = "uniform"  # 'uniform' | 'vega' residual weights
     # inline the LM iterations (one straight-line program): ~30x faster
     # at production batches on this runtime (a looped LM is
-    # latency-bound at ~1 ms/step) at the cost of a bigger compile
-    svi_unroll: bool = True
+    # latency-bound at ~1 ms/step) at the cost of a ~50x bigger
+    # compiled program. None = auto: unroll on TPU (where the dispatch
+    # floor exists), loop elsewhere — on CPU the giant straight-line
+    # executables buy nothing and were implicated in an LLVM-JIT
+    # segfault after ~380 in-process compiles (full-suite runs)
+    svi_unroll: bool | None = None
     smoothing_lam: float = 1e-4     # smoothing_spline curvature penalty
     # RBF / thin-plate
     rbf_smoothing: float = 1e-8

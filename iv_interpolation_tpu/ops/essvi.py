@@ -134,7 +134,8 @@ def _inv_transform(theta: jax.Array, rho: jax.Array,
     return jnp.concatenate([z_th, z_rho, z_psi])
 
 
-def essvi_init(k: jax.Array, w: jax.Array) -> jax.Array:
+def essvi_init(k: jax.Array, w: jax.Array,
+               weights: jax.Array | None = None) -> jax.Array:
     """Initial z from per-slice quadratic fits.
 
     At k=0: w(0) = theta, w'(0) = rho psi,
@@ -142,16 +143,28 @@ def essvi_init(k: jax.Array, w: jax.Array) -> jax.Array:
     w ~ a0 + a1 k + a2 k^2 per slice gives
     psi = sqrt(a1^2 + 4 a2 theta), rho = a1 / psi. The 3x3 normal
     equations are solved closed-form (``ops.svi._solve3x3``).
-    ``k``/``w``: (E, n).
+    ``k``/``w``: (E, n); ``weights`` (E, n) match the fit's residual
+    weights (squared here — the residual form multiplies r by the
+    weight), so masked/padded quotes cannot steer the init: a slice of
+    garbage placeholder w would otherwise inflate its theta estimate
+    and the running max below would drag every LATER slice's init up
+    with it.
     """
     ones = jnp.ones_like(k)
     X = jnp.stack([ones, k, k * k], axis=-1)            # (E, n, 3)
     hp = jax.lax.Precision.HIGHEST
-    A = jnp.einsum("eni,enj->eij", X, X, precision=hp)
+    sq = (jnp.ones_like(w) if weights is None else weights * weights)
+    A = jnp.einsum("en,eni,enj->eij", sq, X, X, precision=hp)
     A = A + 1e-8 * jnp.eye(3, dtype=w.dtype)
-    rhs = jnp.einsum("eni,en->ei", X, w, precision=hp)
+    rhs = jnp.einsum("eni,en->ei", X, sq * w, precision=hp)
     sol = _solve3x3(A, rhs)                              # (E, 3)
     theta = jnp.maximum(sol[:, 0], 1e-5)
+    # fully-masked slices carry no information: park them at the floor
+    # so the running max below takes the preceding live slice's level
+    if weights is not None:
+        live = jnp.sum(sq, axis=-1) > 1e-12
+        theta = jnp.where(live, theta, 1e-5)
+        sol = jnp.where(live[:, None], sol, 0.0)
     # enforce increasing ATM variance before inversion (running max)
     theta = jax.lax.associative_scan(jnp.maximum, theta)
     theta = theta + 1e-6 * jnp.arange(theta.shape[0], dtype=theta.dtype)
@@ -200,32 +213,55 @@ def _residual(z, k, w, weights, k_pen, calendar_weight, E):
 # O(E) 3x3 solves replace the O((3E)^3) dense factorisation.
 
 
-def _solve3x3_multi(A: jax.Array, B: jax.Array) -> jax.Array:
-    """Solve A X = B for (..., 3, 3) A against (..., 3, r) B via the
-    closed-form adjugate (``_solve3x3``), vmapped over the r columns."""
-    return jnp.stack(
-        [_solve3x3(A, B[..., i]) for i in range(B.shape[-1])], axis=-1)
+def _inv3x3(A: jax.Array) -> jax.Array:
+    """Closed-form 3x3 inverse (adjugate/det), same elementwise design
+    as ``ops.svi._solve3x3`` — computed ONCE per block so the forward
+    elimination's two solves against the same Schur complement (and the
+    backward pass's re-solve) share one determinant/cofactor set."""
+    a11, a12, a13 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a21, a22, a23 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a31, a32, a33 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = a22 * a33 - a23 * a32
+    c12 = a23 * a31 - a21 * a33
+    c13 = a21 * a32 - a22 * a31
+    det = a11 * c11 + a12 * c12 + a13 * c13
+    c21 = a13 * a32 - a12 * a33
+    c22 = a11 * a33 - a13 * a31
+    c23 = a12 * a31 - a11 * a32
+    c31 = a12 * a23 - a13 * a22
+    c32 = a13 * a21 - a11 * a23
+    c33 = a11 * a22 - a12 * a21
+    adj = jnp.stack([
+        jnp.stack([c11, c21, c31], axis=-1),
+        jnp.stack([c12, c22, c32], axis=-1),
+        jnp.stack([c13, c23, c33], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
 
 
 def _block_thomas(D: jax.Array, U: jax.Array, b: jax.Array) -> jax.Array:
     """Solve the symmetric block-tridiagonal system with diagonal blocks
     ``D`` (E, 3, 3), superdiagonal blocks ``U`` (E-1, 3, 3) (subdiagonal
     = U^T), RHS ``b`` (E, 3). Unrolled block Thomas — E is static and
-    tiny, so this is straight-line code with closed-form 3x3 solves (an
-    on-device loop step costs ~1 ms on this runtime, docs/PERF.md)."""
+    tiny, so this is straight-line code with closed-form 3x3 inverses
+    (an on-device loop step costs ~1 ms on this runtime, docs/PERF.md).
+    Each Schur complement is inverted exactly once and reused by the
+    forward elimination (two products) and the backward substitution."""
     E = D.shape[-3]
-    S = [D[0]]
+    S_inv = [_inv3x3(D[0])]
     y = [b[0]]
     for e in range(1, E):
         # L = U_{e-1}^T S_{e-1}^{-1}
-        SinvU = _solve3x3_multi(S[e - 1], U[e - 1])        # S^{-1} U
-        Sinvy = _solve3x3(S[e - 1], y[e - 1])
-        S.append(D[e] - U[e - 1].swapaxes(-1, -2) @ SinvU)
+        SinvU = S_inv[e - 1] @ U[e - 1]
+        Sinvy = (S_inv[e - 1] @ y[e - 1][..., None])[..., 0]
+        S_e = D[e] - U[e - 1].swapaxes(-1, -2) @ SinvU
+        S_inv.append(_inv3x3(S_e))
         y.append(b[e] - (U[e - 1].swapaxes(-1, -2) @ Sinvy[..., None])[..., 0])
     x = [None] * E
-    x[E - 1] = _solve3x3(S[E - 1], y[E - 1])
+    x[E - 1] = (S_inv[E - 1] @ y[E - 1][..., None])[..., 0]
     for e in range(E - 2, -1, -1):
-        x[e] = _solve3x3(S[e], y[e] - (U[e] @ x[e + 1][..., None])[..., 0])
+        rhs = y[e] - (U[e] @ x[e + 1][..., None])[..., 0]
+        x[e] = (S_inv[e] @ rhs[..., None])[..., 0]
     return jnp.stack(x)
 
 
@@ -302,7 +338,12 @@ def _fit_essvi_block(k, w, weights, k_pen, max_iters, calendar_weight,
             U = jnp.zeros((E - 1, 3, 3), dtype)
 
         diag = jnp.diagonal(D, axis1=-2, axis2=-1)         # (E, 3)
-        damp = lam * jnp.maximum(diag, 1e-12)
+        # absolute floor keyed to the SURFACE's diagonal scale: a fully
+        # masked slice has D = 0, and a lam-proportional damp alone
+        # (lam * 1e-12) underflows the f32 3x3 determinant -> NaN step
+        # -> every iteration rejected while lam grows (review finding)
+        floor = 1e-8 * jnp.maximum(jnp.max(diag), 1.0)
+        damp = lam * jnp.maximum(diag, 1e-12) + floor
         D_lam = D + damp[..., None] * jnp.eye(3, dtype=dtype)
         d_slice = _block_thomas(D_lam, U, -g)              # (E, 3)
         dz = _pullback_step(z, d_slice, E)
@@ -315,12 +356,17 @@ def _fit_essvi_block(k, w, weights, k_pen, max_iters, calendar_weight,
                         jnp.where(accept, lam / 3.0, lam * 3.0))
         lam = jnp.clip(lam, 1e-12, 1e12)
         n_acc = n_acc + (accept & ~converged)
-        small_step = jnp.max(jnp.abs(d_slice)) < tol
+        # convergence bookkeeping mirrors ops/lm.py; small_step is gated
+        # on acceptance (unlike lm.py historically) so a rejection
+        # streak that drives lam to its cap — shrinking the damped step
+        # towards zero — cannot latch converged=True at a non-optimum
+        small_step = accept & (
+            jnp.max(jnp.abs(d_slice)) < tol * (1.0 + jnp.max(jnp.abs(z))))
         small_impr = accept & (cost - cost_new < tol * jnp.maximum(cost, 1.0))
         converged = converged | small_step | small_impr
         return z, lam, cost_next, n_acc, converged
 
-    z0 = essvi_init(k, w)
+    z0 = essvi_init(k, w, weights)
     state0 = (z0, jnp.asarray(1e-3, dtype), cost_of(z0),
               jnp.zeros((), jnp.int32), jnp.zeros((), bool))
     z, lam, cost, n_acc, converged = jax.lax.fori_loop(
@@ -332,15 +378,15 @@ def _fit_essvi_block(k, w, weights, k_pen, max_iters, calendar_weight,
 @partial(jax.jit, static_argnames=("max_iters", "calendar_weight",
                                    "n_penalty_grid", "unroll", "loss",
                                    "huber_delta", "solver"))
-def fit_essvi(k: jax.Array, w: jax.Array,
-              weights: jax.Array | None = None,
-              max_iters: int = 64,
-              calendar_weight: float = 10.0,
-              n_penalty_grid: int = 33,
-              unroll: bool = False,
-              loss: str = "linear",
-              huber_delta: float = 1e-3,
-              solver: str = "block") -> EssviFit:
+def _fit_essvi_jit(k: jax.Array, w: jax.Array,
+                   weights: jax.Array | None = None,
+                   max_iters: int = 64,
+                   calendar_weight: float = 10.0,
+                   n_penalty_grid: int = 33,
+                   unroll: bool = False,
+                   loss: str = "linear",
+                   huber_delta: float = 1e-3,
+                   solver: str = "block") -> EssviFit:
     """Calibrate one eSSVI surface: ``k``/``w`` (E, n) -> params (E, 3).
 
     One global LM over 3E transformed parameters — every iterate is
@@ -366,7 +412,7 @@ def fit_essvi(k: jax.Array, w: jax.Array,
     if solver == "block" and loss == "linear":
         return _fit_essvi_block(k, w, weights, k_pen, max_iters,
                                 calendar_weight, unroll)
-    z0 = essvi_init(k, w)
+    z0 = essvi_init(k, w, weights)
     residual = partial(_residual, calendar_weight=calendar_weight, E=E)
     if loss == "huber":
         from iv_interpolation_tpu.ops.lm import robustify
@@ -380,24 +426,34 @@ def fit_essvi(k: jax.Array, w: jax.Array,
                     n_accepted=res.n_accepted, converged=res.converged)
 
 
+def fit_essvi(k, w, weights=None, max_iters: int = 64,
+              calendar_weight: float = 10.0, n_penalty_grid: int = 33,
+              unroll: bool = False, loss: str = "linear",
+              huber_delta: float = 1e-3,
+              solver: str = "block") -> EssviFit:
+    """See :func:`_fit_essvi_jit` — this thin wrapper coerces the
+    float-valued jit-static knobs to Python floats so numpy/JAX scalars
+    do not raise unhashable-static errors and value-equal calls share a
+    compile cache entry."""
+    return _fit_essvi_jit(k, w, weights, max_iters=int(max_iters),
+                          calendar_weight=float(calendar_weight),
+                          n_penalty_grid=int(n_penalty_grid),
+                          unroll=bool(unroll), loss=loss,
+                          huber_delta=float(huber_delta), solver=solver)
+
+
 @partial(jax.jit, static_argnames=("max_iters", "calendar_weight",
                                    "n_penalty_grid", "unroll", "loss",
                                    "huber_delta", "solver"))
-def fit_essvi_batched(k: jax.Array, w: jax.Array,
-                      weights: jax.Array | None = None,
-                      max_iters: int = 64,
-                      calendar_weight: float = 10.0,
-                      n_penalty_grid: int = 33,
-                      unroll: bool = False,
-                      loss: str = "linear",
-                      huber_delta: float = 1e-3,
-                      solver: str = "block") -> EssviFit:
-    """Batched eSSVI: ``k``/``w`` (..., E, n) -> params (..., E, 3).
-
-    Unlike ``fit_svi_batched`` (which flattens surfaces x expiries into
-    independent 5-param problems), each SURFACE here is one joint
-    3E-parameter problem; only the surface axis is vmapped.
-    """
+def _fit_essvi_batched_jit(k: jax.Array, w: jax.Array,
+                           weights: jax.Array | None = None,
+                           max_iters: int = 64,
+                           calendar_weight: float = 10.0,
+                           n_penalty_grid: int = 33,
+                           unroll: bool = False,
+                           loss: str = "linear",
+                           huber_delta: float = 1e-3,
+                           solver: str = "block") -> EssviFit:
     if weights is None:
         weights = jnp.ones_like(w)
     batch = w.shape[:-2]
@@ -405,7 +461,7 @@ def fit_essvi_batched(k: jax.Array, w: jax.Array,
     kf = k.reshape((-1, E, n))
     wf = w.reshape((-1, E, n))
     wtf = weights.reshape((-1, E, n))
-    fit = jax.vmap(partial(fit_essvi, max_iters=max_iters,
+    fit = jax.vmap(partial(_fit_essvi_jit, max_iters=max_iters,
                            calendar_weight=calendar_weight,
                            n_penalty_grid=n_penalty_grid,
                            unroll=unroll, loss=loss,
@@ -413,3 +469,23 @@ def fit_essvi_batched(k: jax.Array, w: jax.Array,
                            solver=solver))(kf, wf, wtf)
     reshape = lambda a: a.reshape(batch + a.shape[1:])
     return EssviFit(*map(reshape, fit))
+
+
+def fit_essvi_batched(k, w, weights=None, max_iters: int = 64,
+                      calendar_weight: float = 10.0,
+                      n_penalty_grid: int = 33, unroll: bool = False,
+                      loss: str = "linear", huber_delta: float = 1e-3,
+                      solver: str = "block") -> EssviFit:
+    """Batched eSSVI: ``k``/``w`` (..., E, n) -> params (..., E, 3).
+
+    Unlike ``fit_svi_batched`` (which flattens surfaces x expiries into
+    independent 5-param problems), each SURFACE here is one joint
+    3E-parameter problem; only the surface axis is vmapped. Float-
+    valued jit-static knobs are coerced to Python floats here (numpy/
+    JAX scalars would raise unhashable-static errors).
+    """
+    return _fit_essvi_batched_jit(
+        k, w, weights, max_iters=int(max_iters),
+        calendar_weight=float(calendar_weight),
+        n_penalty_grid=int(n_penalty_grid), unroll=bool(unroll),
+        loss=loss, huber_delta=float(huber_delta), solver=solver)

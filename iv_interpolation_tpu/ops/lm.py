@@ -88,7 +88,12 @@ def levenberg_marquardt(residual_fn: Callable, params0: jax.Array, *args,
                         jnp.where(accept, lam / 3.0, lam * 3.0))
         lam = jnp.clip(lam, 1e-12, 1e12)
         n_acc = n_acc + (accept & ~converged)
-        small_step = jnp.max(jnp.abs(delta)) < tol * (1.0 + jnp.max(jnp.abs(p)))
+        # small_step is gated on ACCEPTANCE: a rejection streak drives
+        # lambda to its cap, shrinking the damped step towards zero —
+        # ungated, that latched converged=True at a non-optimum.
+        # small_grad needs no gate (it tests the CURRENT iterate).
+        small_step = accept & (
+            jnp.max(jnp.abs(delta)) < tol * (1.0 + jnp.max(jnp.abs(p))))
         small_grad = jnp.max(jnp.abs(g)) < tol
         small_impr = accept & (cost - cost_new < tol * jnp.maximum(cost, 1.0))
         converged = converged | small_step | small_grad | small_impr

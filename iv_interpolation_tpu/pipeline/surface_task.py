@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -277,7 +278,12 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 svi_iters=scfg.lm_max_iters,
                 svi_butterfly_penalty=scfg.butterfly_penalty,
                 svi_weighting=scfg.svi_weighting,
-                svi_unroll=scfg.svi_unroll,
+                # auto (None): unroll only on TPU — the unrolled LM is a
+                # dispatch-floor workaround, and on CPU its ~50x bigger
+                # executable was implicated in an LLVM-JIT segfault late
+                # in full-suite runs
+                svi_unroll=(scfg.svi_unroll if scfg.svi_unroll is not None
+                            else jax.default_backend() == "tpu"),
                 smoothing_lam=scfg.smoothing_lam,
                 spline_bc=scfg.spline_bc,
                 quote_mask=jnp.asarray(quote_mask))

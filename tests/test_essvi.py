@@ -279,3 +279,45 @@ def test_block_solver_matches_dense(rng):
     cap = np.asarray(psi_butterfly_cap(fits["block"].params[..., 0],
                                        fits["block"].params[..., 1]))
     assert (np.asarray(fits["block"].params[..., 2]) <= cap + 1e-9).all()
+
+
+def test_init_and_block_solver_survive_masked_garbage_slice(rng):
+    """Round-3 review findings: (a) essvi_init ignored weights, so one
+    masked slice of garbage w inflated its theta estimate and the
+    running max dragged every LATER slice's init up with it; (b) a
+    fully-masked slice gives a zero J^T J block whose lam*1e-12 damping
+    underflows the f32 3x3 determinant -> NaN steps, every iteration
+    rejected. Both paths must now fit the live slices cleanly."""
+    E, n = 5, 15
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (E, n))
+    theta = jnp.cumsum(jnp.asarray(rng.uniform(0.01, 0.04, E)))
+    w = theta[:, None] * (1.0 + 0.08 * k * k)
+    w_bad = w.at[2].set(50.0)                    # garbage placeholder
+    wts = jnp.ones((E, n)).at[2].set(0.0)        # ... fully masked
+    for solver in ("block", "dense"):
+        fit = fit_essvi(k, w_bad, weights=wts, max_iters=48,
+                        solver=solver)
+        params = np.asarray(fit.params)
+        assert np.isfinite(params).all(), solver
+        assert int(fit.n_accepted) > 0, solver
+        pred = np.asarray(essvi_w(fit.params, k))
+        live = [0, 1, 3, 4]
+        rmse = float(np.sqrt(np.mean(
+            (pred[live] - np.asarray(w)[live]) ** 2)))
+        assert rmse < 5e-3, (solver, rmse)
+        # the masked slice's theta must NOT have been dragged to ~50
+        assert params[2, 0] < 1.0, solver
+
+
+def test_static_float_knobs_accept_numpy_scalars(rng):
+    """calendar_weight/huber_delta are jit-static; numpy/JAX scalar
+    values raised unhashable-static TypeErrors before the coercing
+    wrappers (round-3 review finding)."""
+    E, n = 3, 9
+    k = jnp.broadcast_to(jnp.linspace(-0.5, 0.5, n), (2, E, n))
+    theta = jnp.cumsum(jnp.asarray(rng.uniform(0.01, 0.04, (2, E))), -1)
+    w = theta[..., None] * (1.0 + 0.1 * k * k)
+    fit = fit_essvi_batched(k, w, max_iters=8,
+                            calendar_weight=np.float32(10.0),
+                            huber_delta=np.float64(1e-3))
+    assert np.isfinite(np.asarray(fit.params)).all()
