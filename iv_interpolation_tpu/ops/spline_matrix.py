@@ -35,6 +35,12 @@ class SplineOperator(NamedTuple):
     E0: jax.Array       # (n, m) value operator (transposed for y @ E)
     E1: jax.Array       # (n, m) first-derivative operator
     E2: jax.Array       # (n, m) second-derivative operator
+    # (n, 3m) = [E0 | E1 | E2], stacked ONCE at build time: the fused
+    # fit+eval contraction reads this, and materialising the concat
+    # inside the jitted per-tick refit instead re-wrote B*E*n*3m floats
+    # of HBM every call (ops is a traced argument, so XLA cannot
+    # constant-fold it away)
+    EC: jax.Array
 
 
 def _curvature_operator(x: jax.Array, bc_type: str = "natural") -> jax.Array:
@@ -58,7 +64,7 @@ def _curvature_operator(x: jax.Array, bc_type: str = "natural") -> jax.Array:
     if bc_type == "natural":
         # rows 0, n-1: identity -> M = 0
         T = T.at[0, 0].set(1.0).at[n - 1, n - 1].set(1.0)
-    elif bc_type == "not-a-knot":
+    elif bc_type == "not-a-knot" and n >= 4:
         # S''' continuous at x1: (M1-M0)/h0 = (M2-M1)/h1, rhs 0
         T = T.at[0, 0].set(1.0 / h[0])
         T = T.at[0, 1].set(-1.0 / h[0] - 1.0 / h[1])
@@ -67,6 +73,20 @@ def _curvature_operator(x: jax.Array, bc_type: str = "natural") -> jax.Array:
         T = T.at[n - 1, n - 3].set(1.0 / h[n - 3])
         T = T.at[n - 1, n - 2].set(-1.0 / h[n - 3] - 1.0 / h[n - 2])
         T = T.at[n - 1, n - 1].set(1.0 / h[n - 2])
+    elif bc_type == "not-a-knot" and n == 3:
+        # both not-a-knot rows would reference the SAME interior knot —
+        # the n>=4 construction is singular here and jnp.linalg.solve
+        # returns NaN operators silently under jit. SciPy's n=3
+        # not-a-knot is the interpolating PARABOLA (constant S''):
+        # pin M0 = M1 and M2 = M1, and the interior row then yields
+        # M = 2 (s1 - s0) / (h0 + h1), exactly the parabola's curvature.
+        T = T.at[0, 0].set(1.0).at[0, 1].set(-1.0)
+        T = T.at[2, 2].set(1.0).at[2, 1].set(-1.0)
+    elif bc_type == "not-a-knot" and n == 2:
+        # two knots: the spline degrades to the straight line (SciPy
+        # raises here; a streaming chain with two strikes should fit
+        # linearly rather than crash) — natural rows give exactly that
+        T = T.at[0, 0].set(1.0).at[n - 1, n - 1].set(1.0)
     else:
         raise ValueError(f"unsupported bc_type for operator form: {bc_type!r}")
     # C: rhs operator, b = C y with b_i = s_i - s_{i-1} (end rows stay 0)
@@ -108,7 +128,8 @@ def build_spline_operator(knots: jax.Array, queries: jax.Array,
           + ((-3 * a**2 + 1)[:, None] * G0
              + (3 * b**2 - 1)[:, None] * G1) * (hh / 6.0)[:, None])
     E2 = a[:, None] * G0 + b[:, None] * G1
-    return SplineOperator(knots=x, queries=t, E0=E0.T, E1=E1.T, E2=E2.T)
+    return SplineOperator(knots=x, queries=t, E0=E0.T, E1=E1.T, E2=E2.T,
+                          EC=jnp.concatenate([E0.T, E1.T, E2.T], axis=-1))
 
 
 @jax.jit
@@ -155,40 +176,11 @@ def build_surface_operators_batched(k_knots: jax.Array, queries: jax.Array,
     return jax.vmap(jax.vmap(build))(k_knots, queries)
 
 
-@jax.jit
-def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
-                          expiries: jax.Array):
-    """Fast-path surface fit+eval on shared per-expiry grids.
-
-    Args:
-      ops: stacked SplineOperator with (E, n, m) tensors (from
-        :func:`build_surface_operators`).
-      iv: (B, E, n) implied vols.
-      expiries: (E,) or (B, E).
-
-    Returns the same dict contract as
-    :func:`iv_interpolation_tpu.surface.surface.fit_eval_surface`.
-    """
-    if expiries.ndim == 1:
-        T = expiries[None, :, None]
-    else:
-        T = expiries[..., None]
-    w = iv * iv * T                       # (B, E, n)
-    # one contraction against the concatenated (n, 3m) operator instead
-    # of three (n, m) ones: a single pass over w and a wider MXU tile
-    # (m=50 alone occupies <40% of a 128-lane tile); numerically
-    # identical — the same dot products, just batched
-    m = ops.E0.shape[-1]
-    EC = jnp.concatenate([ops.E0, ops.E1, ops.E2], axis=-1)  # (E, n, 3m)
-    # precision HIGHEST: the MXU's default truncates f32 operands to
-    # bf16, which corrupts the 1/h^2-scaled E2 columns enough to flip
-    # butterfly-g signs — see apply_spline_operator
-    out = jnp.einsum("ben,enq->beq", w, EC,
-                     preferred_element_type=w.dtype,
-                     precision=jax.lax.Precision.HIGHEST)
+def _grid_diagnostics(out, m, k_grid, T):
+    """Shared tail of the fused fit+eval: split the stacked contraction
+    output and compute the diagnostics dict (ONE home for the grid
+    tolerances and the output contract)."""
     w_grid, w1, w2 = out[..., :m], out[..., m:2 * m], out[..., 2 * m:]
-    k_grid = jnp.broadcast_to(ops.queries[None], w_grid.shape)
-
     from iv_interpolation_tpu.surface.arbitrage import butterfly_g
     # NB: this import is lazy to avoid a package-import cost at module
     # load, but it can run during tracing — safe only because arbitrage/
@@ -209,6 +201,49 @@ def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
 
 
 @jax.jit
+def fit_eval_surface_grid(ops: SplineOperator, iv: jax.Array,
+                          expiries: jax.Array):
+    """Fast-path surface fit+eval on shared per-expiry grids.
+
+    Args:
+      ops: stacked SplineOperator with (E, n, m) tensors (from
+        :func:`build_surface_operators`).
+      iv: (B, E, n) implied vols.
+      expiries: (E,) or (B, E).
+
+    Returns the grid subset of
+    :func:`iv_interpolation_tpu.surface.surface.fit_eval_surface`'s
+    dict contract — k_grid/w_grid/iv_grid/g/butterfly_ok/calendar_ok;
+    the ``fit`` and ``fit_rmse`` keys of the general path are NOT
+    produced here (interpolating splines reprice exactly, and the
+    operator form has no SurfaceFit object).
+
+    Same calendar_ok contract as the batched variant: all expiries must
+    share one query grid — per-expiry grids make the cross-expiry
+    column comparison meaningless.
+    """
+    if expiries.ndim == 1:
+        T = expiries[None, :, None]
+    else:
+        T = expiries[..., None]
+    w = iv * iv * T                       # (B, E, n)
+    # one contraction against the prebuilt stacked (n, 3m) operator
+    # instead of three (n, m) ones: a single pass over w and a wider MXU
+    # tile (m=50 alone occupies <40% of a 128-lane tile); numerically
+    # identical — the same dot products, just batched.
+    # precision HIGHEST: the MXU's default truncates f32 operands to
+    # bf16, which corrupts the 1/h^2-scaled E2 columns enough to flip
+    # butterfly-g signs — see apply_spline_operator
+    out = jnp.einsum("ben,enq->beq", w, ops.EC,
+                     preferred_element_type=w.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    m = ops.E0.shape[-1]
+    k_grid = jnp.broadcast_to(ops.queries[None],
+                              w.shape[:-1] + (m,))
+    return _grid_diagnostics(out, m, k_grid, T)
+
+
+@jax.jit
 def fit_eval_surface_grid_batched(ops: SplineOperator, iv: jax.Array,
                                   expiries: jax.Array):
     """Like :func:`fit_eval_surface_grid` but with per-underlying
@@ -226,26 +261,8 @@ def fit_eval_surface_grid_batched(ops: SplineOperator, iv: jax.Array,
     else:
         T = expiries[..., None]
     w = iv * iv * T                       # (B, E, n)
-    m = ops.E0.shape[-1]
-    EC = jnp.concatenate([ops.E0, ops.E1, ops.E2], axis=-1)  # (B, E, n, 3m)
     # precision HIGHEST: see fit_eval_surface_grid
-    out = jnp.einsum("ben,benq->beq", w, EC,
+    out = jnp.einsum("ben,benq->beq", w, ops.EC,
                      preferred_element_type=w.dtype,
                      precision=jax.lax.Precision.HIGHEST)
-    w_grid, w1, w2 = out[..., :m], out[..., m:2 * m], out[..., 2 * m:]
-    k_grid = ops.queries                  # (B, E, m)
-
-    from iv_interpolation_tpu.surface.arbitrage import butterfly_g
-    g = butterfly_g(k_grid, w_grid, w1, w2)
-    iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0) / jnp.maximum(T, 1e-12))
-    butterfly_ok = jnp.all(g >= -1e-10, axis=(-2, -1))
-    calendar_ok = jnp.all(
-        w_grid[..., 1:, :] >= w_grid[..., :-1, :] - 1e-12, axis=(-2, -1))
-    return {
-        "k_grid": k_grid,
-        "w_grid": w_grid,
-        "iv_grid": iv_grid,
-        "g": g,
-        "butterfly_ok": butterfly_ok,
-        "calendar_ok": calendar_ok,
-    }
+    return _grid_diagnostics(out, ops.E0.shape[-1], ops.queries, T)

@@ -131,3 +131,39 @@ def test_fit_surface_spline_bc_threaded(rng):
             cs = CubicSpline(k[b, e], w[b, e])
             np.testing.assert_allclose(np.asarray(out["w_grid"])[b, e],
                                        cs(kg[b, e]), atol=1e-8)
+
+
+def test_not_a_knot_three_knots_is_scipy_parabola(rng):
+    """n=3 not-a-knot: the generic construction is SINGULAR (both
+    boundary rows reference the same interior knot) and silently
+    returned NaN operators under jit — the pipeline's streaming default
+    hit this on any 3-strike chain (round-3 review finding). The fix
+    pins constant curvature, which is exactly SciPy's n=3 behavior
+    (the interpolating parabola)."""
+    x = np.array([-0.4, 0.1, 0.5])
+    t = np.linspace(-0.6, 0.7, 23)
+    op = build_spline_operator(jnp.asarray(x), jnp.asarray(t),
+                               bc_type="not-a-knot")
+    y = np.array([0.09, 0.04, 0.075])
+    s, s1, s2 = (np.asarray(a) for a in
+                 apply_spline_operator(op, jnp.asarray(y)))
+    assert np.isfinite(s).all() and np.isfinite(s2).all()
+    cs = CubicSpline(x, y)          # SciPy default == not-a-knot
+    np.testing.assert_allclose(s, cs(t), atol=1e-10)
+    np.testing.assert_allclose(s2, cs(t, 2), atol=1e-9)
+
+
+def test_not_a_knot_two_knots_degrades_to_linear():
+    """n=2 not-a-knot: SciPy raises; the operator form degrades to the
+    straight line so a 2-strike streaming chain fits instead of
+    producing NaNs (the old construction indexed out of bounds)."""
+    x = np.array([-0.3, 0.4])
+    t = np.linspace(-0.3, 0.4, 11)
+    op = build_spline_operator(jnp.asarray(x), jnp.asarray(t),
+                               bc_type="not-a-knot")
+    y = np.array([0.05, 0.12])
+    s, s1, s2 = (np.asarray(a) for a in
+                 apply_spline_operator(op, jnp.asarray(y)))
+    expect = y[0] + (y[1] - y[0]) * (t - x[0]) / (x[1] - x[0])
+    np.testing.assert_allclose(s, expect, atol=1e-12)
+    np.testing.assert_allclose(s2, 0.0, atol=1e-12)
