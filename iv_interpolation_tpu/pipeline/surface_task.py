@@ -160,6 +160,7 @@ def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg):
         "k_grid": k_grid,
         "w_grid": w_grid,
         "iv_grid": iv_grid,
+        "g": g,
         "butterfly_ok": jnp.all(g >= -1e-10, axis=(1, 2)),
         "calendar_ok": jnp.all(
             w_grid[:, 1:] - w_grid[:, :-1] >= -1e-12, axis=(1, 2)),
@@ -245,6 +246,29 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
             res_all = _fit_rbf_surfaces(k, iv, T, quote_mask, scfg)
             keys = ["k_grid", "w_grid", "iv_grid",
                     "butterfly_ok", "calendar_ok", "fit_rmse"]
+            if scfg.compute_local_vol:
+                # RBF surfaces support the same Dupire extraction as the
+                # slice-wise methods (the promise of compute_local_vol
+                # is method-agnostic); cells without a real local vol
+                # persist NaN, like everywhere else
+                from iv_interpolation_tpu.surface.localvol import (
+                    _backward_dwdT, risk_neutral_density)
+                g_ = res_all["g"]
+                dwdT = _backward_dwdT(res_all["w_grid"],
+                                      jnp.asarray(T), 1e-10)
+                lv = dwdT / jnp.maximum(g_, 1e-10)
+                valid = (g_ > 1e-10) & (dwdT >= 0.0)
+                res_all = {
+                    **res_all,
+                    "local_vol": jnp.where(
+                        valid, jnp.sqrt(jnp.maximum(lv, 0.0)), jnp.nan),
+                    "density": jnp.where(
+                        res_all["w_grid"] > 0.0,
+                        risk_neutral_density(res_all["k_grid"],
+                                             res_all["w_grid"], g_),
+                        jnp.nan),
+                }
+                keys += ["local_vol", "density"]
             results = [
                 {key: res_all[key][b:b + 1] for key in keys}
                 for b in range(B)
@@ -295,9 +319,14 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 lv = local_vol_surface(res_all)
                 # cells where g <= 0 or dw/dT < 0 hold eps-clamped
                 # garbage (~1e10x real values); persist NaN there so no
-                # downstream consumer mistakes them for real local vols
+                # downstream consumer mistakes them for real local vols.
+                # density is masked where the w-clamp would fabricate
+                # ~1e5-scale spikes from w <= 0 wing cells (negative
+                # density from g < 0 is a REAL arbitrage signal — kept)
                 lv["local_vol"] = jnp.where(
                     lv["local_vol_valid"], lv["local_vol"], jnp.nan)
+                lv["density"] = jnp.where(
+                    res_all["w_grid"] > 0.0, lv["density"], jnp.nan)
                 res_all = {**res_all, **lv}
                 keys += ["local_vol", "density"]
             results = [

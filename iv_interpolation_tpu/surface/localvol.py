@@ -37,6 +37,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _backward_dwdT(w_grid: jax.Array, expiries: jax.Array,
+                   eps: float) -> jax.Array:
+    """THE maturity-derivative convention, in one place: slice i carries
+    the BACKWARD-in-T derivative on (T_{i-1}, T_i] (where eval_surface's
+    piecewise-linear w has that constant derivative), slice 0 uses
+    (0, T_0] with w(k, 0) = 0. This convention flipped once already
+    (commit 4ed68ae); keeping the validity mask and the local-variance
+    values on one implementation prevents them drifting apart."""
+    T = expiries[..., None]                              # (..., E, 1)
+    dT = T[..., 1:, :] - T[..., :-1, :]                  # (..., E-1, 1)
+    dw = w_grid[..., 1:, :] - w_grid[..., :-1, :]
+    fwd = dw / jnp.maximum(dT, eps)                      # (..., E-1, m)
+    # first slice: (w_1 - 0) / (T_1 - 0)
+    first = w_grid[..., :1, :] / jnp.maximum(T[..., :1, :], eps)
+    return jnp.concatenate([first, fwd], axis=-2)        # (..., E, m)
+
+
 @jax.jit
 def local_variance_grid(w_grid: jax.Array, g: jax.Array,
                         expiries: jax.Array,
@@ -53,19 +70,10 @@ def local_variance_grid(w_grid: jax.Array, g: jax.Array,
         to mask them).
 
     Returns:
-      (..., E, m) local variance. Slice i carries the BACKWARD-in-T
-      derivative on (T_{i-1}, T_i] — the interval whose right endpoint
-      the slice sits on, where ``eval_surface``'s piecewise-linear w has
-      that constant derivative. Slice 0 uses (0, T_0] with w(k, 0) = 0.
+      (..., E, m) local variance, with the maturity derivative of
+      :func:`_backward_dwdT` (backward difference; slice 0 from T=0).
     """
-    T = expiries[..., None]                              # (..., E, 1)
-    dT = T[..., 1:, :] - T[..., :-1, :]                  # (..., E-1, 1)
-    dw = w_grid[..., 1:, :] - w_grid[..., :-1, :]
-    fwd = dw / jnp.maximum(dT, eps)                      # (..., E-1, m)
-    # first slice: (w_1 - 0) / (T_1 - 0)
-    first = w_grid[..., :1, :] / jnp.maximum(T[..., :1, :], eps)
-    dwdT = jnp.concatenate([first, fwd], axis=-2)        # (..., E, m)
-    return dwdT / jnp.maximum(g, eps)
+    return _backward_dwdT(w_grid, expiries, eps) / jnp.maximum(g, eps)
 
 
 @jax.jit
@@ -110,28 +118,33 @@ def variance_swap_strike(k_grid: jax.Array, w_grid: jax.Array,
 def local_vol_surface(out: dict, eps: float = 1e-10) -> dict:
     """Local vol + density from a ``fit_eval_surface`` output dict.
 
-    Returns dict with ``local_var`` / ``local_vol`` (..., E, m), the
-    per-slice ``density`` (..., E, m), and ``local_vol_ok`` — True where
-    the surface admits a real local vol (g > 0 and dw/dT >= 0 on the
-    whole grid), i.e. butterfly_ok & calendar_ok.
+    Returns dict with:
+      * ``local_var`` / ``local_vol`` (..., E, m) — Dupire local
+        variance/vol; cells failing ``local_vol_valid`` hold
+        eps-clamped garbage (~1/eps scale) and MUST be masked;
+      * ``local_vol_valid`` (..., E, m) — the per-cell safety mask:
+        g > eps AND backward dw/dT >= 0 (surface_task NaNs invalid
+        cells before persisting; direct API consumers must do the
+        same);
+      * ``local_vol_ok`` (...,) — all(local_vol_valid) per surface,
+        i.e. every grid cell admits a real local vol. This is the
+        SAME tolerance as the mask — it was previously derived from
+        butterfly_ok & calendar_ok, whose looser -1e-10/-1e-12 bounds
+        let a surface with g = 0 at one cell read as fully OK while
+        that cell held clamped garbage;
+      * ``density`` (..., E, m) — Breeden-Litzenberger density;
+      * ``var_swap`` (..., E) — model-free variance-swap strikes.
     """
     w_grid, g, k_grid = out["w_grid"], out["g"], out["k_grid"]
     expiries = out["fit"].expiries
-    lv = local_variance_grid(w_grid, g, expiries, eps)
-    # per-cell validity: local_variance_grid clamps g to eps, so cells
-    # with g <= 0 (butterfly arbitrage) or a negative backward dw/dT
-    # (calendar arbitrage) hold clamped ~1/eps garbage, not real local
-    # variance — consumers must mask them (surface_task NaNs them out
-    # before persisting)
-    dw = jnp.concatenate(
-        [w_grid[..., :1, :],
-         w_grid[..., 1:, :] - w_grid[..., :-1, :]], axis=-2)
-    valid = (g > eps) & (dw >= 0.0)
+    dwdT = _backward_dwdT(w_grid, expiries, eps)
+    lv = dwdT / jnp.maximum(g, eps)
+    valid = (g > eps) & (dwdT >= 0.0)
     return {
         "local_var": lv,
         "local_vol": jnp.sqrt(jnp.maximum(lv, 0.0)),
         "density": risk_neutral_density(k_grid, w_grid, g),
         "var_swap": variance_swap_strike(k_grid, w_grid, g, expiries),
-        "local_vol_ok": out["butterfly_ok"] & out["calendar_ok"],
+        "local_vol_ok": jnp.all(valid, axis=(-2, -1)),
         "local_vol_valid": valid,
     }

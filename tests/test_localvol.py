@@ -159,3 +159,24 @@ def test_variance_swap_through_pipeline():
     lv = local_vol_surface(out)
     kv = np.asarray(lv["var_swap"])
     np.testing.assert_allclose(kv, sigma * sigma, rtol=2e-2)
+
+
+def test_local_vol_ok_matches_per_cell_mask():
+    """local_vol_ok must use the SAME tolerance as local_vol_valid: a
+    surface whose butterfly g is exactly 0 at one cell passes the grid
+    diagnostics (g >= -1e-10) but that cell's local variance is
+    eps-clamped garbage — local_vol_ok = True there let consumers read
+    it as real (round-3 review finding)."""
+    sigma = 0.3
+    k, iv, T = _flat_surface(sigma=sigma)
+    out = dict(fit_eval_surface(k, iv, T, n_grid=20,
+                                spline_bc="not-a-knot"))
+    g0 = out["g"].at[0, 1, 7].set(0.0)       # one boundary-exact cell
+    out["g"] = g0
+    out["butterfly_ok"] = jnp.all(g0 >= -1e-10, axis=(-2, -1))
+    lv = local_vol_surface(out)
+    assert bool(out["butterfly_ok"][0])       # diagnostics still green
+    assert not bool(lv["local_vol_ok"][0])    # but NOT a usable LV cell
+    assert not bool(lv["local_vol_valid"][0, 1, 7])
+    # all other surfaces/cells unaffected
+    assert bool(jnp.all(lv["local_vol_valid"][1:]))
