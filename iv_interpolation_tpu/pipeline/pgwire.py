@@ -84,6 +84,10 @@ def render_literal(v: Any) -> str:
     if isinstance(v, _dt.date):
         return _quote_string(v.isoformat())
     if isinstance(v, (list, tuple)):
+        if not v:
+            # ARRAY[] is untyped and the server rejects it (42P18);
+            # psycopg2 adapts [] to the castable string literal '{}'
+            return "'{}'"
         return "ARRAY[" + ", ".join(render_literal(x) for x in v) + "]"
     if isinstance(v, bytes):
         return "'\\x" + v.hex() + "'::bytea"
@@ -127,17 +131,40 @@ def render_query(query: str, params: Optional[Sequence[Any]]) -> str:
 
 def _parse_ts(s: str):
     try:
+        # Postgres sends timestamptz offsets as '+00' (no minutes);
+        # Python < 3.11's fromisoformat rejects that form — normalise
+        if len(s) > 3 and s[-3] in "+-" and s[-2:].isdigit():
+            s = s + ":00"
         return _dt.datetime.fromisoformat(s)
     except ValueError:
+        return s  # 'infinity', BC dates, ... — hand back the raw text
+
+
+def _parse_date(s: str):
+    try:
+        return _dt.date.fromisoformat(s)
+    except ValueError:
+        # 'infinity'/'-infinity'/BC dates are VALID Postgres values; a
+        # raised ValueError here would abort mid-DataRow and desync the
+        # wire protocol (the next query would read this one's leftovers)
+        return s
+
+
+def _parse_numeric(s: str):
+    from decimal import Decimal, InvalidOperation
+    try:
+        return Decimal(s)  # psycopg2 parity: numeric is exact
+    except InvalidOperation:
         return s
 
 
 _DECODERS = {
     16: lambda s: s == "t",                      # bool
     20: int, 21: int, 23: int, 26: int,          # int8/2/4, oid
-    700: float, 701: float, 1700: float,         # float4/8, numeric
+    700: float, 701: float,                      # float4/8
+    1700: _parse_numeric,                        # numeric -> Decimal
     1114: _parse_ts, 1184: _parse_ts,            # timestamp[tz]
-    1082: lambda s: _dt.date.fromisoformat(s),   # date
+    1082: _parse_date,                           # date
 }
 
 
@@ -263,7 +290,9 @@ class Cursor:
         if self._declared:
             try:
                 self._conn._simple_query(f'CLOSE "{self._name}"')
-            except PgError:
+            except (PgError, InterfaceError, OSError):
+                # a dead connection during unwinding must not replace
+                # the informative original exception
                 pass
             self._declared = False
 
@@ -278,6 +307,12 @@ class Cursor:
             self.description = None
             self._rows, self._pos = [], 0
             return self
+        # psycopg2 parity: open an implicit transaction so a page-3
+        # failure in a multi-statement write rolls back pages 1-2 too
+        # (autocommit left each page committed; commit/rollback were
+        # silent no-ops)
+        if not self._conn.autocommit:
+            self._conn._ensure_tx()
         desc, rows, tag = self._conn._simple_query(sql)
         self.description = desc
         self._rows, self._pos = rows, 0
@@ -296,7 +331,11 @@ class Cursor:
         return row[0] if row else None
 
     def fetchmany(self, n: Optional[int] = None) -> List[tuple]:
-        n = n or self.itersize
+        # DB-API: 'at most n rows' — fetchmany(0) returns [] (the falsy
+        # fallback used to silently fetch a full itersize batch)
+        n = self.itersize if n is None else int(n)
+        if n <= 0:
+            return []
         if self._name is not None:
             return self._fetch_from_portal(n)
         out = self._rows[self._pos:self._pos + n]
@@ -345,9 +384,17 @@ class Connection:
         else:
             self._sock = socket.create_connection((host, port),
                                                   timeout=timeout)
-        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            # TCP-only: setting it on an AF_UNIX socket raises
+            # EOPNOTSUPP, which made every unix-socket connect fail
+            self._sock.setsockopt(socket.IPPROTO_TCP,
+                                  socket.TCP_NODELAY, 1)
         self.parameters: dict = {}
         self._in_tx = False
+        # psycopg2 parity: statements run inside an implicit transaction
+        # (commit()/rollback() are meaningful); set True for statements
+        # that refuse transaction blocks (CREATE INDEX CONCURRENTLY —
+        # storage.py flips this exactly there)
+        self.autocommit = False
         self.closed = False
         self._startup(database, user, password)
         # the timeout guards only connection establishment + auth
@@ -454,6 +501,18 @@ class Connection:
                 tag_txt = payload.rstrip(b"\x00").decode()
             elif tag == b"E":
                 error = PgError(_parse_error_fields(payload))
+            elif tag in (b"G", b"H", b"W"):  # Copy{In,Out,Both}Response
+                # COPY is unsupported; silently ignoring CopyInResponse
+                # deadlocked the connection (server waits for CopyData,
+                # client waits for ReadyForQuery). Refuse the COPY so
+                # the server errors and returns to ReadyForQuery, then
+                # surface the refusal.
+                if tag == b"G":
+                    self._sock.sendall(
+                        _msg(b"f", _cstr("COPY not supported by pgwire")))
+                if error is None:
+                    error = InterfaceError(
+                        "COPY is not supported by this driver")
             elif tag == b"Z":          # ReadyForQuery
                 self._in_tx = payload[:1] in (b"T", b"E")
                 if error is not None:
@@ -509,13 +568,24 @@ def connect(host: str, database: str, user: str, password: str = "",
 def execute_values(cur: Cursor, query: str, rows: Iterable[Sequence],
                    page_size: int = 1000) -> None:
     """psycopg2.extras.execute_values equivalent: expand the ``VALUES %s``
-    placeholder into literal row tuples, paged."""
-    if "%s" not in query:
+    placeholder into literal row tuples, paged.
+
+    The placeholder is located with the same ``%%``-is-a-literal rule as
+    :func:`render_query` (a naive str.replace matched the '%s' inside an
+    escaped ``LIKE 'a%%s'`` pattern first and corrupted the query), and
+    since ``execute`` is called without params — so ``render_query``
+    never runs — the ``%%`` collapse happens here.
+    """
+    import re
+    m = re.search(r"(?<!%)(?:%%)*(%s)", query)
+    if m is None:
         raise InterfaceError("query must contain a VALUES %s placeholder")
+    pre = query[:m.start(1)].replace("%%", "%")
+    post = query[m.end(1):].replace("%%", "%")
     rows = list(rows)
     for start in range(0, len(rows), page_size):
         page = rows[start:start + page_size]
         values = ", ".join(
             "(" + ", ".join(render_literal(v) for v in r) + ")"
             for r in page)
-        cur.execute(query.replace("%s", values, 1))
+        cur.execute(pre + values + post)

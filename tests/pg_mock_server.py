@@ -204,6 +204,8 @@ class MiniEngine:
 
     def _select(self, s: str):
         low = s.lower()
+        if low == "select 1":  # connectivity ping
+            return ["?column?"], [(1,)], "SELECT 1"
         if low == "select version()":
             return ["version"], [("PostgreSQL 16.0 (ivtpu mock)",)], \
                 "SELECT 1"
@@ -358,6 +360,7 @@ class MockPgServer:
             sock.sendall(_msg(b"K", struct.pack("!II", os.getpid(), 7)))
             sock.sendall(_msg(b"Z", b"I"))
             portals: dict = {}
+            state = {"tx": False}  # transaction status for ReadyForQuery
             while True:
                 tag = self._recv_exact(sock, 1)
                 (ln,) = struct.unpack("!I", self._recv_exact(sock, 4))
@@ -368,7 +371,7 @@ class MockPgServer:
                 if tag != b"Q":
                     continue
                 sql = payload.rstrip(b"\x00").decode()
-                self._run_query(sock, sql, portals)
+                self._run_query(sock, sql, portals, state)
         except (ConnectionError, OSError):
             pass
 
@@ -443,10 +446,23 @@ class MockPgServer:
         return False
 
     # -- query handling ----------------------------------------------
-    def _run_query(self, sock, sql: str, portals: dict):
+    def _run_query(self, sock, sql: str, portals: dict,
+                   state: dict | None = None):
+        state = state if state is not None else {"tx": False}
         try:
             for stmt in [p for p in _split_top(sql, ";") if p.strip()]:
                 low = stmt.strip().lower()
+                # transaction tracking: the real server reports status
+                # T inside a transaction block in ReadyForQuery — pgwire
+                # derives _in_tx from it, so the mock must track it too
+                if low == "begin":
+                    state["tx"] = True
+                    self._complete(sock, None, [], "BEGIN")
+                    continue
+                if low in ("commit", "rollback"):
+                    state["tx"] = False
+                    self._complete(sock, None, [], low.upper())
+                    continue
                 m = re.match(
                     r'declare\s+"?([\w ]+?)"?\s+no scroll cursor for\s+(.*)',
                     stmt.strip(), re.I | re.S)
@@ -476,7 +492,8 @@ class MockPgServer:
         except Exception as e:  # engine error -> ErrorResponse
             sock.sendall(_msg(b"E", b"SERROR\x00C42601\x00M"
                               + str(e).encode() + b"\x00\x00"))
-        sock.sendall(_msg(b"Z", b"I"))
+            state["tx"] = False  # simplification: no failed-tx state
+        sock.sendall(_msg(b"Z", b"T" if state["tx"] else b"I"))
 
     def _complete(self, sock, cols, rows, tag):
         if cols is not None:

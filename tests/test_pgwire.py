@@ -124,3 +124,71 @@ def test_render_query_percent_escape():
             == "'x' LIKE '%a%' AND 2")
     with pytest.raises(pgwire.InterfaceError):
         rq("SELECT '%%' WHERE a = %s", (1, 2))
+
+
+def test_review_fixes_literal_and_decoder_units():
+    """Round-3 review findings, unit-level: empty arrays render as the
+    castable '{}' (ARRAY[] is untyped and the server rejects it);
+    'infinity' dates fall back to the raw string instead of aborting
+    mid-DataRow and desyncing the wire; numeric decodes to exact
+    Decimal (psycopg2 parity); '+00' timestamptz offsets parse on
+    Python 3.10's stricter fromisoformat."""
+    from decimal import Decimal
+
+    assert pgwire.render_literal([]) == "'{}'"
+    assert pgwire.decode_value(1082, "infinity") == "infinity"
+    assert pgwire.decode_value(1082, "2023-03-20") == dt.date(2023, 3, 20)
+    assert pgwire.decode_value(1700, "0.123456789012345678901") == \
+        Decimal("0.123456789012345678901")
+    ts = pgwire.decode_value(1184, "2026-08-18 00:00:00+00")
+    assert ts == dt.datetime(2026, 8, 18,
+                             tzinfo=dt.timezone.utc)
+
+
+def test_execute_values_placeholder_respects_percent_escape():
+    """A %s inside an escaped LIKE 'a%%s' pattern must not be mistaken
+    for the VALUES placeholder, and %% collapses to % exactly once
+    (execute_values bypasses render_query)."""
+    captured = {}
+
+    class FakeCur:
+        def execute(self, sql):
+            captured["sql"] = sql
+
+    pgwire.execute_values(
+        FakeCur(),
+        "INSERT INTO t SELECT 1 WHERE name LIKE 'a%%s' OR x IN VALUES %s",
+        [(1, 2)])
+    assert captured["sql"] == (
+        "INSERT INTO t SELECT 1 WHERE name LIKE 'a%s' OR x IN "
+        "VALUES (1, 2)")
+
+
+def test_fetchmany_zero_returns_empty():
+    with MockPgServer(auth="trust") as srv:
+        conn = pgwire.connect("127.0.0.1", "db", "u", "",
+                              port=srv.port)
+        with conn.cursor() as cur:
+            cur.execute("SELECT 1")
+            assert cur.fetchmany(0) == []
+            assert cur.fetchmany(1) == [(1,)]
+        conn.close()
+
+
+def test_implicit_transaction_and_rollback():
+    """Plain cursors open an implicit transaction (psycopg2 parity):
+    rollback() after an execute must actually send ROLLBACK — under the
+    old autocommit behavior commit/rollback were silent no-ops."""
+    with MockPgServer(auth="trust") as srv:
+        conn = pgwire.connect("127.0.0.1", "db", "u", "",
+                              port=srv.port)
+        cur = conn.cursor()
+        cur.execute("SELECT 1")
+        assert conn._in_tx            # BEGIN was sent
+        conn.rollback()
+        assert not conn._in_tx
+        # autocommit mode skips the implicit BEGIN
+        conn.autocommit = True
+        cur.execute("SELECT 1")
+        assert not conn._in_tx
+        conn.close()
