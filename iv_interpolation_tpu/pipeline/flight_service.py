@@ -45,6 +45,10 @@ except Exception:  # pragma: no cover - exercised via import guard test
     HAVE_FLIGHT = False
 
 
+# the tick columns do_put requires (validated at the put boundary so a
+# malformed batch errors on the OFFENDING client, not on whichever
+# client later triggers the flush)
+TICK_COLUMNS = ("underlying", "minute", "price", "size")
 TICK_SCHEMA_DOC = ("underlying: utf8, minute: int32, price: float, "
                    "size: float")
 
@@ -61,21 +65,48 @@ class FlightStreamServer(fl.FlightServerBase if HAVE_FLIGHT else object):
 
     def __init__(self, session, host: str = "127.0.0.1", port: int = 0):
         _require_flight()
-        self._location = f"grpc+tcp://{host}:{port}"
-        super().__init__(self._location)
+        super().__init__(f"grpc+tcp://{host}:{port}")
+        # the location must use the RESOLVED port: with the default
+        # port=0 the constructor-time string ends in ':0', which no
+        # client can connect to (list_flights advertised it)
+        self._location = f"grpc+tcp://{host}:{self.port}"
         self.session = session
         self._lock = threading.Lock()
         self._buffer: List = []           # pending (und, minute, price, size)
+        self._buffered_rows = 0           # running count: summing the
+        #                                   list per chunk was O(n^2)
+        #                                   under the lock at 1-row
+        #                                   batches
         self._ingested = 0
 
     # -- ingest --------------------------------------------------------
     def do_put(self, context, descriptor, reader, writer):
         for chunk in reader:
             batch = chunk.data
+            if batch is None:             # metadata-only chunk
+                continue
+            # validate at the boundary: one schema-mismatched or
+            # column-missing batch must error on THIS client — buffered
+            # unvalidated, it either poisoned every later flush (the
+            # bad batch stayed in the buffer after from_batches raised)
+            # or silently discarded every other client's ticks
+            missing = [c for c in TICK_COLUMNS
+                       if c not in batch.schema.names]
+            if missing:
+                raise fl.FlightServerError(
+                    f"tick batch is missing columns {missing}; "
+                    f"expected {TICK_SCHEMA_DOC}")
             with self._lock:
+                if self._buffer and not batch.schema.equals(
+                        self._buffer[0].schema):
+                    # differently-typed batches (float32 vs float64
+                    # price) cannot share one Table; flush the old
+                    # schema's buffer first instead of failing later
+                    self._flush_locked()
                 self._buffer.append(batch)
+                self._buffered_rows += batch.num_rows
                 # flush at ~the JSONL server's default batching depth
-                if sum(b.num_rows for b in self._buffer) >= 10_000:
+                if self._buffered_rows >= 10_000:
                     self._flush_locked()
 
     def _flush_locked(self) -> int:
@@ -84,6 +115,7 @@ class FlightStreamServer(fl.FlightServerBase if HAVE_FLIGHT else object):
         import pandas as pd
         tbl = pa.Table.from_batches(self._buffer)
         self._buffer = []
+        self._buffered_rows = 0
         df = pd.DataFrame({
             "underlying": tbl.column("underlying").to_numpy(
                 zero_copy_only=False),
@@ -97,7 +129,12 @@ class FlightStreamServer(fl.FlightServerBase if HAVE_FLIGHT else object):
 
     # -- results -------------------------------------------------------
     def do_get(self, context, ticket):
-        kind = ticket.ticket.decode()
+        kind = ticket.ticket.decode(errors="replace")
+        # validate BEFORE flushing and refitting: an unknown ticket used
+        # to cost a full device refit under the server lock before the
+        # else branch raised
+        if kind not in ("refit", "surfaces"):
+            raise fl.FlightServerError(f"unknown ticket {kind!r}")
         with self._lock:
             self._flush_locked()
             out = self.session.refit()
@@ -126,8 +163,6 @@ class FlightStreamServer(fl.FlightServerBase if HAVE_FLIGHT else object):
                     "iv": pa.FixedSizeListArray.from_arrays(
                         pa.array(iv.reshape(-1)), m),
                 })
-            else:
-                raise fl.FlightServerError(f"unknown ticket {kind!r}")
         return fl.RecordBatchStream(table)
 
     # -- control -------------------------------------------------------
@@ -135,7 +170,11 @@ class FlightStreamServer(fl.FlightServerBase if HAVE_FLIGHT else object):
         if action.type == "flush":
             with self._lock:
                 n = self._flush_locked()
-            body = {"ok": True, "ingested": n, "total": self._ingested}
+                # total read INSIDE the lock: a concurrent auto-flush
+                # between release and read made the reply a snapshot
+                # that never existed
+                body = {"ok": True, "ingested": n,
+                        "total": self._ingested}
         elif action.type == "stats":
             with self._lock:
                 self._flush_locked()
@@ -191,8 +230,8 @@ def action_json(client, name: str) -> dict:
 def run_serve_flight(config, store, port: int = 8815,
                      n_underlyings: int = 64,
                      blocking: bool = True) -> "FlightStreamServer":
-    """CLI entry (``--task serve --transport flight``): same session
-    bootstrap as the JSONL server, Flight transport in front."""
+    """CLI entry (``--task serve --serve-transport flight``): same
+    session bootstrap as the JSONL server, Flight transport in front."""
     _require_flight()
     from iv_interpolation_tpu.pipeline.serve import build_session
     session, unds = build_session(config, store,

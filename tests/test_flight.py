@@ -101,3 +101,53 @@ def test_flight_matches_jsonl_transport(server, rng):
     finally:
         srv2.stop()
     assert np.isclose(reply["realized_vol"]["btc"], flight_rv, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_flight_robustness_review_fixes(server, rng):
+    """Round-3 review findings: mixed-schema batches must not poison
+    the buffer (float32 then float64 price), a column-missing batch
+    errors on the OFFENDING put, unknown tickets fail fast, and
+    list_flights advertises the RESOLVED port (not ':0')."""
+    import pyarrow as pa
+    import pyarrow.flight as fl
+    client = fl.connect(f"grpc+tcp://127.0.0.1:{server.port}")
+
+    u, m, p, s = _tick_cols(rng, "btc", 50)
+    fs.put_ticks(client, u, m, p, s)                   # float32 price
+    batch64 = pa.record_batch({
+        "underlying": pa.array(["eth"] * 50),
+        "minute": pa.array(np.arange(50, dtype=np.int32)),
+        "price": pa.array(np.full(50, 100.0)),         # float64 price
+        "size": pa.array(np.ones(50)),
+    })
+    writer, _ = client.do_put(fl.FlightDescriptor.for_path("ticks"),
+                              batch64.schema)
+    writer.write_batch(batch64)
+    writer.close()
+    flushed = fs.action_json(client, "flush")          # must not raise
+    assert flushed["ok"] and flushed["total"] == 100
+
+    # missing 'size' errors on THIS put, buffer stays clean
+    bad = pa.record_batch({
+        "underlying": pa.array(["btc"]),
+        "minute": pa.array(np.array([1], np.int32)),
+        "price": pa.array(np.array([100.0], np.float32)),
+    })
+    with pytest.raises(fl.FlightError, match="missing columns"):
+        w, _ = client.do_put(fl.FlightDescriptor.for_path("ticks"),
+                             bad.schema)
+        w.write_batch(bad)
+        w.close()
+    assert fs.action_json(client, "stats")["ok"]       # server healthy
+
+    # unknown ticket fails fast (no refit under the lock first)
+    with pytest.raises(fl.FlightError, match="unknown ticket"):
+        client.do_get(fl.Ticket(b"refits")).read_all()
+
+    # advertised endpoints carry the real bound port
+    infos = list(client.list_flights())
+    locs = [str(loc) for info in infos for ep in info.endpoints
+            for loc in ep.locations]
+    assert locs and all(str(server.port) in loc for loc in locs)
+    client.close()
