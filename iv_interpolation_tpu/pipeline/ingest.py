@@ -192,6 +192,18 @@ def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
     df = df.sort_values(["symbol", "date"]).drop_duplicates(
         subset=["symbol", "date"], keep="last")
     minutes_all = to_epoch_minutes(df["date"])
+    # distinct timestamps inside ONE grid minute (sub-minute feeds) would
+    # emit duplicate (row, pos) scatter coordinates, and the device
+    # scatter declares unique_indices=True — duplicates are undefined
+    # behavior, i.e. silently corrupt grids. Keep the last row per
+    # (symbol, epoch minute), consistent with the timestamp dedup above.
+    dup = pd.DataFrame({
+        "s": df["symbol"].to_numpy(),
+        "m": np.asarray(minutes_all),
+    }).duplicated(["s", "m"], keep="last").to_numpy()
+    if dup.any():
+        df = df[~dup]
+        minutes_all = to_epoch_minutes(df["date"])
 
     per_bucket: Dict[int, List[dict]] = {}
     skipped: Dict[str, str] = {}

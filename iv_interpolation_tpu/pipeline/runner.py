@@ -72,12 +72,19 @@ def _split_by_obs_count(batch: ingest.PackedBatch,
     (``ingest.batch_pad``) with all-masked padding rows, so the split
     does not introduce arbitrary batch dims that defeat the compile
     cache (ADVICE r1)."""
-    counts = np.unique(batch.n_obs[batch.n_obs > 0])
+    # split by the ON-GRID observation count (obs_mask row sums), not the
+    # source n_obs: off-grid or sub-minute-duplicated observations make
+    # the two diverge, and _obs_positions checks grid counts — keyed on
+    # n_obs, one misaligned symbol silently demoted its whole sub-batch
+    # (including perfectly aligned symbols) to the linear fallback
+    grid_counts = np.asarray(batch.obs_mask).sum(axis=1)
+    real = batch.n_obs > 0
+    counts = np.unique(grid_counts[real])
     if len(counts) <= 1:
         return [batch]
     out = []
     for k in counts:
-        rows = np.flatnonzero(batch.n_obs == k)  # real rows only (pad has 0)
+        rows = np.flatnonzero((grid_counts == k) & real)
         B_real = len(rows)
         B = ingest.batch_pad(B_real, max_batch) if max_batch else B_real
         pad = B - B_real
@@ -109,13 +116,15 @@ def _obs_positions(batch: ingest.PackedBatch):
     """(B, k) observation grid positions for a uniform-count batch, plus a
     cleanliness flag (no NaN among the interpolated columns at the
     observations). Padding rows get row 0's positions (outputs masked)."""
-    k = int(batch.n_obs.max())
-    if k < 2:
-        return None, False
     mask = np.asarray(batch.obs_mask)
     counts = mask.sum(axis=1)
     nonempty = counts > 0
-    if not (counts[nonempty] == k).all():
+    if not nonempty.any():
+        return None, False
+    # uniform ON-GRID count (the quantity _split_by_obs_count keys on —
+    # source n_obs can exceed it when observations are off-grid)
+    k = int(counts[nonempty].max())
+    if k < 2 or not (counts[nonempty] == k).all():
         return None, False  # non-uniform (shouldn't happen post-split)
     # one vectorised pass: np.nonzero walks rows in order, and uniform
     # counts make the column index reshape exactly (n_nonempty, k)
@@ -264,6 +273,8 @@ class PipelineRunner:
         if limit:
             symbols = symbols[:limit]
         manifest.initialize_symbols(symbols)
+        manifest.flush()  # pending records must survive an early crash so
+        #                   --resume can re-enqueue the whole run
         if not symbols:
             return manifest.summary()
 
@@ -394,6 +405,8 @@ class PipelineRunner:
         if symbols is None:
             symbols = self.store.list_symbols(st.INTERPOLATED)
         manifest.initialize_symbols(symbols)
+        manifest.flush()  # pending records must survive an early crash so
+        #                   --resume can re-enqueue the whole run
         if not symbols:
             return manifest.summary()
 
@@ -402,10 +415,33 @@ class PipelineRunner:
         # spacing or the staged path diverges from the fused one
         freq = parse_frequency(self.config.interpolation.frequency)
         # column pruning: the bridge needs the numeric grid + identity
-        # columns, not the Greeks/flags written by task 1
-        read_cols = ["symbol", "date"] + list(ingest.ALL_COLS)
+        # columns plus is_interpolated (for raw-coverage price selection),
+        # not the Greeks written by task 1
+        read_cols = ["symbol", "date", "is_interpolated"] \
+            + list(ingest.ALL_COLS)
         if batch_id is not None:
             read_cols.append("batch_id")
+        # the reference's price-source priority rule evaluates coverage
+        # over REAL quotes (ohlcv_converter.py:189-207). The stored
+        # interpolated grid has finite underlying_price on every valid
+        # row by construction, so running select_price_columns on it made
+        # the rule dead here (frac always 1.0) and diverged from the
+        # fused path, which sees pre-fill coverage. Compute the choice
+        # host-side over non-interpolated rows instead.
+        price_choice: Dict[str, int] = {}
+
+        def _choose_price_cols(df: pd.DataFrame) -> None:
+            sub = (df[~df["is_interpolated"].astype(bool)]
+                   if "is_interpolated" in df.columns else df)
+            prio = ["underlying_price", "mark_price", "index_price"]
+            for sym, g in sub.groupby("symbol"):
+                n = max(len(g), 1)
+                fr = [(g[c].notna().sum() / n if c in g.columns else 0.0)
+                      for c in prio]
+                good = [i for i, f in enumerate(fr) if f >= 0.8]
+                anyd = [i for i, f in enumerate(fr) if f > 0.0]
+                pick = good[0] if good else (anyd[0] if anyd else 0)
+                price_choice[sym] = ingest.ALL_COLS.index(prio[pick])
 
         def iter_batches():
             for chunk_syms in self._symbol_chunks(symbols):
@@ -413,6 +449,7 @@ class PipelineRunner:
                                      columns=read_cols)
                 if batch_id is not None and "batch_id" in df.columns:
                     df = df[df["batch_id"] == batch_id]
+                _choose_price_cols(df)
                 packed = ingest.pack_symbols(
                     df, self.config.processing.bucket_sizes,
                     min_points=1,
@@ -446,16 +483,25 @@ class PipelineRunner:
                 values, b_obs_mask, mask = self._device_grids(batch)
                 # interpolated rows are stored post-fill; on the grid they
                 # appear at obs positions (obs_mask), padding in between
+                B_pad = batch.batch_padded
                 filled = tasks.interpolate_batch(
                     values, b_obs_mask, mask,
                     jnp.full((values.shape[0],), jnp.nan, self.dtype),
-                    jnp.zeros((batch.batch,), bool),
+                    # PADDED shape: the real batch size varies per bucket
+                    # and jit caches on every arg's shape, so (batch.batch,)
+                    # forced a 1-2 min recompile per distinct real size
+                    jnp.zeros((B_pad,), bool),
                     method="ffill", compute_greeks=False)
-                price_col = tasks.select_price_columns(values, b_obs_mask)
+                # price columns from the host-side raw-coverage rule (see
+                # _choose_price_cols above)
+                pc = np.zeros(B_pad, np.int32)
+                up = ingest.ALL_COLS.index("underlying_price")
+                pc[:len(batch.symbols)] = [
+                    price_choice.get(s, up) for s in batch.symbols]
+                price_col = jnp.asarray(pc)
                 # one deterministic key per symbol name hash — order-free
                 # and process-stable (CRC32, not salted hash()); padded
                 # rows (batch dim is shape-padded) get a dummy key
-                B_pad = batch.batch_padded
                 hashes = [symbol_fold(s) for s in batch.symbols]
                 hashes += [0] * (B_pad - len(hashes))
                 keys = jax.vmap(jax.random.fold_in, (None, 0))(
@@ -547,17 +593,34 @@ class PipelineRunner:
         if symbols is None:
             symbols = self.store.list_symbols(st.MINUTE_CANDLES)
         manifest.initialize_symbols(symbols)
+        manifest.flush()  # pending records must survive an early crash so
+        #                   --resume can re-enqueue the whole run
         if not symbols:
             return manifest.summary()
 
         freq = parse_frequency(cfg.target_frequency)
         src_freq = parse_frequency(cfg.source_frequency)
+        interp_freq = parse_frequency(self.config.interpolation.frequency)
+        if src_freq != interp_freq:
+            # the bridge writes MINUTE_CANDLES at interpolation.frequency
+            # spacing; a disagreeing source_frequency makes every target
+            # bucket hold fewer bars than min_candles_required and the
+            # run 'completes' with zero output rows — warn loudly
+            self.log.warning(
+                "candle_reconstruction.source_frequency=%s but the bridge "
+                "writes %s-spaced candles (interpolation.frequency) — "
+                "if MINUTE_CANDLES came from the bridge, buckets will be "
+                "mostly empty", cfg.source_frequency,
+                self.config.interpolation.frequency)
         created_at = pd.Timestamp.now()
 
         def iter_batches():
             for chunk_syms in self._symbol_chunks(symbols):
                 df = self.store.read(st.MINUTE_CANDLES, symbols=chunk_syms)
-                yield from self._pack_candles(df, src_freq)
+                batches, skipped = self._pack_candles(df, src_freq)
+                for sym, reason in skipped.items():
+                    manifest.skip_symbol(sym, reason)
+                yield from batches
 
         for batch in iter_batches():
             if self.stop_requested:
@@ -641,15 +704,35 @@ class PipelineRunner:
         manifest.flush()
         return manifest.summary()
 
-    def _pack_candles(self, df: pd.DataFrame, src_freq: int
-                      ) -> List[ingest.PackedBatch]:
-        """Scatter per-symbol 1-min candles onto padded dense grids."""
+    def _pack_candles(self, df: pd.DataFrame, src_freq: int):
+        """Scatter per-symbol 1-min candles onto padded dense grids.
+
+        Returns (batches, skipped) — skipped maps symbol -> reason for
+        symbols that cannot be packed (e.g. timeline beyond the largest
+        bucket); a bare drop left them 'pending' forever, fruitlessly
+        re-enqueued by every --resume."""
+        skipped: Dict[str, str] = {}
         if df.empty:
-            return []
+            return [], skipped
         cols = ("open", "high", "low", "close", "volume")
         df = df.sort_values(["symbol", "timestamp"]).drop_duplicates(
             subset=["symbol", "timestamp"], keep="last")
-        minutes_all = ingest.to_epoch_minutes(df["timestamp"]) // src_freq
+        # collapse candles sharing one src-interval slot (stored spacing
+        # finer than source_frequency): duplicate (row, pos) coordinates
+        # are undefined under the device scatter's unique_indices=True
+        slots = np.asarray(
+            ingest.to_epoch_minutes(df["timestamp"])) // src_freq
+        dup = pd.DataFrame({
+            "s": df["symbol"].to_numpy(), "m": slots,
+        }).duplicated(["s", "m"], keep="last").to_numpy()
+        if dup.any():
+            self.log.warning(
+                "candles: %d bars share a %d-min source slot with a later "
+                "bar (stored spacing finer than source_frequency?) — "
+                "keeping the last per slot", int(dup.sum()), src_freq)
+            df = df[~dup]
+            slots = slots[~dup]
+        minutes_all = slots
         out: List[ingest.PackedBatch] = []
         per_bucket: Dict[int, List[dict]] = {}
         for symbol, idx in df.groupby("symbol", sort=True).indices.items():
@@ -659,6 +742,9 @@ class PipelineRunner:
             bucket = ingest.choose_bucket(
                 L, self.config.processing.bucket_sizes)
             if bucket is None:
+                skipped[symbol] = (
+                    f"candle timeline {L} src intervals exceeds the "
+                    f"largest bucket")
                 continue
             per_bucket.setdefault(bucket, []).append(
                 dict(symbol=symbol, obs=obs, sub=sub, L=L))
@@ -696,7 +782,7 @@ class PipelineRunner:
                     bucket_len=bucket, symbols=syms, t0_minutes=t0,
                     valid_len=vlen, n_obs=n_obs, columns=cols,
                     obs_vals=obs_vals, obs_row=obs_row, obs_pos=obs_pos))
-        return out
+        return out, skipped
 
     @staticmethod
     def _unpack_aggregated(batch: ingest.PackedBatch, agg, freq: int,
@@ -764,6 +850,7 @@ class PipelineRunner:
             symbols = symbols[:limit]
         for m in manifests.values():
             m.initialize_symbols(symbols)
+            m.flush()  # --resume must see pending records even after an early crash
         if not symbols:
             return {"task1": manifests["interpolation"].summary(),
                     "bridge": manifests["bridge"].summary(),
@@ -821,17 +908,27 @@ class PipelineRunner:
 
         def drain(limit: int) -> None:
             while len(inflight) > limit:
-                syms, futs = inflight.pop(0)
+                syms, futs, record_completions = inflight.pop(0)
+                ok = True
                 for f in futs:
                     try:
                         f.result()
                     except Exception as e:  # noqa: BLE001
+                        ok = False
                         self.log.exception("async write failed")
                         for sym in syms:
                             for m in manifests.values():
                                 m.error_symbol(sym,
                                                f"async write failed: {e}")
                         break
+                if ok:
+                    # manifests record 'completed' only AFTER the writes
+                    # land: recording at submit time let a crash between
+                    # manifest flush and the parquet write mark symbols
+                    # completed with no rows — --resume then skipped them
+                    # forever. Crashing between land and record errs the
+                    # safe way (re-run; writes are idempotent upserts).
+                    record_completions()
 
         def dispatch(batch):
             """Device phase: enqueue all three stages WITHOUT blocking —
@@ -937,9 +1034,16 @@ class PipelineRunner:
 
         def complete_one():
             batch, dev, t0 = pending.popleft()
+            # the pre-dispatched arrays are consumed by the FIRST attempt
+            # only: async device errors surface inside finish() at
+            # block_until_ready, so retrying against the same arrays just
+            # replays the failure — retries must re-dispatch
+            cell = {"dev": dev}
 
-            def closure(batch=batch, dev=dev):
-                d = dev if dev is not None else dispatch(batch)
+            def closure(batch=batch):
+                d = cell.pop("dev", None)
+                if d is None:
+                    d = dispatch(batch)
                 return finish(batch, d)
 
             with self.metrics.step(f"fused/L{batch.bucket_len}",
@@ -952,6 +1056,36 @@ class PipelineRunner:
                         m.error_symbol(sym, str(err), time.time() - t0)
                 return
             interp_df, candle_df, recon_df, failed = result
+            dt = time.time() - t0
+            per = {
+                "interpolation": (interp_df.groupby("symbol").size()
+                                  if len(interp_df) else pd.Series(dtype=int)),
+                "bridge": (candle_df.groupby("symbol").size()
+                           if len(candle_df) else pd.Series(dtype=int)),
+                "candles": (recon_df.groupby("symbol").size()
+                            if len(recon_df) else pd.Series(dtype=int)),
+            }
+
+            def record_completions(batch=batch, per=per, failed=failed,
+                                   dt=dt):
+                for i, sym in enumerate(batch.symbols):
+                    n_in = int(batch.n_obs[i])
+                    manifests["interpolation"].complete_symbol(
+                        sym, n_in, int(per["interpolation"].get(sym, 0)),
+                        dt / batch.batch)
+                    if sym in failed:
+                        manifests["bridge"].error_symbol(
+                            sym, failed[sym], dt / batch.batch)
+                        manifests["candles"].error_symbol(
+                            sym, failed[sym], dt / batch.batch)
+                        continue
+                    manifests["bridge"].complete_symbol(
+                        sym, int(per["interpolation"].get(sym, 0)),
+                        int(per["bridge"].get(sym, 0)), dt / batch.batch)
+                    manifests["candles"].complete_symbol(
+                        sym, int(per["bridge"].get(sym, 0)),
+                        int(per["candles"].get(sym, 0)), dt / batch.batch)
+
             drain(0)  # previous write-set must land before queueing more
             inflight.append((list(batch.symbols), [
                 writer.submit(self.store.write, st.INTERPOLATED, interp_df,
@@ -962,51 +1096,33 @@ class PipelineRunner:
                 writer.submit(self.store.write, st.RECONSTRUCTED, recon_df,
                               upsert_keys=["symbol", "timestamp",
                                            "frequency"]),
-            ]))
-            dt = time.time() - t0
-            per = {
-                "interpolation": (interp_df.groupby("symbol").size()
-                                  if len(interp_df) else pd.Series(dtype=int)),
-                "bridge": (candle_df.groupby("symbol").size()
-                           if len(candle_df) else pd.Series(dtype=int)),
-                "candles": (recon_df.groupby("symbol").size()
-                            if len(recon_df) else pd.Series(dtype=int)),
-            }
-            for i, sym in enumerate(batch.symbols):
-                n_in = int(batch.n_obs[i])
-                manifests["interpolation"].complete_symbol(
-                    sym, n_in, int(per["interpolation"].get(sym, 0)),
-                    dt / batch.batch)
-                if sym in failed:
-                    manifests["bridge"].error_symbol(sym, failed[sym],
-                                                     dt / batch.batch)
-                    manifests["candles"].error_symbol(sym, failed[sym],
-                                                      dt / batch.batch)
-                    continue
-                manifests["bridge"].complete_symbol(
-                    sym, int(per["interpolation"].get(sym, 0)),
-                    int(per["bridge"].get(sym, 0)), dt / batch.batch)
-                manifests["candles"].complete_symbol(
-                    sym, int(per["bridge"].get(sym, 0)),
-                    int(per["candles"].get(sym, 0)), dt / batch.batch)
+            ], record_completions))
 
-        for batch in iter_batches():
-            if self.stop_requested:
-                break
-            t0 = time.time()
-            try:
-                dev = dispatch(batch)
-            except Exception:  # noqa: BLE001 — retried with fresh dispatch
-                dev = None
-            pending.append((batch, dev, t0))
-            while len(pending) >= 2:
+        try:
+            for batch in iter_batches():
+                if self.stop_requested:
+                    break
+                t0 = time.time()
+                try:
+                    dev = dispatch(batch)
+                except Exception:  # noqa: BLE001 — retried, fresh dispatch
+                    dev = None
+                pending.append((batch, dev, t0))
+                while len(pending) >= 2:
+                    complete_one()
+            while pending:
                 complete_one()
-        while pending:
-            complete_one()
-        drain(0)
-        writer.shutdown(wait=True)
-        for m in manifests.values():
-            m.flush()
+        finally:
+            # an exception anywhere above (store.read, pack_symbols, ...)
+            # must still land in-flight writes, stop the writer thread and
+            # flush buffered manifest events — otherwise --resume sees a
+            # truncated (or, for short runs, empty) manifest
+            try:
+                drain(0)
+            finally:
+                writer.shutdown(wait=True)
+                for m in manifests.values():
+                    m.flush()
         self.metrics.snapshot(
             f"fused_{manifests['interpolation'].batch_id}")
         return {

@@ -742,3 +742,69 @@ def test_bridge_batch_id_filter(cfg):
     assert res["by_status"].get("completed", 0) == 0
     res = runner.run_bridge(batch_id=s1["batch_id"])
     assert res["by_status"].get("completed") == 2
+
+
+def test_cubic_split_keys_on_grid_counts(cfg):
+    """Round-3 review finding: _split_by_obs_count keyed on SOURCE n_obs
+    while _obs_positions checks ON-GRID counts, so one symbol with an
+    off-grid observation silently demoted its whole sub-batch (including
+    aligned symbols) to the linear fallback. Split on grid counts and
+    both sub-batches take the uniform cubic path."""
+    from iv_interpolation_tpu.pipeline import ingest
+    from iv_interpolation_tpu.pipeline.runner import (_obs_positions,
+                                                      _split_by_obs_count)
+
+    base = pd.Timestamp("2023-03-20")
+    rows = []
+    for sym, offsets in (
+            ("aligned", [0, 60, 120, 180, 240]),       # all on 1-min grid
+            ("offgrid", [0, 60, 90, 120, 180, 240])):  # 90s falls off a
+        #                                          5-min grid (freq below)
+        for off in offsets:
+            rows.append(dict(symbol=sym, date=base + pd.Timedelta(
+                minutes=off), iv=0.5, underlying_price=100.0,
+                time_to_maturity=0.1))
+    df = pd.DataFrame(rows)
+    packed = ingest.pack_symbols(df, [64], min_points=2,
+                                 max_span_days=30,
+                                 max_timeline_points=100_000,
+                                 freq_minutes=60, compact=False)
+    assert len(packed.batches) == 1
+    subs = _split_by_obs_count(packed.batches[0])
+    # BOTH symbols have 5 on-grid observations (offgrid's 90-min tick is
+    # dropped from the grid), so they share ONE uniform sub-batch and
+    # the cubic fast path applies to both — under the old n_obs split
+    # the offgrid symbol landed in a k=6 sub-batch whose _obs_positions
+    # check failed, demoting it to linear
+    assert len(subs) == 1
+    pos, clean = _obs_positions(subs[0])
+    assert pos is not None and clean
+
+
+def test_pack_symbols_dedupes_same_minute_rows(cfg):
+    """Two DISTINCT timestamps inside one epoch minute must collapse to
+    one observation: duplicate (row, pos) coordinates are undefined
+    under the device scatter's unique_indices=True (round-3 review
+    finding). The last row per minute wins, like the timestamp dedup."""
+    from iv_interpolation_tpu.pipeline import ingest
+
+    base = pd.Timestamp("2023-03-20")
+    rows = []
+    for sec, iv in ((10, 0.4), (50, 0.6)):   # same minute, two ticks
+        rows.append(dict(symbol="s", date=base + pd.Timedelta(seconds=sec),
+                         iv=iv, underlying_price=100.0,
+                         time_to_maturity=0.1))
+    rows.append(dict(symbol="s", date=base + pd.Timedelta(minutes=2),
+                     iv=0.5, underlying_price=100.0,
+                     time_to_maturity=0.1))
+    packed = ingest.pack_symbols(pd.DataFrame(rows), [64], min_points=2,
+                                 max_span_days=30,
+                                 max_timeline_points=100_000,
+                                 freq_minutes=1, compact=True)
+    b = packed.batches[0]
+    real = b.obs_row < len(b.symbols)
+    coords = list(zip(b.obs_row[real].tolist(), b.obs_pos[real].tolist()))
+    assert len(coords) == len(set(coords))   # unique scatter coordinates
+    assert len(coords) == 2                  # minute collapsed to 1 obs
+    iv_col = b.obs_vals[real][:, 0]
+    assert iv_col[0] == np.float32(0.6)      # last tick of the minute won
