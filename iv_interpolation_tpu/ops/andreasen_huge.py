@@ -419,8 +419,10 @@ def _invert_w(c: jax.Array, k: jax.Array, max_iters: int = 64,
 
 
 def _price_space_density(c: jax.Array, x: jax.Array) -> jax.Array:
-    """Discrete risk-neutral density 2 * d^2C/dK^2 on K = e^x (divided
+    """Discrete risk-neutral density d^2C/dK^2 on K = e^x (divided
     differences on the non-uniform K grid); >= 0 iff butterfly-free.
+    Same scale as :func:`_step_identity_density` (scale-parity test in
+    tests/test_andreasen_huge.py).
     Shape: c (..., n), x (..., n) -> (..., n-2) interior columns.
 
     CONDITIONING WARNING: second divided differences divide f32 price
@@ -441,7 +443,7 @@ def _step_identity_density(c: jax.Array, c_prev: jax.Array,
     """Discrete density via the step identity — f32-safe.
 
     From (I - dt*A)c = c_prev: A c = (c - c_prev)/dt, and A is
-    (sigma^2 K^2/2) d^2/dK^2, so 2*d^2C/dK^2 = 4 (c - c_prev) /
+    (sigma^2 K^2/2) d^2/dK^2, so d^2C/dK^2 = 2 (c - c_prev) /
     (dt sigma^2 K^2). A difference of NEARBY CURVES (error ~ f32 eps of
     the price scale) replaces second differences over h_K^2 (error
     amplified ~1e5x on the ITM wing — measured min g of -3.5 in f32
@@ -449,7 +451,7 @@ def _step_identity_density(c: jax.Array, c_prev: jax.Array,
     the PDE; callers drop them. Shapes: all (..., n); dt broadcasts."""
     K2 = jnp.exp(2.0 * x)
     denom = jnp.maximum(dt * sig2 * K2, 1e-12)
-    return 4.0 * (c - c_prev) / denom
+    return 2.0 * (c - c_prev) / denom
 
 
 @partial(jax.jit, static_argnames=("n_grid", "n_iters"))
@@ -465,10 +467,12 @@ def fit_eval_ah_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     ``calendar_ok``, ``fit_rmse``. Two deliberate differences, both from
     the price-space construction:
 
-      * ``g`` is the discrete risk-neutral DENSITY 2*d^2C/dK^2 on the
-        grid interior (zero at the two boundary-condition columns), not
-        the Gatheral butterfly function — same sign test (>= 0 iff
-        butterfly-free), different scale. It comes from the f32-safe
+      * ``g`` is the discrete risk-neutral DENSITY d^2C/dK^2 in STRIKE
+        space (unit forward, K = e^k) on the grid interior — zero at
+        the two boundary-condition columns — not the Gatheral butterfly
+        function; same sign test (>= 0 iff butterfly-free), different
+        scale and measure. The log-moneyness density other methods
+        report is ``exp(k_grid) * g``. It comes from the f32-safe
         step identity (:func:`_step_identity_density`), not from
         second differences of the price curves;
       * the flags are computed in PRICE space (the step identity IS

@@ -96,6 +96,18 @@ class FlightStreamServer(fl.FlightServerBase if HAVE_FLIGHT else object):
                 raise fl.FlightServerError(
                     f"tick batch is missing columns {missing}; "
                     f"expected {TICK_SCHEMA_DOC}")
+            # types too: a wrong-typed batch (e.g. utf8 minute) would
+            # otherwise buffer fine and only fail inside _flush_locked —
+            # possibly during ANOTHER client's put/get, the exact
+            # cross-client failure this boundary exists to prevent
+            import pyarrow as pa
+            for col in ("minute", "price", "size"):
+                typ = batch.schema.field(col).type
+                if not (pa.types.is_integer(typ)
+                        or pa.types.is_floating(typ)):
+                    raise fl.FlightServerError(
+                        f"tick column {col!r} has non-numeric type "
+                        f"{typ}; expected {TICK_SCHEMA_DOC}")
             with self._lock:
                 if self._buffer and not batch.schema.equals(
                         self._buffer[0].schema):

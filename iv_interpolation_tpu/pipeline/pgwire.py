@@ -397,6 +397,21 @@ class Connection:
         self.autocommit = False
         self.closed = False
         self._startup(database, user, password)
+        # _quote_string renders literals assuming doubled-quote-only
+        # escaping; with standard_conforming_strings=off (legacy servers
+        # / misconfiguration) backslashes in client-rendered strings
+        # change meaning — an escaping/injection hazard. The server
+        # reports the setting via ParameterStatus during startup; fix
+        # the session rather than refuse (one SET, reported back as a
+        # new ParameterStatus that _simple_query records).
+        if self.parameters.get("standard_conforming_strings") == "off":
+            self._simple_query("SET standard_conforming_strings = on")
+            if self.parameters.get(
+                    "standard_conforming_strings") == "off":
+                self.close()
+                raise InterfaceError(
+                    "server rejects standard_conforming_strings=on; "
+                    "client-side literal quoting would be unsafe")
         # the timeout guards only connection establishment + auth
         # (psycopg2 semantics): long statements — CREATE INDEX
         # CONCURRENTLY, COUNT(*) over 32M-row tables — must not hit a
@@ -513,12 +528,15 @@ class Connection:
                 if error is None:
                     error = InterfaceError(
                         "COPY is not supported by this driver")
+            elif tag == b"S":          # ParameterStatus (SET, reloads)
+                k, v = payload.split(b"\x00")[:2]
+                self.parameters[k.decode()] = v.decode()
             elif tag == b"Z":          # ReadyForQuery
                 self._in_tx = payload[:1] in (b"T", b"E")
                 if error is not None:
                     raise error
                 return desc, rows, tag_txt
-            # I (EmptyQueryResponse), N (notice), S: ignore
+            # I (EmptyQueryResponse), N (notice): ignore
 
     # -- DB-API surface ----------------------------------------------
     def cursor(self, name: Optional[str] = None) -> Cursor:

@@ -419,8 +419,14 @@ class PostgresStore:
                         pass
                     out[key] = False
 
+            # IF NOT EXISTS keeps the probe idempotent: a prior probe
+            # that crashed between create and drop would otherwise make
+            # every later probe report create_table=False despite the
+            # permission existing (and the leftover would never be
+            # cleaned up) — round-3 advisor finding
             attempt("create_table",
-                    'CREATE TABLE "ivtpu_probe" ("x" INTEGER)',
+                    'CREATE TABLE IF NOT EXISTS "ivtpu_probe" '
+                    '("x" INTEGER)',
                     'DROP TABLE IF EXISTS "ivtpu_probe"')
             attempt("pg_stat_access",
                     "SELECT COUNT(*) FROM pg_stat_user_tables")

@@ -288,8 +288,18 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
             if scfg.compute_local_vol:
                 # the AH model's local vol is its own calibration
                 # product (exact, no Dupire extraction; already in the
-                # fused output) and its 'g' IS the risk-neutral density
-                res_all = {**res_all, "density": res_all["g"]}
+                # fused output). Its 'g' is the STRIKE-space density
+                # d2C/dK2; every other method persists the
+                # LOG-MONEYNESS Breeden-Litzenberger density, so convert
+                # measures (p(k) = K * d2C/dK2, K = e^k on the unit
+                # forward) before writing the shared 'density' column.
+                # The two boundary-condition columns carry no PDE row
+                # (g padded with 0 there) -> persist NaN, not a
+                # fabricated zero density (round-3 advisor finding).
+                p_k = jnp.exp(res_all["k_grid"]) * res_all["g"]
+                interior = jnp.zeros_like(p_k, bool).at[..., 1:-1].set(True)
+                res_all = {**res_all,
+                           "density": jnp.where(interior, p_k, jnp.nan)}
                 keys += ["local_vol", "density"]
             results = [
                 {key: res_all[key][b:b + 1] for key in keys}

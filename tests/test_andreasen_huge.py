@@ -315,3 +315,21 @@ def test_normalized_call_limits():
     # zero variance -> intrinsic exactly
     c0 = np.asarray(normalized_call(k, jnp.zeros(3)))
     np.testing.assert_allclose(c0, np.maximum(1 - np.exp(np.asarray(k)), 0))
+
+
+def test_density_diagnostics_scale_parity():
+    """The step-identity density and the divided-difference density
+    measure the SAME quantity, d2C/dK2: (I - dt*A)c = c_prev gives
+    A c = (c - c_prev)/dt exactly, and A's interior rows ARE the
+    divided differences times sig2 K^2/2 — so at x64 the two must agree
+    to rounding on interior columns (round-3 advisor: they disagreed by
+    exactly 2x before the convention fix)."""
+    k, iv, T = _chain()
+    out = fit_eval_ah_surface(jnp.asarray(k), jnp.asarray(iv),
+                              jnp.asarray(T), n_grid=129, n_iters=12)
+    c = out["fit"].c                                   # (B, E, n)
+    x = jnp.broadcast_to(out["fit"].x[:, None, :], c.shape)
+    dd = np.asarray(_price_space_density(c, x))        # (B, E, n-2)
+    g_int = np.asarray(out["g"])[..., 1:-1]            # same columns
+    scale = np.abs(dd).max()
+    np.testing.assert_allclose(g_int, dd, rtol=1e-6, atol=1e-9 * scale)

@@ -199,7 +199,10 @@ def test_surface_task_local_vol_columns(tmp_path):
 
 def test_surface_task_ah_local_vol_columns(tmp_path):
     """method='ah' + compute_local_vol persists the model's OWN local
-    vol (exact calibration product) and its price-space density."""
+    vol (exact calibration product) and the log-moneyness
+    Breeden-Litzenberger density (converted from the model's
+    strike-space d2C/dK2 so the 'density' column means the same thing
+    for every smile_method — round-3 advisor finding)."""
     import numpy as np
     from iv_interpolation_tpu.pipeline.surface_task import (SURFACES,
                                                             run_surface_fit)
@@ -228,6 +231,10 @@ def test_surface_task_ah_local_vol_columns(tmp_path):
     assert df["butterfly_ok"].all() and df["calendar_ok"].all()
     # density >= 0 up to the documented f32/f64 price tolerance
     assert df["density"].min() > -1e-10
+    # the two boundary-condition grid columns carry no PDE row: they
+    # persist NaN, never a fabricated zero density
+    assert df["density"].isna().any()
+    assert np.isfinite(df["density"]).sum() > 0
 
 
 def test_parquet_parts_and_compaction(tmp_path):
