@@ -216,7 +216,9 @@ def main(argv=None) -> int:
         config.storage.backend = args.storage
     if args.data_root:
         config.storage.root = args.data_root
-    setup_logging(config.monitoring.log_dir, config.processing.log_level)
+    if config.processing.enable_logging:
+        setup_logging(config.monitoring.log_dir,
+                      config.processing.log_level)
 
     from iv_interpolation_tpu.pipeline import PipelineRunner, RunManifest
     from iv_interpolation_tpu.pipeline import storage as st

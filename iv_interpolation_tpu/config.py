@@ -62,12 +62,21 @@ class ProcessingConfig:
     # reference's streaming cursors, optimized_connection.py:113-129);
     # 0 = read all requested symbols at once
     read_chunk_symbols: int = 2048
+    # pipeline data-parallel mesh (parallel.mesh.pipeline_mesh): bucket
+    # batches shard their symbol dim over the first axis — the TPU form
+    # of the reference's ProcessPoolExecutor fan-out. None -> all
+    # visible devices (single device -> no sharding, transparently)
     mesh_shape: Optional[tuple] = None  # None -> (num_devices,)
     mesh_axis_names: tuple = ("data",)
-    donate_buffers: bool = True
+    # (no donate_buffers knob: buffer donation is structural where it is
+    # correct — the streaming ring updates, pipeline/ringbuffer.py:70 —
+    # and a config switch for it would be decorative, the reference
+    # defect class SURVEY §2.1.5 guards against)
     dtype: str = "float32"  # device compute dtype ('float32'|'bfloat16')
-    parity_dtype: str = "float64"  # oracle/parity dtype (CPU x64 mode)
-    enable_logging: bool = True
+    # (no parity_dtype knob: the f64 oracle dtype is the TEST SUITE's
+    # x64 configuration — tests/conftest.py — not a production setting;
+    # declaring it here was decorative, SURVEY §2.1.5)
+    enable_logging: bool = True  # cli: skip setup_logging when False
     log_level: str = "INFO"
 
 

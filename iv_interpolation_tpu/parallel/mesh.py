@@ -46,6 +46,27 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
+def pipeline_mesh(mesh_shape: Optional[Sequence[int]],
+                  axis_names: Sequence[str] = ("data",)) -> Optional[Mesh]:
+    """The production pipeline's mesh from the config knobs
+    (``processing.mesh_shape`` / ``mesh_axis_names``), or ``None`` when
+    sharding would be a no-op.
+
+    ``mesh_shape=None`` auto-sizes to every visible device (the TPU
+    analogue of the reference defaulting max_workers to the host's
+    cores, config_production.py:45); an explicit shape pins the layout.
+    A single visible device — the common CLI case on this box — returns
+    ``None`` so the runner skips device_put sharding entirely."""
+    n_dev = len(jax.devices())
+    if mesh_shape is None:
+        if n_dev == 1:
+            return None
+        mesh_shape = (n_dev,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(tuple(mesh_shape))) == 1:
+        return None
+    return make_mesh(tuple(mesh_shape), tuple(axis_names))
+
+
 def surface_batch_sharding(mesh: Mesh, shard_expiries: bool = False):
     """NamedSharding for (B, E, n) surface-batch arrays: B over 'data',
     optionally E over 'slice'."""

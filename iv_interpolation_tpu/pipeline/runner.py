@@ -163,6 +163,17 @@ class PipelineRunner:
                          "bfloat16": np.float32}[config.processing.dtype]
         self.dtype = {"float32": jnp.float32, "float64": jnp.float64,
                       "bfloat16": jnp.bfloat16}[config.processing.dtype]
+        # device mesh for pipeline-level data parallelism: bucket batches
+        # shard their symbol (batch) dim over processing.mesh_shape /
+        # mesh_axis_names — the TPU realisation of the reference's
+        # ProcessPoolExecutor symbol fan-out (batch_processor.py:234-239).
+        # None (single device / trivial shape) -> unsharded, transparently
+        from iv_interpolation_tpu.parallel.mesh import pipeline_mesh
+        self.mesh = pipeline_mesh(config.processing.mesh_shape,
+                                  config.processing.mesh_axis_names)
+        if self.mesh is not None:
+            self.log.info("pipeline mesh: shape=%s axes=%s",
+                          dict(self.mesh.shape), self.mesh.axis_names)
         # cooperative stop flag, checked between bucket batches (the
         # reference checked a SIGINT flag between symbols,
         # complete_pipeline.py:52-58); unfinished symbols stay 'pending'
@@ -195,18 +206,45 @@ class PipelineRunner:
         for lo in range(0, len(symbols), n):
             yield symbols[lo:lo + n]
 
+    def _shard_rows(self, *arrays):
+        """Place batch-major arrays with dim 0 (the symbol/batch dim)
+        sharded over the mesh's first axis. Transparent fallbacks: no
+        mesh -> unchanged; a batch dim not divisible by the axis size
+        (tiny tail batches below the padding schedule) -> that array
+        stays unsharded rather than failing. Everything downstream is
+        per-row math, so jit compiles the same program SPMD across the
+        shards — no collectives, exactly the reference's embarrassingly
+        parallel symbol fan-out."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ax = self.mesh.axis_names[0]
+        n = self.mesh.shape[ax]
+        out = []
+        for a in arrays:
+            if a is not None and a.ndim >= 1 and a.shape[0] >= n \
+                    and a.shape[0] % n == 0:
+                spec = P(*((ax,) + (None,) * (a.ndim - 1)))
+                a = jax.device_put(a, NamedSharding(self.mesh, spec))
+            out.append(a)
+        return out if len(out) > 1 else out[0]
+
     def _device_grids(self, batch: ingest.PackedBatch):
-        """(values, obs_mask, timeline_mask) on device. Compact batches
-        scatter on device (tasks.scatter_batch) — the host never
-        materialises or ships the mostly-empty grid."""
+        """(values, obs_mask, timeline_mask) on device, batch dim sharded
+        over the pipeline mesh. Compact batches scatter on device
+        (tasks.scatter_batch) — the host never materialises or ships the
+        mostly-empty grid; the scatter output is then resharded once
+        (cheap relative to the grid compute it feeds)."""
         if batch.values is not None:
-            return (jnp.asarray(batch.values), jnp.asarray(batch.obs_mask),
-                    jnp.asarray(batch.timeline_mask))
-        return tasks.scatter_batch(
+            return self._shard_rows(
+                jnp.asarray(batch.values), jnp.asarray(batch.obs_mask),
+                jnp.asarray(batch.timeline_mask))
+        grids = tasks.scatter_batch(
             jnp.asarray(batch.obs_vals), jnp.asarray(batch.obs_row),
             jnp.asarray(batch.obs_pos), jnp.asarray(batch.valid_len),
             B=batch.batch_padded, C=len(batch.columns),
             L=batch.bucket_len)
+        return self._shard_rows(*grids)
 
     @staticmethod
     def _quality_failures(symbols, ok_rows, reason: str) -> Dict[str, str]:
@@ -347,9 +385,11 @@ class PipelineRunner:
                             batch.bucket_len)
                         method, obs_pos = "linear", None
                 values, obs_mask, timeline_mask = self._device_grids(batch)
+                strike, callput_dev, obs_pos = self._shard_rows(
+                    strike, jnp.asarray(callput), obs_pos)
                 out = tasks.interpolate_batch(
                     values, obs_mask, timeline_mask,
-                    strike, jnp.asarray(callput),
+                    strike, callput_dev,
                     method=method, max_gap_minutes=max_gap,
                     compute_greeks=cfg.compute_greeks,
                     extrapolate=cfg.extrapolate,
@@ -486,11 +526,12 @@ class PipelineRunner:
                 B_pad = batch.batch_padded
                 filled = tasks.interpolate_batch(
                     values, b_obs_mask, mask,
-                    jnp.full((values.shape[0],), jnp.nan, self.dtype),
+                    self._shard_rows(
+                        jnp.full((values.shape[0],), jnp.nan, self.dtype)),
                     # PADDED shape: the real batch size varies per bucket
                     # and jit caches on every arg's shape, so (batch.batch,)
                     # forced a 1-2 min recompile per distinct real size
-                    jnp.zeros((B_pad,), bool),
+                    self._shard_rows(jnp.zeros((B_pad,), bool)),
                     method="ffill", compute_greeks=False)
                 # price columns from the host-side raw-coverage rule (see
                 # _choose_price_cols above)
@@ -498,14 +539,15 @@ class PipelineRunner:
                 up = ingest.ALL_COLS.index("underlying_price")
                 pc[:len(batch.symbols)] = [
                     price_choice.get(s, up) for s in batch.symbols]
-                price_col = jnp.asarray(pc)
+                price_col = self._shard_rows(jnp.asarray(pc))
                 # one deterministic key per symbol name hash — order-free
                 # and process-stable (CRC32, not salted hash()); padded
                 # rows (batch dim is shape-padded) get a dummy key
                 hashes = [symbol_fold(s) for s in batch.symbols]
                 hashes += [0] * (B_pad - len(hashes))
-                keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                    root_key, jnp.asarray(hashes))
+                keys = self._shard_rows(
+                    jax.vmap(jax.random.fold_in, (None, 0))(
+                        root_key, jnp.asarray(hashes)))
                 ohlcv = tasks.bridge_batch(
                     filled["filled"], filled["valid"] & b_obs_mask,
                     keys, params=params, price_col=price_col,
@@ -630,8 +672,9 @@ class PipelineRunner:
             def process(batch=batch):
                 # t0_minutes is in src-interval units; epoch minute of grid
                 # slot j is (t0 + j) * src_freq
-                minutes = (jnp.asarray(batch.t0_minutes)[:, None]
-                           + jnp.arange(batch.bucket_len)[None, :]) * src_freq
+                minutes = self._shard_rows(
+                    (jnp.asarray(batch.t0_minutes)[:, None]
+                     + jnp.arange(batch.bucket_len)[None, :]) * src_freq)
                 values, b_obs_mask, _ = self._device_grids(batch)
                 grids = {c: values[:, j]
                          for j, c in enumerate(batch.columns)}
@@ -650,7 +693,8 @@ class PipelineRunner:
                             if s in failed:
                                 sym_ok[i] = False
                         valid_in = valid_in & jnp.asarray(sym_ok)[:, None]
-                base_bucket = jnp.asarray(batch.t0_minutes) * src_freq // freq
+                base_bucket = self._shard_rows(
+                    jnp.asarray(batch.t0_minutes) * src_freq // freq)
                 # ceil so a misaligned t0 keeps its trailing partial bucket
                 # (filtered only by min_count, not silently dropped)
                 num_segments = (batch.bucket_len * src_freq
@@ -957,9 +1001,11 @@ class PipelineRunner:
                         "cubic: NaN at observations in bucket L=%d — "
                         "falling back to linear", batch.bucket_len)
                     method, obs_pos = "linear", None
+            strike, callput_dev, obs_pos = self._shard_rows(
+                strike, jnp.asarray(callput), obs_pos)
             out = tasks.interpolate_batch(
                 values, obs_mask, timeline_mask,
-                strike, jnp.asarray(callput),
+                strike, callput_dev,
                 method=method,
                 max_gap_minutes=max_gap,
                 compute_greeks=icfg.compute_greeks,
@@ -968,8 +1014,9 @@ class PipelineRunner:
             price_col = tasks.select_price_columns(values, obs_mask)
             hashes = [symbol_fold(s) for s in batch.symbols]
             hashes += [0] * (B_pad - len(hashes))
-            keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                root_key, jnp.asarray(hashes))
+            keys = self._shard_rows(
+                jax.vmap(jax.random.fold_in, (None, 0))(
+                    root_key, jnp.asarray(hashes)))
             ohlcv = tasks.bridge_batch(
                 out["filled"], out["valid"], keys, params=params,
                 price_col=price_col,
@@ -988,9 +1035,10 @@ class PipelineRunner:
                     max_spread_frac=bcfg.max_spread_percent)
             # here t0_minutes is epoch minutes (pack_symbols convention),
             # not src-interval units like the staged task2 path
-            minutes = (jnp.asarray(batch.t0_minutes)[:, None]
-                       + jnp.arange(L)[None, :] * freq)
-            base_bucket = jnp.asarray(batch.t0_minutes) // tgt_freq
+            minutes, base_bucket = self._shard_rows(
+                jnp.asarray(batch.t0_minutes)[:, None]
+                + jnp.arange(L)[None, :] * freq,
+                jnp.asarray(batch.t0_minutes) // tgt_freq)
             agg = tasks.candles_batch(
                 minutes, ohlcv, jnp.int32(tgt_freq), base_bucket,
                 num_segments=(L * freq + tgt_freq - 1) // tgt_freq + 1,

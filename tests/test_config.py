@@ -65,8 +65,28 @@ def test_every_interpolation_knob_is_consumed():
                  "compute_greeks", "extrapolate", "max_span_days", "max_timeline_points",
                  "target_frequency", "source_frequency",
                  "min_candles_required", "validate_ohlc",
-                 "conversion_strategy", "enable_quality_checks"):
+                 "conversion_strategy", "enable_quality_checks",
+                 # round-3 verdict: these two were decorative — the
+                 # runner must build its mesh from them
+                 "mesh_shape", "mesh_axis_names"):
         assert knob in src, f"config knob {knob!r} is decorative"
+
+
+def test_every_processing_knob_is_consumed():
+    """Same guard, ProcessingConfig: every field name must appear in the
+    runner/kernels/ingest source (the round-3 miss was exactly a
+    ProcessingConfig field the interpolation-knob guard didn't cover)."""
+    import dataclasses
+    import inspect
+    from iv_interpolation_tpu import cli
+    from iv_interpolation_tpu.config import ProcessingConfig
+    from iv_interpolation_tpu.pipeline import runner, tasks, ingest
+    from iv_interpolation_tpu.parallel import mesh
+    src = (inspect.getsource(runner) + inspect.getsource(tasks)
+           + inspect.getsource(ingest) + inspect.getsource(mesh)
+           + inspect.getsource(cli))
+    for f in dataclasses.fields(ProcessingConfig):
+        assert f.name in src, f"processing knob {f.name!r} is decorative"
 
 
 def test_models_and_utils_namespaces():
