@@ -295,3 +295,114 @@ def test_stream_agg_pallas_balanced_default_chunks(rng):
                                np.asarray(ref.volume), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(odd.volume),
                                np.asarray(ref.volume), rtol=1e-6)
+
+
+_MOSAIC_DRIVE = r'''
+"""Mosaic-compiled (interpret=False) Pallas kernels on the real chip,
+vs pure-numpy f64 oracles. Spawned by test_mosaic_compiled_on_tpu."""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.default_backend() == "tpu", jax.default_backend()
+print("device:", jax.devices()[0], flush=True)
+rng = np.random.default_rng(time.time_ns() % 2**31)
+
+# -- tridiag: Thomas in f64 as oracle ---------------------------------
+from iv_interpolation_tpu.ops.pallas.tridiag_pallas import (
+    tridiag_solve_pallas)
+
+n, batch = 50, 1024
+d = rng.uniform(4.0, 6.0, (n, batch)).astype(np.float32)
+dl = rng.uniform(-1.0, 1.0, (n, batch)).astype(np.float32)
+du = rng.uniform(-1.0, 1.0, (n, batch)).astype(np.float32)
+b = rng.normal(size=(n, batch)).astype(np.float32)
+x = np.asarray(tridiag_solve_pallas(
+    *map(jnp.asarray, (dl, d, du, b)), interpret=False))
+
+d64, dl64, du64, b64 = (a.astype(np.float64) for a in (d, dl, du, b))
+cp = np.zeros_like(d64)
+dp = np.zeros_like(d64)
+cp[0] = du64[0] / d64[0]
+dp[0] = b64[0] / d64[0]
+for i in range(1, n):
+    m = d64[i] - dl64[i] * cp[i - 1]
+    cp[i] = du64[i] / m
+    dp[i] = (b64[i] - dl64[i] * dp[i - 1]) / m
+ref = np.zeros_like(d64)
+ref[-1] = dp[-1]
+for i in range(n - 2, -1, -1):
+    ref[i] = dp[i] - cp[i] * ref[i + 1]
+np.testing.assert_allclose(x, ref, atol=1e-4)
+print("tridiag mosaic vs f64 Thomas: PASS", flush=True)
+
+# -- stream agg: direct masked f64 reductions as oracle ---------------
+from iv_interpolation_tpu.ops.pallas.stream_agg_pallas import (
+    aggregate_ohlcv_pallas)
+
+B, L, ns, bm, mc = 8, 4096, 512, 5, 3
+minute = np.sort(rng.integers(0, ns * bm, (B, L)).astype(np.int32), -1)
+o = rng.normal(100, 1, (B, L)).astype(np.float32)
+h = o + rng.uniform(0, 1, (B, L)).astype(np.float32)
+l = o - rng.uniform(0, 1, (B, L)).astype(np.float32)
+c = o + rng.normal(0, 0.5, (B, L)).astype(np.float32)
+v = rng.uniform(0, 5, (B, L)).astype(np.float32)
+valid = rng.random((B, L)) > 0.1
+
+got = aggregate_ohlcv_pallas(
+    *map(jnp.asarray, (minute, o, h, l, c, v, valid)),
+    bucket_minutes=bm, num_segments=ns, min_count=mc, interpret=False)
+got = jax.tree.map(np.asarray, got)
+
+seg = minute // bm
+for bi in range(B):
+    for s in range(0, ns, 7):          # sample segments
+        rows = np.flatnonzero((seg[bi] == s) & valid[bi])
+        cnt = len(rows)
+        assert got.count[bi, s] == cnt, (bi, s, got.count[bi, s], cnt)
+        assert got.valid[bi, s] == (cnt >= mc)
+        if cnt == 0:
+            continue
+        assert got.open[bi, s] == o[bi, rows[0]]
+        assert got.close[bi, s] == c[bi, rows[-1]]
+        assert got.high[bi, s] == h[bi, rows].max()
+        assert got.low[bi, s] == l[bi, rows].min()
+        vol64 = v[bi, rows].astype(np.float64).sum()
+        np.testing.assert_allclose(got.volume[bi, s], vol64,
+                                   rtol=1e-5, atol=1e-4)
+print("stream agg mosaic vs f64 reductions: PASS", flush=True)
+print("MOSAIC_PASS", flush=True)
+'''
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_mosaic_compiled_on_tpu(tmp_path):
+    """Compiled (interpret=False) Mosaic runs of BOTH Pallas kernels on
+    the real chip against pure-numpy f64 oracles — the interpret-mode
+    suite cannot see Mosaic-only regressions (VMEM limits, tile shapes;
+    round-3 verdict item 8). Explicitly gated: run with
+    `IVTPU_RUN_TPU_TESTS=1 pytest -m tpu -o addopts=""` (the verify
+    flow's real-chip lane). Spawns a subprocess so the suite's forced
+    CPU platform and x64 mode don't leak into the Mosaic compile."""
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("IVTPU_RUN_TPU_TESTS") != "1":
+        pytest.skip("real-chip lane: set IVTPU_RUN_TPU_TESTS=1")
+    script = tmp_path / "mosaic_drive.py"
+    script.write_text(_MOSAIC_DRIVE)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)        # let the axon plugin win
+    env.pop("XLA_FLAGS", None)            # no virtual-CPU device count
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo, "/root/.axon_site",
+                    env.get("PYTHONPATH", "")) if p)
+    r = subprocess.run([sys.executable, "-u", str(script)], env=env,
+                       capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0 and "MOSAIC_PASS" in r.stdout, (
+        f"rc={r.returncode}\nstdout:\n{r.stdout[-2000:]}\n"
+        f"stderr:\n{r.stderr[-2000:]}")

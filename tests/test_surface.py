@@ -197,6 +197,46 @@ def test_sabr_method(rng):
     assert (np.asarray(w_mid) > 0).all()
 
 
+@pytest.mark.slow
+def test_eval_surface_sabr_bracket_blend_oracle(rng):
+    """eval_surface's SABR branch against the closed-form bracket blend
+    (round-3 verdict item 7: this branch only asserted finite/positive
+    while svi/essvi had real oracles). Convention under test
+    (surface.py eval_at): Hagan vol from the FITTED slice params at the
+    bracketing expiries -> w_i = iv_i(k)^2 * T_i, then linear in w
+    between the brackets — same shape as the essvi oracle."""
+    from iv_interpolation_tpu.ops.sabr import sabr_vol
+    from iv_interpolation_tpu.surface.surface import fit_surface
+    B, E, n = 2, 4, 25
+    k = np.broadcast_to(np.linspace(-0.4, 0.4, n), (B, E, n)).copy()
+    T = np.broadcast_to(np.linspace(0.25, 1.0, E), (B, E)).copy()
+    true = jnp.tile(jnp.array([0.25, 0.5, -0.3, 0.6]), (B, E, 1))
+    iv = np.asarray(sabr_vol(true, jnp.ones((B, E)), jnp.exp(jnp.array(k)),
+                             jnp.array(T)))
+    fit = fit_surface(jnp.array(k), jnp.array(iv), jnp.array(T),
+                      method="sabr", svi_iters=100)
+    coefs = fit.coefs                                    # (B, E, 4)
+    kq_row = np.linspace(-0.3, 0.3, 7)
+    for e in range(E - 1):                               # every bracket
+        T0, T1 = T[0, e], T[0, e + 1]
+        for frac in (0.25, 0.5, 0.9):
+            Tq = T0 + frac * (T1 - T0)
+            kq = jnp.asarray(np.broadcast_to(kq_row, (B, 7)).copy())
+            got = np.asarray(eval_surface(
+                fit, kq, jnp.full((B, 7), Tq)))
+            # oracle: Hagan at each bracketing slice's own expiry
+            iv0 = sabr_vol(coefs[:, e], jnp.ones((B,)),
+                           jnp.exp(kq), jnp.full((B,), T0))
+            iv1 = sabr_vol(coefs[:, e + 1], jnp.ones((B,)),
+                           jnp.exp(kq), jnp.full((B,), T1))
+            w0 = np.asarray(iv0) ** 2 * T0
+            w1 = np.asarray(iv1) ** 2 * T1
+            t = (Tq - T0) / (T1 - T0)
+            np.testing.assert_allclose(got, w0 * (1 - t) + w1 * t,
+                                       rtol=1e-10, atol=1e-12,
+                                       err_msg=f"bracket {e} frac {frac}")
+
+
 def test_fit_rmse_reported(rng):
     """fit_rmse: ~0 for interpolating splines, the residual level for
     parametric fits on noisy quotes."""
