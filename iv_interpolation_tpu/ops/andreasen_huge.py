@@ -205,7 +205,8 @@ class AHFit:
     fit_rmse: jax.Array
 
 
-def _fit_one(k_q, iv, expiries, x, quote_wgt, *, n_iters: int):
+def _fit_one(k_q, iv, expiries, x, quote_wgt, *, n_iters: int,
+             lm_unroll: bool = True):
     """Single-surface AH calibration: scan over expiries, LM per slice.
 
     k_q: (E, m) quote log-moneyness (ascending in m); iv: (E, m);
@@ -245,7 +246,8 @@ def _fit_one(k_q, iv, expiries, x, quote_wgt, *, n_iters: int):
         kq_j, cm_j, wg_j, dt_j, th0_j = inp
         res = levenberg_marquardt(
             _slice_residual, th0_j, c_prev, kq_j, cm_j, wg_j, x, dt_j,
-            max_iters=n_iters, lower=_VOL_LO, upper=_VOL_HI, unroll=True)
+            max_iters=n_iters, lower=_VOL_LO, upper=_VOL_HI,
+            unroll=lm_unroll)
         sig2 = _cells_to_grid(res.params, kq_j, x)
         c_j = ah_step(c_prev, sig2, x, dt_j, refine=True)
         err = _interp_price(c_j, x, kq_j) - cm_j
@@ -259,11 +261,12 @@ def _fit_one(k_q, iv, expiries, x, quote_wgt, *, n_iters: int):
     return theta, c, rmse
 
 
-@partial(jax.jit, static_argnames=("n_grid", "n_iters"))
+@partial(jax.jit, static_argnames=("n_grid", "n_iters", "lm_unroll"))
 def fit_ah(k: jax.Array, iv: jax.Array, expiries: jax.Array,
            n_grid: int = 257, n_iters: int = 16,
            grid_pad: float = 1.0,
-           quote_mask: jax.Array | None = None) -> AHFit:
+           quote_mask: jax.Array | None = None,
+           lm_unroll: bool = False) -> AHFit:
     """Calibrate Andreasen-Huge one-step surfaces (batched).
 
     Args:
@@ -271,7 +274,18 @@ def fit_ah(k: jax.Array, iv: jax.Array, expiries: jax.Array,
       iv: (B, E, m) implied vols at the quotes.
       expiries: (B, E) maturities in years, ascending.
       n_grid: dense-grid resolution (uniform in k).
-      n_iters: LM iterations per slice (unrolled).
+      n_iters: LM iterations per slice.
+      lm_unroll: unroll the per-slice LM loop (n_iters copies of the
+        body in the expiry scan). The loop runs INSIDE one jit, so the
+        relay dispatch floor never applies either way — unrolling here
+        only trades compile time for possible XLA fusion across
+        iterations. Measured (round 4, B=64 E=8 grid 257 iters 16):
+        looping compiles 2.8x faster on CPU (11.8 s vs 33 s) and runs
+        no slower, with BITWISE-identical fitted curves; the unrolled
+        program was behind the 85-213 s/shape TPU compile wall that
+        capped production batches at B<=256 (docs/PERF.md). Default is
+        therefore False; set True only if a profile shows the fusion
+        winning on your shape.
       grid_pad: MINIMUM grid extension beyond the quote range on each
         side. The effective pad scales with the surface's own scale,
         max(grid_pad, 3 sqrt(w_max) + w_max/2): the linear-wing
@@ -307,7 +321,8 @@ def fit_ah(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     steps = jnp.linspace(0.0, 1.0, n_grid).astype(k.dtype)
     x = lo[:, None] + (hi - lo)[:, None] * steps[None, :]
     theta, c, rmse = jax.vmap(
-        partial(_fit_one, n_iters=int(n_iters)))(
+        partial(_fit_one, n_iters=int(n_iters),
+                lm_unroll=bool(lm_unroll)))(
         k, iv, expiries, x, wgt)
     return AHFit(x=x, expiries=expiries, c=c, theta=theta, k_q=k,
                  fit_rmse=rmse)
@@ -454,11 +469,12 @@ def _step_identity_density(c: jax.Array, c_prev: jax.Array,
     return 2.0 * (c - c_prev) / denom
 
 
-@partial(jax.jit, static_argnames=("n_grid", "n_iters"))
+@partial(jax.jit, static_argnames=("n_grid", "n_iters", "lm_unroll"))
 def fit_eval_ah_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
                         n_grid: int = 257, n_iters: int = 16,
                         grid_pad: float = 1.0,
-                        quote_mask: jax.Array | None = None):
+                        quote_mask: jax.Array | None = None,
+                        lm_unroll: bool = False):
     """Fused AH fit + dense-grid eval + arbitrage diagnostics.
 
     Mirrors ``surface.fit_eval_surface``'s output contract so consumers
@@ -483,7 +499,8 @@ def fit_eval_ah_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
         intrinsic.
     """
     fit = fit_ah(k, iv, expiries, n_grid=n_grid, n_iters=n_iters,
-                 grid_pad=grid_pad, quote_mask=quote_mask)
+                 grid_pad=grid_pad, quote_mask=quote_mask,
+                 lm_unroll=lm_unroll)
     x = fit.x                                  # (B, n)
     k_grid = jnp.broadcast_to(x[:, None, :], fit.c.shape)
     c0 = jnp.maximum(1.0 - jnp.exp(x), 0.0)[:, None, :]

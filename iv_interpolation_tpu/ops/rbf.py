@@ -364,14 +364,28 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         H = H + jnp.diag(damp)
         rhs = rhs + damp * u                               # proximal at u
 
-        # KKT saddle solve keeps P^T c = 0 exact every iteration
-        kkt = jnp.concatenate([
-            jnp.concatenate([H, Pt], axis=1),
-            jnp.concatenate([Pt.T, jnp.zeros((p, p), dtype)], axis=1),
-        ], axis=0)
-        sol = jnp.linalg.solve(
-            kkt, jnp.concatenate([rhs, jnp.zeros((p,), dtype)]))
-        u_new = sol[:n + p]
+        # KKT saddle solve keeps P^T c = 0 exact every iteration.
+        # Solved by Cholesky + a p x p Schur complement instead of a
+        # dense LU of the (P+p)-bordered system (round-3 verdict: this
+        # solve dominated the ~7 surf/s rate). H is PD on the
+        # constraint manifold (CPD kernel seminorm + PSD data/penalty
+        # terms + damping); the augmented-Lagrangian shift
+        # rho * Pt Pt^T makes it PD everywhere WITHOUT changing the
+        # saddle's u (Pt^T u = 0 at the solution, so the shift's
+        # contribution vanishes there — standard identity). Net: the
+        # 2/3 P^3 LU becomes a 1/3 P^3 Cholesky + triangular solves,
+        # both better-mapped to the MXU than LU's pivoted panels. A
+        # failed factorization (NaN) is caught by the accept gate
+        # below: the step is rejected and mu regrows, same self-heal
+        # as a singular LU.
+        rho = jnp.maximum(jnp.max(jnp.diag(H)), scale)
+        L = jnp.linalg.cholesky(H + rho * mm(Pt, Pt.T))
+        X = jax.scipy.linalg.cho_solve(
+            (L, True), jnp.concatenate([rhs[:, None], Pt], axis=1))
+        x0, Y = X[:, 0], X[:, 1:]                 # (P,), (P, p)
+        S = mm(Pt.T, Y)                           # (p, p) Schur block
+        lam = jnp.linalg.solve(S, mm(Pt.T, x0)[:, None])[:, 0]
+        u_new = x0 - mm(Y, lam)
         cost_new, smooth_new, feas_new = cost_of(u_new)
         accept = (cost_new < cost) & jnp.all(jnp.isfinite(u_new))
         u = jnp.where(accept, u_new, u)
