@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "upsert dedup), then exit")
     p.add_argument("--yes", action="store_true",
                    help="skip interactive confirmations (large runs)")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="process-level scale-out: this process owns "
+                        "symbols[I::N] (sorted), e.g. --shard 0/4 ... "
+                        "--shard 3/4 on four hosts sharing one store; "
+                        "storage upserts are the rendezvous, manifests "
+                        "are per-process (the reference's worker "
+                        "fan-out lifted to the cluster level)")
     p.add_argument("--serve-port", type=int, default=8787,
                    help="TCP port for --task serve (0 = auto)")
     p.add_argument("--serve-transport", choices=["jsonl", "flight"],
@@ -216,6 +223,21 @@ def main(argv=None) -> int:
         config.storage.backend = args.storage
     if args.data_root:
         config.storage.root = args.data_root
+    if args.shard:
+        try:
+            i_s, n_s = args.shard.split("/")
+            config.processing.shard_index = int(i_s)
+            config.processing.shard_count = int(n_s)
+        except ValueError:
+            p_err = f"--shard expects I/N (got {args.shard!r})"
+            print(p_err, file=sys.stderr)
+            return 2
+        if not (config.processing.shard_count >= 1
+                and 0 <= config.processing.shard_index
+                < config.processing.shard_count):
+            print(f"--shard index out of range: {args.shard}",
+                  file=sys.stderr)
+            return 2
     if config.processing.enable_logging:
         setup_logging(config.monitoring.log_dir,
                       config.processing.log_level)

@@ -62,6 +62,13 @@ class ProcessingConfig:
     # reference's streaming cursors, optimized_connection.py:113-129);
     # 0 = read all requested symbols at once
     read_chunk_symbols: int = 2048
+    # multi-process / multi-host scale-out, the reference's own model
+    # lifted to the cluster level (ProcessPoolExecutor fan-out with the
+    # database as rendezvous, batch_processor.py:234-239): process i of
+    # n owns symbols[i::n]; storage upserts are the rendezvous, run
+    # manifests are per-process. CLI: --shard I/N.
+    shard_index: int = 0
+    shard_count: int = 1
     # pipeline data-parallel mesh (parallel.mesh.pipeline_mesh): bucket
     # batches shard their symbol dim over the first axis — the TPU form
     # of the reference's ProcessPoolExecutor fan-out. None -> all

@@ -195,6 +195,22 @@ class PipelineRunner:
         signal.signal(signal.SIGINT, handler)
 
 
+    def _shard_symbols(self, symbols: List[str]) -> List[str]:
+        """Process-level symbol partition (processing.shard_index /
+        shard_count): process i of n owns symbols[i::n] — the
+        reference's multi-worker fan-out lifted to independent
+        processes/hosts, with storage upserts as the rendezvous (its
+        workers partitioned disjoint symbols the same way,
+        batch_processor.py:234-239). Applied after discovery AND after
+        resume re-enqueue, so a resumed shard stays inside its own
+        partition. Sorted first so every process computes the same
+        partition regardless of storage enumeration order."""
+        n = self.config.processing.shard_count
+        if n <= 1:
+            return symbols
+        i = self.config.processing.shard_index % n
+        return sorted(symbols)[i::n]
+
     def _symbol_chunks(self, symbols: List[str]):
         """Chunk the requested symbols so each storage read is bounded
         (VERDICT r1 item 8 — the reference streamed with server-side
@@ -310,6 +326,7 @@ class PipelineRunner:
             symbols = self.store.list_symbols(st.TICKERS)
         if limit:
             symbols = symbols[:limit]
+        symbols = self._shard_symbols(symbols)
         manifest.initialize_symbols(symbols)
         manifest.flush()  # pending records must survive an early crash so
         #                   --resume can re-enqueue the whole run
@@ -444,6 +461,7 @@ class PipelineRunner:
             symbols = manifest.pending_symbols()
         if symbols is None:
             symbols = self.store.list_symbols(st.INTERPOLATED)
+        symbols = self._shard_symbols(symbols)
         manifest.initialize_symbols(symbols)
         manifest.flush()  # pending records must survive an early crash so
         #                   --resume can re-enqueue the whole run
@@ -634,6 +652,7 @@ class PipelineRunner:
             symbols = manifest.pending_symbols()
         if symbols is None:
             symbols = self.store.list_symbols(st.MINUTE_CANDLES)
+        symbols = self._shard_symbols(symbols)
         manifest.initialize_symbols(symbols)
         manifest.flush()  # pending records must survive an early crash so
         #                   --resume can re-enqueue the whole run
@@ -892,6 +911,7 @@ class PipelineRunner:
             symbols = self.store.list_symbols(st.TICKERS)
         if limit:
             symbols = symbols[:limit]
+        symbols = self._shard_symbols(symbols)
         for m in manifests.values():
             m.initialize_symbols(symbols)
             m.flush()  # --resume must see pending records even after an early crash

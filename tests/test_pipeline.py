@@ -847,3 +847,39 @@ def test_pipeline_mesh_sharding_byte_identical(cfg, mode):
         b["symbol"] = b["symbol"].astype(str)
         pd.testing.assert_frame_equal(a.drop(columns=drop),
                                       b.drop(columns=drop))
+
+
+def test_symbol_sharding_across_processes(cfg, tmp_path):
+    """processing.shard_index/shard_count (CLI --shard I/N): two shard
+    runs into ONE store produce exactly the unsharded run's tables, and
+    each shard's manifest covers only its own partition — the
+    reference's worker fan-out lifted to independent processes with
+    storage upserts as the rendezvous (batch_processor.py:234-239)."""
+    tickers = generate_sample_tickers(num_symbols=7, hours=6)
+    cfg.interpolation.min_data_points = 5
+
+    ref_store = MemoryStore()
+    ref_store.write(st.TICKERS, tickers)
+    PipelineRunner(cfg, store=ref_store).run_pipeline_fused()
+
+    shared = MemoryStore()
+    shared.write(st.TICKERS, tickers)
+    owned = {}
+    for i in (0, 1):
+        cfg.processing.shard_index, cfg.processing.shard_count = i, 2
+        cfg.checkpoint.manifest_dir = str(tmp_path / f"shard{i}")
+        res = PipelineRunner(cfg, store=shared).run_pipeline_fused()
+        owned[i] = res["task1"]["by_status"].get("completed", 0)
+    assert owned[0] + owned[1] == 7          # disjoint, complete cover
+    assert owned[0] == 4 and owned[1] == 3   # sorted [i::n] partition
+
+    for table in (st.INTERPOLATED, st.MINUTE_CANDLES, st.RECONSTRUCTED):
+        key = ["symbol"] + (["date"] if table == st.INTERPOLATED
+                            else ["timestamp"])
+        a = ref_store.read(table).sort_values(key).reset_index(drop=True)
+        b = shared.read(table).sort_values(key).reset_index(drop=True)
+        drop = [c for c in ("batch_id", "created_at") if c in a.columns]
+        a["symbol"] = a["symbol"].astype(str)
+        b["symbol"] = b["symbol"].astype(str)
+        pd.testing.assert_frame_equal(a.drop(columns=drop),
+                                      b.drop(columns=drop))
