@@ -584,22 +584,38 @@ def _assemble(state):
 
 
 def child_main():
-    """Run remaining stages, persisting each result as it completes."""
+    """Run remaining stages, persisting each result as it completes.
+
+    Stage failures are ISOLATED (round-4 review): one deterministically
+    failing stage must not forfeit the later stages' metrics — record
+    the traceback to stderr, move on, and exit nonzero at the end so
+    the parent knows the run is incomplete. During an outage every
+    stage fails fast the same way, which records no progress and lets
+    the parent's probe/strike logic classify it correctly."""
     state_path = os.environ["IVTPU_BENCH_STATE"]
     state = _state_read(state_path)
     rng = np.random.default_rng(time.time_ns() % 2**31)
+    failed = []
     for name, fn in STAGES:
         if name in state["stages"]:
             print(f"# stage {name}: cached from earlier attempt",
                   file=sys.stderr, flush=True)
             continue
         t0 = time.time()
-        res = fn(rng)
+        try:
+            res = fn(rng)
+        except Exception:  # noqa: BLE001 — stage isolation
+            import traceback
+            print(f"# stage {name}: FAILED after {time.time() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+            traceback.print_exc()
+            failed.append(name)
+            continue
         state["stages"][name] = res
         _state_write(state_path, state)
         print(f"# stage {name}: done in {time.time() - t0:.0f}s -> {res}",
               file=sys.stderr, flush=True)
-    return 0
+    return 1 if failed else 0
 
 
 def parent_main():
@@ -618,6 +634,10 @@ def parent_main():
                                           suffix=".json")
         os.close(fd)
         os.unlink(state_path)  # child creates it on first stage
+    # the path must be operator-visible: a partial run's completed
+    # stages live here, and a follow-up IVTPU_BENCH_STATE=<path> run
+    # finishes only the missing ones (round-4 review)
+    print(f"# bench state file: {state_path}", file=sys.stderr, flush=True)
     budget = float(os.environ.get("IVTPU_BENCH_WAIT_S", "7200"))
     attempt_s = float(os.environ.get("IVTPU_BENCH_ATTEMPT_S", "2700"))
     deadline = time.time() + budget
@@ -628,9 +648,19 @@ def parent_main():
         if emitted:
             os._exit(0 if signum is None else 1)
         emitted = True
-        out = _assemble(_state_read(state_path))
+        state = _state_read(state_path)
+        out = _assemble(state)
         if out is not None:
             print(json.dumps(out), flush=True)
+            if len(state.get("stages", {})) == len(STAGES) \
+                    and not os.environ.get("IVTPU_BENCH_STATE"):
+                # complete run: the auto-created state file has served
+                # its purpose (partial-run state is KEPT for manual
+                # IVTPU_BENCH_STATE= resumption)
+                try:
+                    os.unlink(state_path)
+                except OSError:
+                    pass
             os._exit(0)
         print("# bench: no headline measured before exit",
               file=sys.stderr, flush=True)

@@ -324,6 +324,21 @@ def _apply_override(cfg: Config, section_name: str, field_name: str, value) -> N
             value = float(value)
         elif isinstance(current, tuple):
             value = tuple(int(v) for v in value.split(","))
+        elif current is None:
+            # a None default hides the declared type, so consult the
+            # dataclass annotation (round-4 review: the documented
+            # IVTPU_PROCESSING__MESH_SHAPE=4,1 was stored as the raw
+            # string and crashed every PipelineRunner init)
+            ann = str(next((f.type for f in dataclasses.fields(section)
+                            if f.name == field_name), ""))
+            if value.strip().lower() in ("", "none", "null"):
+                value = None
+            elif "tuple" in ann:
+                value = tuple(int(v) for v in value.split(","))
+            elif "int" in ann:
+                value = int(value)
+            elif "float" in ann:
+                value = float(value)
     setattr(section, field_name, value)
 
 

@@ -54,17 +54,31 @@ def pipeline_mesh(mesh_shape: Optional[Sequence[int]],
 
     ``mesh_shape=None`` auto-sizes to every visible device (the TPU
     analogue of the reference defaulting max_workers to the host's
-    cores, config_production.py:45); an explicit shape pins the layout.
-    A single visible device — the common CLI case on this box — returns
-    ``None`` so the runner skips device_put sharding entirely."""
-    n_dev = len(jax.devices())
+    cores, config_production.py:45); an explicit shape pins the layout
+    and uses the FIRST prod(shape) visible devices — it need not cover
+    the host (round-4 review: requiring prod == all devices made the
+    documented pinning knob unusable on any host). Axis names are
+    reconciled to the shape's rank: extended with generated names or
+    truncated, so a 2-D shape works with the 1-axis default. A single
+    visible device — the common CLI case on this box — returns ``None``
+    so the runner skips device_put sharding entirely."""
+    devices = jax.devices()
+    n_dev = len(devices)
     if mesh_shape is None:
         if n_dev == 1:
             return None
         mesh_shape = (n_dev,) + (1,) * (len(axis_names) - 1)
-    if int(np.prod(tuple(mesh_shape))) == 1:
+    shape = tuple(int(s) for s in mesh_shape)
+    need = int(np.prod(shape))
+    if need <= 1:
         return None
-    return make_mesh(tuple(mesh_shape), tuple(axis_names))
+    if need > n_dev:
+        raise ValueError(
+            f"processing.mesh_shape={shape} needs {need} devices; "
+            f"{n_dev} visible")
+    names = tuple(axis_names)[:len(shape)]
+    names = names + tuple(f"ax{i}" for i in range(len(names), len(shape)))
+    return make_mesh(shape, names, devices=devices[:need])
 
 
 def surface_batch_sharding(mesh: Mesh, shard_expiries: bool = False):

@@ -197,19 +197,24 @@ class PipelineRunner:
 
     def _shard_symbols(self, symbols: List[str]) -> List[str]:
         """Process-level symbol partition (processing.shard_index /
-        shard_count): process i of n owns symbols[i::n] — the
-        reference's multi-worker fan-out lifted to independent
-        processes/hosts, with storage upserts as the rendezvous (its
-        workers partitioned disjoint symbols the same way,
-        batch_processor.py:234-239). Applied after discovery AND after
-        resume re-enqueue, so a resumed shard stays inside its own
-        partition. Sorted first so every process computes the same
-        partition regardless of storage enumeration order."""
+        shard_count): process i of n owns symbol s iff
+        crc32(s) % n == i — the reference's multi-worker fan-out lifted
+        to independent processes/hosts, with storage upserts as the
+        rendezvous (its workers partitioned disjoint symbols,
+        batch_processor.py:234-239). Ownership is a property of the
+        SYMBOL NAME alone (review round 4): a positional [i::n] slice
+        was (a) not idempotent — re-applying it to a resumed manifest's
+        already-partitioned pending list dropped most of the shard —
+        and (b) unstable for the staged bridge/task2 stages, which
+        discover from a shared downstream table whose momentary
+        contents depend on other shards' progress. The hash rule is
+        idempotent and enumeration-order-free, so it is safe to apply
+        after discovery, resume re-enqueue, or an explicit list."""
         n = self.config.processing.shard_count
         if n <= 1:
             return symbols
         i = self.config.processing.shard_index % n
-        return sorted(symbols)[i::n]
+        return [s for s in symbols if symbol_fold(s) % n == i]
 
     def _symbol_chunks(self, symbols: List[str]):
         """Chunk the requested symbols so each storage read is bounded

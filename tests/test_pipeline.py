@@ -854,7 +854,13 @@ def test_symbol_sharding_across_processes(cfg, tmp_path):
     runs into ONE store produce exactly the unsharded run's tables, and
     each shard's manifest covers only its own partition — the
     reference's worker fan-out lifted to independent processes with
-    storage upserts as the rendezvous (batch_processor.py:234-239)."""
+    storage upserts as the rendezvous (batch_processor.py:234-239).
+    Ownership is hash-of-name (crc32 % n), NOT positional: positional
+    slicing was neither idempotent under --resume nor stable when
+    staged stages discover from a shared, still-growing table
+    (round-4 review)."""
+    from iv_interpolation_tpu.pipeline.runner import symbol_fold
+
     tickers = generate_sample_tickers(num_symbols=7, hours=6)
     cfg.interpolation.min_data_points = 5
 
@@ -862,16 +868,25 @@ def test_symbol_sharding_across_processes(cfg, tmp_path):
     ref_store.write(st.TICKERS, tickers)
     PipelineRunner(cfg, store=ref_store).run_pipeline_fused()
 
+    universe = sorted(tickers["symbol"].unique())
+    expect = {i: sum(1 for s in universe if symbol_fold(s) % 2 == i)
+              for i in (0, 1)}
+    assert expect[0] + expect[1] == 7 and min(expect.values()) >= 1
+
     shared = MemoryStore()
     shared.write(st.TICKERS, tickers)
     owned = {}
     for i in (0, 1):
         cfg.processing.shard_index, cfg.processing.shard_count = i, 2
         cfg.checkpoint.manifest_dir = str(tmp_path / f"shard{i}")
-        res = PipelineRunner(cfg, store=shared).run_pipeline_fused()
+        runner = PipelineRunner(cfg, store=shared)
+        # hash ownership is idempotent: re-applying the partition (the
+        # --resume path re-filters pending symbols) changes nothing
+        part = runner._shard_symbols(universe)
+        assert runner._shard_symbols(part) == part
+        res = runner.run_pipeline_fused()
         owned[i] = res["task1"]["by_status"].get("completed", 0)
-    assert owned[0] + owned[1] == 7          # disjoint, complete cover
-    assert owned[0] == 4 and owned[1] == 3   # sorted [i::n] partition
+    assert owned == expect                    # disjoint, complete cover
 
     for table in (st.INTERPOLATED, st.MINUTE_CANDLES, st.RECONSTRUCTED):
         key = ["symbol"] + (["date"] if table == st.INTERPOLATED
