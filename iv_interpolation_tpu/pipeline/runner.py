@@ -800,12 +800,17 @@ class PipelineRunner:
                 "keeping the last per slot", int(dup.sum()), src_freq)
             df = df[~dup]
             slots = slots[~dup]
-        minutes_all = slots
+        minutes_all = np.asarray(slots)
+        # one numeric extraction for the whole frame + numpy indexing
+        # per chunk (same 14.8x pandas-take removal as pack_symbols,
+        # round-4 profile)
+        colmat_all = np.stack([
+            pd.to_numeric(df[c], errors="coerce").to_numpy(self.np_dtype)
+            for c in cols], axis=1)
         out: List[ingest.PackedBatch] = []
         per_bucket: Dict[int, List[dict]] = {}
         for symbol, idx in df.groupby("symbol", sort=True).indices.items():
-            obs = np.asarray(minutes_all)[idx]
-            sub = df.iloc[idx]
+            obs = minutes_all[idx]
             L = int(obs[-1] - obs[0]) + 1
             bucket = ingest.choose_bucket(
                 L, self.config.processing.bucket_sizes)
@@ -815,7 +820,7 @@ class PipelineRunner:
                     f"largest bucket")
                 continue
             per_bucket.setdefault(bucket, []).append(
-                dict(symbol=symbol, obs=obs, sub=sub, L=L))
+                dict(symbol=symbol, obs=obs, idx=idx, L=L))
         maxb = self.config.processing.batch_size
         max_slots = self.config.processing.max_slots_per_batch
         for bucket, items in sorted(per_bucket.items()):
@@ -835,10 +840,8 @@ class PipelineRunner:
                 row_sym = np.repeat(np.arange(B_real), n_obs[:B_real])
                 obs_all = np.concatenate([it["obs"] for it in chunk])
                 pos = (obs_all - t0[row_sym]).astype(np.int64)
-                subs = pd.concat([it["sub"] for it in chunk])
-                colmat = np.stack([
-                    pd.to_numeric(subs[c], errors="coerce")
-                    .to_numpy(self.np_dtype) for c in cols], axis=1)
+                colmat = colmat_all[np.concatenate(
+                    [it["idx"] for it in chunk])]
                 N = ingest.obs_pad(len(pos))
                 obs_vals = ingest.full_nan((N, len(cols)), self.np_dtype)
                 obs_vals[:len(pos)] = colmat
