@@ -93,12 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--yes", action="store_true",
                    help="skip interactive confirmations (large runs)")
     p.add_argument("--shard", default=None, metavar="I/N",
-                   help="process-level scale-out: this process owns "
-                        "symbols[I::N] (sorted), e.g. --shard 0/4 ... "
-                        "--shard 3/4 on four hosts sharing one store; "
-                        "storage upserts are the rendezvous, manifests "
-                        "are per-process (the reference's worker "
-                        "fan-out lifted to the cluster level)")
+                   help="process-level scale-out: this process owns the "
+                        "symbols whose crc32(name) %% N == I, e.g. "
+                        "--shard 0/4 ... --shard 3/4 on four hosts "
+                        "sharing one store; storage upserts are the "
+                        "rendezvous, manifests are per-process (the "
+                        "reference's worker fan-out lifted to the "
+                        "cluster level)")
     p.add_argument("--serve-port", type=int, default=8787,
                    help="TCP port for --task serve (0 = auto)")
     p.add_argument("--serve-transport", choices=["jsonl", "flight"],

@@ -65,8 +65,9 @@ class ProcessingConfig:
     # multi-process / multi-host scale-out, the reference's own model
     # lifted to the cluster level (ProcessPoolExecutor fan-out with the
     # database as rendezvous, batch_processor.py:234-239): process i of
-    # n owns symbols[i::n]; storage upserts are the rendezvous, run
-    # manifests are per-process. CLI: --shard I/N.
+    # n owns symbol s iff crc32(s) % n == i (hash ownership — stable
+    # under resume and shared-table discovery); storage upserts are the
+    # rendezvous, run manifests are per-process. CLI: --shard I/N.
     shard_index: int = 0
     shard_count: int = 1
     # pipeline data-parallel mesh (parallel.mesh.pipeline_mesh): bucket
@@ -333,6 +334,8 @@ def _apply_override(cfg: Config, section_name: str, field_name: str, value) -> N
                             if f.name == field_name), ""))
             if value.strip().lower() in ("", "none", "null"):
                 value = None
+            elif "bool" in ann:  # before int: bools are ints in Python
+                value = value.lower() in ("1", "true", "yes", "on")
             elif "tuple" in ann:
                 value = tuple(int(v) for v in value.split(","))
             elif "int" in ann:

@@ -76,6 +76,16 @@ def pipeline_mesh(mesh_shape: Optional[Sequence[int]],
         raise ValueError(
             f"processing.mesh_shape={shape} needs {need} devices; "
             f"{n_dev} visible")
+    if need != n_dev and jax.process_count() > 1:
+        # a devices[:need] subset under jax.distributed could land every
+        # mesh device on host 0 — host 1's device_put would then target
+        # non-addressable devices and crash asymmetrically (round-4
+        # review). Multi-host pins must cover the full device set; use
+        # --shard for coarser scale-out.
+        raise ValueError(
+            f"processing.mesh_shape={shape} covers {need} of {n_dev} "
+            f"devices under jax.distributed ({jax.process_count()} "
+            f"processes); a partial mesh is only supported single-host")
     names = tuple(axis_names)[:len(shape)]
     names = names + tuple(f"ax{i}" for i in range(len(names), len(shape)))
     return make_mesh(shape, names, devices=devices[:need])

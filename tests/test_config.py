@@ -146,3 +146,19 @@ def test_load_dotenv_and_cli_env_file(tmp_path, monkeypatch):
     cfg = get_config()
     assert cfg.storage.backend == "postgres"
     os.environ.pop("IVTPU_STORAGE__BACKEND", None)
+
+
+def test_none_default_env_overrides(monkeypatch):
+    """Env overrides of None-defaulted fields coerce via the dataclass
+    annotation (round-4 review: MESH_SHAPE stored the raw string and
+    crashed runner init; SVI_UNROLL=false became the truthy 'false')."""
+    monkeypatch.setenv("IVTPU_PROCESSING__MESH_SHAPE", "4,1")
+    monkeypatch.setenv("IVTPU_SURFACE__SVI_UNROLL", "false")
+    cfg = get_config("testing")
+    assert cfg.processing.mesh_shape == (4, 1)
+    assert cfg.surface.svi_unroll is False
+    monkeypatch.setenv("IVTPU_PROCESSING__MESH_SHAPE", "none")
+    monkeypatch.setenv("IVTPU_SURFACE__SVI_UNROLL", "true")
+    cfg = get_config("testing")
+    assert cfg.processing.mesh_shape is None
+    assert cfg.surface.svi_unroll is True
