@@ -227,3 +227,36 @@ def test_aggregate_fuzz_vs_pandas(seed):
         np.testing.assert_allclose(np.asarray(getattr(got, col))[sel],
                                    agg[col].to_numpy(), atol=1e-10,
                                    err_msg=f"seed{seed}:{col}")
+
+
+def test_pack_symbols_const_cols_first_non_null():
+    """The numpy-fast pack (round 4) must keep pandas groupby .first()
+    semantics for const columns: the first NON-NULL value per symbol,
+    not the first row's value."""
+    import numpy as np
+    import pandas as pd
+    from iv_interpolation_tpu.pipeline import ingest
+
+    dates = pd.date_range("2023-03-01", periods=12, freq="1h")
+    df = pd.DataFrame({
+        "symbol": ["a"] * 12 + ["b"] * 12,
+        "date": list(dates) * 2,
+        "iv": 0.5,
+        "underlying_price": 100.0,
+        # symbol a: strike NaN on the first two rows, then 24000;
+        # symbol b: strike present from row 0
+        "strike": [np.nan, np.nan] + [24000.0] * 10 + [26000.0] * 12,
+        "callput": [None, "c"] + ["c"] * 10 + ["p"] * 12,
+    })
+    packed = ingest.pack_symbols(
+        df, (64,), min_points=5, max_span_days=35,
+        max_timeline_points=100_000, freq_minutes=60,
+        max_batch=64, dtype=np.float32, compact=True)
+    assert len(packed.batches) == 1
+    b = packed.batches[0]
+    got = dict(zip(b.symbols, b.const_cols["strike"]))
+    assert got == {"a": 24000.0, "b": 26000.0}
+    gotcp = dict(zip(b.symbols, b.const_cols["callput"]))
+    assert gotcp == {"a": "c", "b": "p"}
+    # padding slots stay None
+    assert all(v is None for v in b.const_cols["strike"][len(b.symbols):])
