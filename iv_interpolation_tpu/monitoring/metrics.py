@@ -20,14 +20,32 @@ import jax
 
 
 def device_memory_stats() -> dict:
-    """HBM usage for device 0 (empty dict on backends without stats)."""
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-    except Exception:
-        return {}
+    """HBM usage (empty dict on backends without stats).
+
+    Reports device 0's counters plus, when the pipeline mesh spans
+    several local devices, the bytes_in_use/peak summed across all of
+    them — a single-device read under-reports a sharded step's real
+    footprint by the mesh factor."""
     keep = ("bytes_in_use", "bytes_limit", "peak_bytes_in_use",
             "largest_alloc_size")
-    return {k: stats[k] for k in keep if k in stats}
+    try:
+        devices = jax.local_devices()
+        stats = devices[0].memory_stats() or {}
+    except Exception:
+        return {}
+    out = {k: stats[k] for k in keep if k in stats}
+    if len(devices) > 1 and out:
+        totals = {"bytes_in_use": 0, "peak_bytes_in_use": 0}
+        for d in devices:
+            try:
+                s = d.memory_stats() or {}
+            except Exception:
+                continue
+            for k in totals:
+                totals[k] += s.get(k, 0)
+        out.update({f"all_devices_{k}": v for k, v in totals.items()
+                    if v})
+    return out
 
 
 def host_memory_stats() -> dict:
