@@ -158,3 +158,25 @@ def test_sharded_essvi_fit_matches_single_device(rng):
     )(ks, ws)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-12)
+
+
+def test_pipeline_mesh_shapes(monkeypatch):
+    """pipeline_mesh honors explicit shapes smaller than the host
+    (devices subset + axis-name reconciliation), returns None for
+    trivial meshes, raises on oversubscription, and refuses partial
+    pins under jax.distributed (round-4 review findings)."""
+    from iv_interpolation_tpu.parallel.mesh import pipeline_mesh
+
+    assert pipeline_mesh(None) is not None          # 8 virtual devices
+    assert pipeline_mesh((1,)) is None
+    m = pipeline_mesh((4, 1))                       # subset + gen names
+    assert dict(m.shape) == {"data": 4, "ax1": 1}
+    m2 = pipeline_mesh((2, 2), ("data", "slice"))
+    assert dict(m2.shape) == {"data": 2, "slice": 2}
+    with pytest.raises(ValueError, match="visible"):
+        pipeline_mesh((16,))
+    # multi-host: partial pins are rejected, full covers allowed
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-host"):
+        pipeline_mesh((4,))
+    assert pipeline_mesh((8,)) is not None
