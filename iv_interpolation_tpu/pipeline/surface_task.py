@@ -95,7 +95,7 @@ def build_chains(df: pd.DataFrame, min_strikes: int = 4):
     return chains
 
 
-def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg):
+def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg, dev=None):
     """Scattered RBF surfaces over all (k, T) quotes — the WHOLE shape
     bucket as one batched fit (BASELINE.json config #4), evaluated on
     the same (E, grid) layout as the slice-wise methods so downstream
@@ -112,6 +112,8 @@ def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg):
     from iv_interpolation_tpu.ops.rbf import (fit_eval_rbf_arbfree_batched,
                                               fit_eval_rbf_batched)
     from iv_interpolation_tpu.surface.arbitrage import butterfly_g_fd
+
+    dev = dev or jnp.asarray  # mesh placement hook (run_surface_fit)
 
     B, E, n = k.shape
     m = scfg.grid_strikes
@@ -134,16 +136,15 @@ def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg):
                  or scfg.rbf_calendar_penalty > 0.0)
     if penalized:
         w_eval, _, _ = fit_eval_rbf_arbfree_batched(
-            jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(query),
-            weights=jnp.asarray(quote_mask.reshape(B, E * n),
-                                vals.dtype),
+            dev(pts), dev(vals), dev(query),
+            weights=dev(quote_mask.reshape(B, E * n).astype(vals.dtype)),
             smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel,
             butterfly_weight=scfg.rbf_butterfly_penalty,
             calendar_weight=scfg.rbf_calendar_penalty,
             n_iters=scfg.rbf_penalty_iters)
     else:
         w_eval = fit_eval_rbf_batched(
-            jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(query),
+            dev(pts), dev(vals), dev(query),
             smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel)
     w_grid = w_eval[:, :E * m].reshape(B, E, m)
     w_data = w_eval[:, E * m:]
@@ -214,6 +215,24 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
         shape = (_pow2_at_least(E, 2), _pow2_at_least(n, 8))
         prepared.setdefault(shape, []).append((und, slices))
 
+    # surface batches shard their underlying dim over the pipeline mesh
+    # (same layout as PipelineRunner; transparent single-device
+    # fallback). Batches pad to a mesh multiple with quote_mask-False
+    # rows so every shard is equal; padded fits are dropped on unpack.
+    from iv_interpolation_tpu.parallel.mesh import (pad_to_multiple,
+                                                    pipeline_mesh)
+    mesh = pipeline_mesh(config.processing.mesh_shape,
+                         config.processing.mesh_axis_names)
+    n_mesh = mesh.shape[mesh.axis_names[0]] if mesh is not None else 1
+
+    def dev(a):
+        x = jnp.asarray(a)
+        if mesh is not None and x.ndim >= 1 and x.shape[0] % n_mesh == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P(*((mesh.axis_names[0],) + (None,) * (x.ndim - 1)))
+            x = jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+
     out_frames = []
     n_fit = 0
     for (E_pad, n_pad), group in sorted(prepared.items()):
@@ -242,8 +261,19 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 # padded expiry slots repeat the last slice at epsilon-
                 # larger T (keeps maturities strictly ascending)
                 T[b, e] = c["T"] + max(0, e - (len(slices) - 1)) * 1e-3
+        if n_mesh > 1:
+            B_fit = pad_to_multiple(B, n_mesh)
+            if B_fit != B:
+                pads = B_fit - B
+                k = np.concatenate([k, np.repeat(k[:1], pads, 0)])
+                iv = np.concatenate([iv, np.repeat(iv[:1], pads, 0)])
+                T = np.concatenate([T, np.repeat(T[:1], pads, 0)])
+                quote_mask = np.concatenate(
+                    [quote_mask,
+                     np.zeros((pads,) + quote_mask.shape[1:], bool)])
         if method == "rbf":
-            res_all = _fit_rbf_surfaces(k, iv, T, quote_mask, scfg)
+            res_all = _fit_rbf_surfaces(k, iv, T, quote_mask, scfg,
+                                        dev=dev)
             keys = ["k_grid", "w_grid", "iv_grid",
                     "butterfly_ok", "calendar_ok", "fit_rmse"]
             if scfg.compute_local_vol:
@@ -280,9 +310,9 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
             from iv_interpolation_tpu.ops.andreasen_huge import (
                 fit_eval_ah_surface)
             res_all = fit_eval_ah_surface(
-                jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T),
+                dev(k), dev(iv), dev(T),
                 n_grid=scfg.ah_grid, n_iters=scfg.ah_iters,
-                quote_mask=jnp.asarray(quote_mask))
+                quote_mask=dev(quote_mask))
             keys = ["k_grid", "w_grid", "iv_grid",
                     "butterfly_ok", "calendar_ok", "fit_rmse"]
             if scfg.compute_local_vol:
@@ -307,7 +337,7 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
             ]
         else:
             res_all = fit_eval_surface(
-                jnp.asarray(k), jnp.asarray(iv), jnp.asarray(T),
+                dev(k), dev(iv), dev(T),
                 method=method, n_grid=scfg.grid_strikes,
                 svi_iters=scfg.lm_max_iters,
                 svi_butterfly_penalty=scfg.butterfly_penalty,
@@ -320,7 +350,7 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                             else jax.default_backend() == "tpu"),
                 smoothing_lam=scfg.smoothing_lam,
                 spline_bc=scfg.spline_bc,
-                quote_mask=jnp.asarray(quote_mask))
+                quote_mask=dev(quote_mask))
             keys = ["k_grid", "w_grid", "iv_grid",
                     "butterfly_ok", "calendar_ok", "fit_rmse"]
             if scfg.compute_local_vol:

@@ -485,3 +485,36 @@ def test_cli_init_env_and_check_db(tmp_path, capsys):
     assert rc == 0
     payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["ok"] and payload["backend"] == "parquet"
+
+
+def test_surface_task_mesh_parity(tmp_path):
+    """run_surface_fit under mesh (8,) pads the underlying batch to a
+    mesh multiple with quote_mask-False rows and persists EXACTLY the
+    table the unsharded fit produces (round 4: the surface task is the
+    other production compute path wired to the pipeline mesh)."""
+    import numpy as np
+    from iv_interpolation_tpu.pipeline.surface_task import (SURFACES,
+                                                            run_surface_fit)
+    symbols = [f"{u}-{exp}-{strike}-c"
+               for u in ("btc", "eth")
+               for exp in ("28apr23", "30jun23")
+               for strike in (20000, 22000, 24000, 26000, 28000)]
+    tables = {}
+    for shape in ((1,), (8,)):
+        cfg = get_config("testing")
+        cfg.checkpoint.manifest_dir = str(tmp_path / f"runs{shape[0]}")
+        cfg.interpolation.min_data_points = 5
+        cfg.processing.mesh_shape = shape
+        store = MemoryStore()
+        store.write(st.TICKERS, generate_sample_tickers(hours=8,
+                                                        symbols=symbols))
+        runner = PipelineRunner(cfg, store=store)
+        runner.run_task1()
+        rep = run_surface_fit(cfg, store)
+        assert rep["surfaces"] == 2, rep
+        tables[shape] = (store.read(SURFACES)
+                         .sort_values(["underlying", "expiry_t",
+                                       "log_moneyness"])
+                         .reset_index(drop=True))
+    a, b = tables[(1,)], tables[(8,)]
+    pd.testing.assert_frame_equal(a, b)
