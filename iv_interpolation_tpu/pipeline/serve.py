@@ -198,10 +198,14 @@ def build_session(config, store, n_underlyings: int = 64):
                             (len(unds), E)).copy()
         iv = (0.5 + 0.05 * k * k).astype(np.float32)
 
+    from iv_interpolation_tpu.parallel.mesh import pipeline_mesh
     from iv_interpolation_tpu.pipeline.stream_service import StreamingSession
     session = StreamingSession(unds, jnp.asarray(k), jnp.asarray(iv),
                                jnp.asarray(T),
-                               n_grid=config.surface.grid_strikes)
+                               n_grid=config.surface.grid_strikes,
+                               mesh=pipeline_mesh(
+                                   config.processing.mesh_shape,
+                                   config.processing.mesh_axis_names))
     return session, unds
 
 

@@ -53,16 +53,34 @@ class StreamingSession:
 
     def __init__(self, underlyings: List[str], chain_k, chain_iv, chain_T,
                  window_minutes: int = 512, tick_capacity: int = 8192,
-                 n_grid: int = 50, spline_bc: str = "not-a-knot"):
+                 n_grid: int = 50, spline_bc: str = "not-a-knot",
+                 mesh=None):
         self.underlyings = list(underlyings)
         self.index: Dict[str, int] = {u: i for i, u in
                                       enumerate(self.underlyings)}
         B = len(self.underlyings)
         self.window_minutes = int(window_minutes)
         self.n_grid = int(n_grid)
-        self.chain_k = jnp.asarray(chain_k)
-        self.chain_iv = jnp.asarray(chain_iv)
-        self.chain_T = jnp.asarray(chain_T)
+
+        # optional device mesh (parallel.mesh.pipeline_mesh): the
+        # underlying/batch dim of every session-resident array — chains,
+        # spline operators, tick rings — shards over the first axis, so
+        # ingestion and the fused refit run SPMD across local chips.
+        # Donated ring updates preserve the sharding (same layout in and
+        # out). Non-divisible B falls back unsharded, like the runner.
+        def _dev(x):
+            if mesh is None or getattr(x, "ndim", 0) < 1 \
+                    or x.shape[0] != B \
+                    or x.shape[0] % mesh.shape[mesh.axis_names[0]] != 0:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P(*((mesh.axis_names[0],) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        self._dev = _dev
+        self.chain_k = _dev(jnp.asarray(chain_k))
+        self.chain_iv = _dev(jnp.asarray(chain_iv))
+        self.chain_T = _dev(jnp.asarray(chain_T))
         # the quote grids are fixed for the session, so the spline refit
         # is a linear map of the (rescaled) knot variances: precompute
         # the per-underlying eval operators once and every refit becomes
@@ -75,11 +93,12 @@ class StreamingSession:
             build_surface_operators_batched)
         from iv_interpolation_tpu.surface.surface import common_support_grid
         queries = common_support_grid(self.chain_k, self.n_grid)
-        self.spline_ops = build_surface_operators_batched(
-            self.chain_k, queries, bc_type=spline_bc)
+        self.spline_ops = jax.tree.map(
+            _dev, build_surface_operators_batched(
+                self.chain_k, queries, bc_type=spline_bc))
         # tick ring channels: [minute, price, size]
-        self.ring: RingState = make_ring(B, 3, int(tick_capacity),
-                                         dtype=jnp.float32)
+        self.ring: RingState = jax.tree.map(
+            _dev, make_ring(B, 3, int(tick_capacity), dtype=jnp.float32))
         self.latest_minute: int = 0
         self.n_ticks_seen = 0
 
@@ -167,9 +186,13 @@ def run_stream_replay(config, n_underlyings: int = 64,
     k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (n_underlyings, E, n))
     T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E), (n_underlyings, E))
     iv = 0.5 + 0.05 * k * k
+    from iv_interpolation_tpu.parallel.mesh import pipeline_mesh
     sess = StreamingSession(unds, k, iv, T, window_minutes=window_minutes,
                             tick_capacity=4 * window_minutes,
-                            n_grid=config.surface.grid_strikes)
+                            n_grid=config.surface.grid_strikes,
+                            mesh=pipeline_mesh(
+                                config.processing.mesh_shape,
+                                config.processing.mesh_axis_names))
     per_min = 0.5 / np.sqrt(365.25 * 24 * 60)
     paths = 100.0 * np.exp(np.cumsum(
         rng.normal(0, per_min, (n_underlyings, window_minutes)), axis=-1))

@@ -126,3 +126,27 @@ def test_session_handles_out_of_order_ticks(rng):
                                np.asarray(shuf.candles_1m.close))
     np.testing.assert_allclose(np.asarray(fwd.realized_vol),
                                np.asarray(shuf.realized_vol))
+
+
+def test_session_mesh_parity(rng):
+    """A StreamingSession with its rings/chains sharded over the mesh
+    produces bitwise the refit of an unsharded session on the same
+    ticks (round 4: the serving path rides the pipeline mesh too)."""
+    import jax
+    from iv_interpolation_tpu.parallel.mesh import pipeline_mesh
+
+    B = 16
+    unds = [f"u{i}" for i in range(B)]
+    k, iv, T = _chains(B)
+    ticks = _tick_frame(rng, unds, 0, 200, 64)
+    outs = {}
+    for mesh in (None, pipeline_mesh((8,))):
+        sess = StreamingSession(unds, k, iv, T, window_minutes=256,
+                                tick_capacity=1024, n_grid=16, mesh=mesh)
+        if mesh is not None:
+            assert len(sess.ring.data.sharding.device_set) == 8
+        sess.ingest_ticks(ticks)
+        outs[mesh is None] = jax.tree.map(np.asarray, sess.refit())
+    for a, b in zip(jax.tree.leaves(outs[True]),
+                    jax.tree.leaves(outs[False])):
+        np.testing.assert_array_equal(a, b)
