@@ -518,3 +518,11 @@ def test_surface_task_mesh_parity(tmp_path):
                          .reset_index(drop=True))
     a, b = tables[(1,)], tables[(8,)]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cli_shard_flag_validation(capsys):
+    from iv_interpolation_tpu import cli
+    assert cli.main(["--shard", "nonsense", "--json"]) == 2
+    assert "I/N" in capsys.readouterr().err
+    assert cli.main(["--shard", "4/4", "--json"]) == 2
+    assert "out of range" in capsys.readouterr().err
