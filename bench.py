@@ -260,7 +260,7 @@ def _spline_accuracy(step_jit, k_row, T_host):
     }
 
 
-def bench_rbf(rng, B=8, N=2048, n_iters=24):
+def bench_rbf(rng, B=8, N=2048, n_iters=24, n_centers=None):
     # 24 iters: 16 repaired only ~75-100% of the arbitrage-laden batch
     # (seed-dependent); 24 is the measured knee where arbfree_frac is
     # 1.0 across seeds at ~7 surf/s (16: ~10/s, 32: ~5/s)
@@ -282,7 +282,8 @@ def bench_rbf(rng, B=8, N=2048, n_iters=24):
 
     def step(pts, w):
         return fit_eval_rbf_arbfree_batched(
-            pts, w, pts[:, :64], smoothing=1e-8, n_iters=n_iters)
+            pts, w, pts[:, :64], smoothing=1e-8, n_iters=n_iters,
+            n_centers=n_centers)
 
     step_jit = jax.jit(step)
     seed0 = int(rng.integers(0, 2**31 - 16))
@@ -498,6 +499,18 @@ def _stage_rbf(rng):
     return {"value": round(sps, 2), "arbfree_frac": frac}
 
 
+def _stage_rbf_reduced(rng):
+    """Least-squares reduced basis (n_centers=512 over 2048 quotes,
+    ops/rbf.py): same hinge repair, (c+p)^3 KKT factorizations — 4.4x
+    the exact path at B=8, 7x at B=64 (TPU 2026-08-18); the exact
+    every-site-a-center stage above stays the config-#4 headline."""
+    if SMOKE:
+        sps, frac = bench_rbf(rng, B=2, N=128, n_iters=2, n_centers=32)
+        return {"value": round(sps, 2), "arbfree_frac": frac}
+    sps, frac = bench_rbf(rng, B=64, n_centers=512)
+    return {"value": round(sps, 2), "arbfree_frac": frac}
+
+
 def _stage_ah(rng):
     sps, frac, rmse = (bench_ah(rng, B=2, n_iters=2, n_grid=65) if SMOKE
                        else bench_ah(rng))
@@ -511,6 +524,7 @@ STAGES = (
     ("essvi", _stage_essvi),
     ("streaming", _stage_streaming),
     ("rbf", _stage_rbf),
+    ("rbf_reduced", _stage_rbf_reduced),
     ("ah", _stage_ah),
 )
 
@@ -519,11 +533,12 @@ _EXTRA_NAMES = {
     "essvi": "essvi_surfaces_per_sec_1024x30x50_iters32",
     "streaming": "streaming_refit_underlyings_per_sec_1024",
     "rbf": "rbf_arbfree_surfaces_per_sec_8x2048_iters24",
+    "rbf_reduced": "rbf_arbfree_reduced_c512_surfaces_per_sec_64x2048_iters24",
     "ah": "ah_surfaces_per_sec_512x8x16_grid257_iters16",
 }
 _EXTRA_UNITS = {"svi": "slices/s", "essvi": "surfaces/s",
                 "streaming": "underlyings/s", "rbf": "surfaces/s",
-                "ah": "surfaces/s"}
+                "rbf_reduced": "surfaces/s", "ah": "surfaces/s"}
 
 
 def _state_read(path):

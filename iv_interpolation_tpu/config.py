@@ -184,6 +184,12 @@ class SurfaceConfig:
     rbf_butterfly_penalty: float = 0.0
     rbf_calendar_penalty: float = 0.0
     rbf_penalty_iters: int = 16     # damped Gauss-Newton budget
+    # reduced RBF basis for the penalized fit: c < N centers spread over
+    # the live quotes (least-squares RBF, ops.rbf n_centers) — the KKT
+    # factorization drops (N+p)^3 -> (c+p)^3, ~13x measured at
+    # N=2048,c=512 (docs/PERF.md); None keeps the exact
+    # every-site-a-center estimator
+    rbf_centers: int | None = None
     # Andreasen-Huge one-step surfaces (method 'ah'): dense PDE grid
     # resolution and per-slice LM budget (ops.andreasen_huge)
     ah_grid: int = 257

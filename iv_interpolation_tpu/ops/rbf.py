@@ -174,7 +174,7 @@ def _g_partials(k, w, w1, w2, eps=1e-12):
 
 @partial(jax.jit, static_argnames=("kernel", "n_pen_t", "n_pen_k",
                                    "n_iters", "butterfly_weight",
-                                   "calendar_weight"))
+                                   "calendar_weight", "n_centers"))
 def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
                     weights: jax.Array | None = None,
                     smoothing: float = 1e-8,
@@ -184,7 +184,8 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
                     butterfly_margin: float = 1e-3,
                     calendar_margin: float = 3e-3,
                     n_pen_t: int = 12, n_pen_k: int = 33,
-                    n_iters: int = 16):
+                    n_iters: int = 16,
+                    n_centers: int | None = None):
     """Fit an RBF total-variance surface with no-arbitrage hinge penalties.
 
     Args:
@@ -200,7 +201,9 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         ~1e3 reliably cleans severely arbitrageable data at 200-2k
         sites (measured across seeds). Either 0 disables that penalty,
         and with both 0 the exact weighted saddle system is solved
-        directly (SciPy-parity path).
+        directly (SciPy-parity path; full basis only — a reduced basis
+        runs the damped scan on the quadratic objective instead, see
+        the f32-robustness routing note at the solve site).
       butterfly_margin / calendar_margin: hinge safety margins — the
         penalty activates below the margin and pushes the linearised
         constraint TO the margin, so the converged surface clears zero
@@ -208,6 +211,17 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
       n_pen_t / n_pen_k: penalty-grid shape over the quote bounding box.
       n_iters: damped Gauss-Newton iterations (static; masked active
         set, accept/reject with a proximal mu like ``ops.lm``).
+      n_centers: optional reduced RBF basis size. ``None`` (default)
+        keeps every quote site as a center — the exact smoothing-RBF
+        estimator, SciPy-parity at zero penalty. An int ``c < N``
+        switches to the LEAST-SQUARES RBF: ``c`` centers spread evenly
+        over the live quote sites (rank-strided over input order), the
+        data term fit over ALL quotes, and the seminorm taken on the
+        center Gram. The per-iteration KKT factorization drops from
+        (N+p)^3 to (c+p)^3 — ~64x fewer solve FLOPs at c=N/4 — while
+        the hinge machinery is unchanged; the trade is basis
+        approximation power, negligible once c comfortably exceeds the
+        surface's effective degrees of freedom.
 
     Returns:
       dict as :func:`fit_rbf` (``points``/``coef``/``poly`` — evaluable
@@ -224,11 +238,41 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     wts = jnp.ones((n,), dtype) if weights is None else weights.astype(dtype)
     live = wts > 0
 
-    # data operator A_d = [K_dd | P_d]  (N, n+p)
-    K_dd = _kernel(_pairwise_r(points, points), kernel, epsilon)
+    reduced = n_centers is not None and n_centers < n
+    if reduced:
+        # evenly rank-strided over the LIVE sites (padded weight-0 tails
+        # must not eat the center budget, and strided-over-input-order
+        # would collapse onto one corner of a sorted (k, T) ladder): the
+        # j-th center is the site holding live-rank round(j*(L-1)/(c-1)).
+        # If there are fewer live sites than centers the clip duplicates
+        # ranks; the duplicated Gram columns are absorbed by the
+        # reduced-path ridge below.
+        csum = jnp.cumsum(live.astype(jnp.int32))          # 1-based ranks
+        n_live = jnp.maximum(csum[-1], 1)
+        ranks = 1 + jnp.clip(jnp.round(
+            jnp.linspace(0.0, 1.0, n_centers)
+            * (n_live - 1).astype(dtype)).astype(jnp.int32), 0, n_live - 1)
+        cidx = jnp.clip(jnp.searchsorted(csum, ranks, side="left"),
+                        0, n - 1)
+        centers = points[cidx]
+        cw = wts[cidx]
+    else:
+        centers = points
+        cw = wts
+    c = n_centers if reduced else n
+
+    # data operator A_d = [K_dc | P_d]  (N, c+p); with full centers
+    # K_dc IS the quote-site Gram K_dd (one kernel evaluation, shared)
+    K_dc = _kernel(_pairwise_r(points, centers), kernel, epsilon)
+    K_cc = (_kernel(_pairwise_r(centers, centers), kernel, epsilon)
+            if reduced else K_dc)
     ones = jnp.ones((n, 1), dtype)
     P_d = ones if p == 1 else jnp.concatenate([ones, points], axis=1)
-    A_d = jnp.concatenate([K_dd, P_d], axis=1)
+    P_c = (P_d if not reduced else
+           (jnp.ones((c, 1), dtype) if p == 1
+            else jnp.concatenate([jnp.ones((c, 1), dtype), centers],
+                                 axis=1)))
+    A_d = jnp.concatenate([K_dc, P_d], axis=1)
 
     # uniform penalty grid over the LIVE quotes' bounding box: padded
     # weight-0 sites (the pipeline extends strike ladders beyond the
@@ -247,25 +291,25 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     qk = jnp.tile(kg, n_pen_t)
     qt = jnp.repeat(tg, n_pen_k)
     q = jnp.stack([qk, qt], axis=1)                       # (G, 2)
-    K_g = _kernel(_pairwise_r(q, points), kernel, epsilon)
+    K_g = _kernel(_pairwise_r(q, centers), kernel, epsilon)
     P_g = (jnp.ones((q.shape[0], 1), dtype) if p == 1
            else jnp.concatenate([jnp.ones((q.shape[0], 1), dtype), q],
                                 axis=1))
-    A_g = jnp.concatenate([K_g, P_g], axis=1)             # (G, n+p)
+    A_g = jnp.concatenate([K_g, P_g], axis=1)             # (G, c+p)
 
     hp = jax.lax.Precision.HIGHEST  # full-f32 MXU (default is bf16)
     mm = partial(jnp.matmul, precision=hp)
 
     # FD-stencil-transformed operators (fixed): columns of A_g reshaped
-    # per slice, differentiated along k. (E, m, P) with P = n+p.
-    A3 = A_g.reshape(n_pen_t, n_pen_k, n + p)
+    # per slice, differentiated along k. (E, m, P) with P = c+p.
+    A3 = A_g.reshape(n_pen_t, n_pen_k, c + p)
     W1A = _fd1(jnp.swapaxes(A3, -1, -2), h_k)            # (E, P, m)
-    W1A = jnp.swapaxes(W1A, -1, -2).reshape(-1, n + p)
+    W1A = jnp.swapaxes(W1A, -1, -2).reshape(-1, c + p)
     W2A = _fd2(jnp.swapaxes(A3, -1, -2), h_k)
-    W2A = jnp.swapaxes(W2A, -1, -2).reshape(-1, n + p)
+    W2A = jnp.swapaxes(W2A, -1, -2).reshape(-1, c + p)
 
     # calendar difference operator rows: CA = A_g[e+1] - A_g[e]
-    CA = (A3[1:] - A3[:-1]).reshape(-1, n + p)           # ((E-1) m, P)
+    CA = (A3[1:] - A3[:-1]).reshape(-1, c + p)           # ((E-1) m, P)
 
     # fixed quadratic part: (weighted) data + seminorm + tiny ridge.
     # The penalized objective is NORMALISED — data term by the effective
@@ -283,23 +327,29 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     sqw = jnp.sqrt(wts)
     A_dw = sqw[:, None] * A_d
     y_w = sqw * values
-    K_pad = jnp.zeros((n + p, n + p), dtype).at[:n, :n].set(K_dd)
-    scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diag(K_dd))), 1.0)
+    K_pad = jnp.zeros((c + p, c + p), dtype).at[:c, :c].set(K_cc)
+    scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diag(K_cc))), 1.0)
+    # reduced path: duplicated centers (fewer live sites than centers)
+    # make exact zero Gram directions — a relative 1e-7 ridge absorbs
+    # them; full path keeps the original 1e-12 (SciPy-parity territory)
+    ridge = (1e-7 if reduced else 1e-12) * scale
     H0 = inv_nd * (mm(A_dw.T, A_dw) + smoothing * K_pad) \
-        + 1e-12 * scale * jnp.eye(n + p, dtype=dtype)
+        + ridge * jnp.eye(c + p, dtype=dtype)
     # pin weight-0 quotes' RBF coefficients to ~0 (the direct path's
     # s_eff row does this exactly): without the pin, padded sites'
     # centers stay FREE basis functions the hinge solver can deploy, so
     # the fitted surface would depend on padding contents — and near-
     # duplicate padded centers degrade KKT conditioning. Strength is
     # relative to H0's own diagonal so it dominates the Gram coupling.
-    pin = jnp.zeros((n + p,), dtype).at[:n].set(
-        jnp.where(live, 0.0, 1.0))
+    # (Reduced centers are drawn from live sites, so cw>0 there unless
+    # every site is padded — then all centers pin, as they should.)
+    pin = jnp.zeros((c + p,), dtype).at[:c].set(
+        jnp.where(cw > 0, 0.0, 1.0))
     H0 = H0 + jnp.diag(pin) * 1e6 * jnp.max(jnp.diag(H0))
     b0 = inv_nd * mm(A_dw.T, y_w)
 
     # CPD side condition P^T c = 0 via KKT rows (exact, not penalized)
-    Pt = jnp.concatenate([P_d, jnp.zeros((p, p), dtype)], axis=0)  # (n+p, p)
+    Pt = jnp.concatenate([P_c, jnp.zeros((p, p), dtype)], axis=0)  # (c+p, p)
 
     kg_row = jnp.broadcast_to(kg, (n_pen_t, n_pen_k))
 
@@ -379,7 +429,17 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         # below: the step is rejected and mu regrows, same self-heal
         # as a singular LU.
         rho = jnp.maximum(jnp.max(jnp.diag(H)), scale)
-        L = jnp.linalg.cholesky(H + rho * mm(Pt, Pt.T))
+        Hal = H + rho * mm(Pt, Pt.T)
+        if reduced:
+            # least-squares normal equations square the data operator's
+            # condition number; measured cond ~1e10 at c=N/4 NaNs the
+            # f32 Cholesky outright (ok in x64). A 1e-6-relative ridge
+            # floor bounds cond at ~1e7 — and the accept gate evaluates
+            # the TRUE cost, so the slightly-perturbed step direction
+            # cannot corrupt convergence, only re-route it.
+            Hal = Hal + 1e-6 * jnp.max(jnp.diag(Hal)) \
+                * jnp.eye(c + p, dtype=dtype)
+        L = jnp.linalg.cholesky(Hal)
         X = jax.scipy.linalg.cho_solve(
             (L, True), jnp.concatenate([rhs[:, None], Pt], axis=1))
         x0, Y = X[:, 0], X[:, 1:]                 # (P,), (P, p)
@@ -400,20 +460,33 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         any_feas = any_feas | feas_new
         return (u, mu, cost, u_best, best_smooth, any_feas), None
 
+    # The reduced basis always goes through the damped-LM scan, even at
+    # zero penalty: its least-squares normal equations are too ill-
+    # conditioned for a single un-damped f32 Cholesky on TPU (measured:
+    # the 1e-6-ridged direct solve that passes CPU-f32 still NaNs on
+    # the chip at n=1024, c=256 — the blocked TPU factorization is the
+    # fragile step, caught by the verify drive 2026-08-18). The LM
+    # accept gate rejects non-finite steps and regrows mu, so the scan
+    # degrades gracefully where a one-shot solve dies; on a quadratic
+    # objective it converges geometrically to the same minimiser.
     penalized = butterfly_weight > 0.0 or calendar_weight > 0.0
-    if penalized:
+    if penalized or reduced:
         # u0 = 0, NOT the smooth unpenalized fit: warm-starting from the
         # data-optimal surface was tried and stalls — its deep butterfly
         # violations (g ~ -0.7) sit where the g-linearisation is ill-
         # conditioned, LM rejects steps and mu grows until progress
         # stops (~-0.6 after 24 iters vs full repair from zero).
-        u0 = jnp.zeros((n + p,), dtype)
+        u0 = jnp.zeros((c + p,), dtype)
         cost0, smooth0, _ = cost_of(u0)
         state0 = (u0, jnp.asarray(1e-4, dtype), cost0, u0,
                   jnp.asarray(jnp.inf, dtype), jnp.zeros((), bool))
         (u_last, _, _, u_best, _, any_feas), _ = jax.lax.scan(
             lm_step, state0, None, length=n_iters)
-        u = jnp.where(any_feas, u_best, u_last)
+        # best-FEASIBLE tracking is the penalized solver's contract; at
+        # zero penalty (reduced basis routed here for f32 robustness
+        # only) the caller asked for the plain data-optimal fit — the
+        # converged iterate — feasible or not, like fit_rbf/SciPy
+        u = jnp.where(any_feas, u_best, u_last) if penalized else u_last
     else:
         # zero penalty: the objective is quadratic and its stationarity
         # is the WEIGHTED smoothing-RBF saddle system
@@ -424,7 +497,7 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         # weights reduce it to SciPy RBFInterpolator's system exactly.
         s_eff = smoothing + 1e-12 * scale  # weight-0 rows need s > 0
         lhs = jnp.concatenate([
-            jnp.concatenate([wts[:, None] * K_dd
+            jnp.concatenate([wts[:, None] * K_dc
                              + s_eff * jnp.eye(n, dtype=dtype),
                              wts[:, None] * P_d], axis=1),
             jnp.concatenate([P_d.T, jnp.zeros((p, p), dtype)], axis=1),
@@ -432,13 +505,13 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         rhs = jnp.concatenate([wts * values, jnp.zeros((p,), dtype)])
         u = jnp.linalg.solve(lhs, rhs)
 
-    coef, poly_c = u[:n], u[n:]
+    coef, poly_c = u[:c], u[c:]
     poly = jnp.zeros((3,), dtype).at[:p].set(poly_c)
     w_fit = mm(A_g, u).reshape(n_pen_t, n_pen_k)
     g_fit, _, _ = _g_partials(kg_row, w_fit, _fd1(w_fit, h_k),
                               _fd2(w_fit, h_k))
     return {
-        "points": points, "coef": coef, "poly": poly,
+        "points": centers, "coef": coef, "poly": poly,
         "pen_k_grid": kg, "pen_t_grid": tg,
         "pen_w": w_fit, "pen_g": g_fit,
         "butterfly_ok": jnp.all(g_fit >= -1e-8),

@@ -141,7 +141,8 @@ def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg, dev=None):
             smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel,
             butterfly_weight=scfg.rbf_butterfly_penalty,
             calendar_weight=scfg.rbf_calendar_penalty,
-            n_iters=scfg.rbf_penalty_iters)
+            n_iters=scfg.rbf_penalty_iters,
+            n_centers=scfg.rbf_centers)
     else:
         w_eval = fit_eval_rbf_batched(
             dev(pts), dev(vals), dev(query),
