@@ -639,6 +639,7 @@ def parent_main():
     Exactly one line ever reaches stdout (the assembled metrics object);
     all progress/diagnostics go to stderr. SIGTERM/SIGINT flush the
     line early so a driver-kill still records the headline."""
+    import re
     import shutil
     import subprocess
     import tempfile
@@ -688,23 +689,36 @@ def parent_main():
                IVTPU_BENCH_STATE=state_path)
     strikes = 0
     cache_wiped = False
+    cache_suspect = False  # saw a kill or a cache-read error signature
     while True:
         _wait_for_backend(max(60.0, deadline - time.time()))
         n_before = len(_state_read(state_path).get("stages", {}))
         try:
             # child stdout -> our stderr: stdout carries ONLY the final
-            # JSON line, whatever stray prints the child's imports make
+            # JSON line, whatever stray prints the child's imports make;
+            # stderr is captured too so cache-corruption signatures can
+            # gate the wipe below
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                stdout=subprocess.PIPE, timeout=attempt_s)
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                timeout=attempt_s)
             rc, child_out = proc.returncode, proc.stdout
+            child_err = proc.stderr or b""
         except subprocess.TimeoutExpired as e:
             rc, child_out = -1, e.stdout or b""
+            child_err = e.stderr or b""
+            cache_suspect = True  # killed mid-run: may truncate an entry
             print(f"# bench child timed out after {attempt_s:.0f}s; "
                   f"killed", file=sys.stderr, flush=True)
-        if child_out:
-            sys.stderr.buffer.write(child_out)
-            sys.stderr.flush()
+        for buf in (child_out, child_err):
+            if buf:
+                sys.stderr.buffer.write(buf)
+                sys.stderr.flush()
+        if rc < 0:
+            cache_suspect = True  # died on a signal
+        if re.search(rb"compilation[ _-]cache|zlib|truncat", child_err,
+                     re.IGNORECASE):
+            cache_suspect = True
         state = _state_read(state_path)
         n_after = len(state.get("stages", {}))
         if rc == 0 and n_after == len(STAGES):
@@ -721,10 +735,15 @@ def parent_main():
             # no strike — this is exactly the BENCH_r03 failure mode
             continue
         strikes += 1
-        if strikes == 2 and not cache_wiped and os.path.isdir(_CACHE_DIR):
+        if strikes == 2 and not cache_wiped and cache_suspect \
+                and os.path.isdir(_CACHE_DIR):
             # a child killed mid-compile can leave a truncated persistent-
             # cache entry that aborts every later read (observed once,
-            # round 3) — wipe our cache dir once before giving up
+            # round 3) — wipe our cache dir once before giving up. Gated
+            # on an actual kill/corruption signature: this directory is
+            # shared with cli.py and __graft_entry__, and a deterministic
+            # stage bug (clean rc=1) must not destroy their warm compiles
+            # (round-4 review).
             print("# bench: wiping compile cache after repeated "
                   "no-progress failures", file=sys.stderr, flush=True)
             shutil.rmtree(_CACHE_DIR, ignore_errors=True)

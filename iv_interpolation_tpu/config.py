@@ -187,7 +187,7 @@ class SurfaceConfig:
     # reduced RBF basis for the penalized fit: c < N centers spread over
     # the live quotes (least-squares RBF, ops.rbf n_centers) — the KKT
     # factorization drops (N+p)^3 -> (c+p)^3, ~13x measured at
-    # N=2048,c=512 (docs/PERF.md); None keeps the exact
+    # N=2048,c=512 (docs/PERF.md); None or 0 keeps the exact
     # every-site-a-center estimator
     rbf_centers: int | None = None
     # Andreasen-Huge one-step surfaces (method 'ah'): dense PDE grid
@@ -314,6 +314,23 @@ def get_config(environment: Optional[str] = None, **overrides) -> Config:
     return cfg
 
 
+def _parse_tuple(raw: str) -> tuple:
+    """Comma-separated env string -> tuple, int elements where they parse.
+
+    Non-numeric elements stay strings so tuple-of-str knobs work too
+    (IVTPU_PROCESSING__MESH_AXIS_NAMES=data,model must not crash the
+    way the int()-only coercion did).
+    """
+    out = []
+    for v in raw.split(","):
+        v = v.strip()
+        try:
+            out.append(int(v))
+        except ValueError:
+            out.append(v)
+    return tuple(out)
+
+
 def _apply_override(cfg: Config, section_name: str, field_name: str, value) -> None:
     if not hasattr(cfg, section_name):
         raise ValueError(f"Unknown config section: {section_name!r}")
@@ -330,7 +347,7 @@ def _apply_override(cfg: Config, section_name: str, field_name: str, value) -> N
         elif isinstance(current, float):
             value = float(value)
         elif isinstance(current, tuple):
-            value = tuple(int(v) for v in value.split(","))
+            value = _parse_tuple(value)
         elif current is None:
             # a None default hides the declared type, so consult the
             # dataclass annotation (round-4 review: the documented
@@ -343,7 +360,7 @@ def _apply_override(cfg: Config, section_name: str, field_name: str, value) -> N
             elif "bool" in ann:  # before int: bools are ints in Python
                 value = value.lower() in ("1", "true", "yes", "on")
             elif "tuple" in ann:
-                value = tuple(int(v) for v in value.split(","))
+                value = _parse_tuple(value)
             elif "int" in ann:
                 value = int(value)
             elif "float" in ann:

@@ -206,7 +206,7 @@ class AHFit:
 
 
 def _fit_one(k_q, iv, expiries, x, quote_wgt, *, n_iters: int,
-             lm_unroll: bool = True):
+             lm_unroll: bool = False):
     """Single-surface AH calibration: scan over expiries, LM per slice.
 
     k_q: (E, m) quote log-moneyness (ascending in m); iv: (E, m);

@@ -238,7 +238,10 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     wts = jnp.ones((n,), dtype) if weights is None else weights.astype(dtype)
     live = wts > 0
 
-    reduced = n_centers is not None and n_centers < n
+    # 0 (or negative) follows the config convention "0 disables":
+    # exact full-center path, NOT a degenerate zero-center basis that
+    # would silently fit a polynomial-only plane (round-4 review).
+    reduced = n_centers is not None and 0 < n_centers < n
     if reduced:
         # evenly rank-strided over the LIVE sites (padded weight-0 tails
         # must not eat the center budget, and strided-over-input-order

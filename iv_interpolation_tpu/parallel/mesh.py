@@ -109,6 +109,37 @@ def shard_batch(mesh: Mesh, *arrays, axis: int = 0):
     return out if len(out) > 1 else out[0]
 
 
+def shard_rows(mesh, *arrays, expect_dim0: int | None = None):
+    """Tolerant batch-dim placement for the production pipeline: place
+    each array with dim 0 (the symbol/underlying/batch dim) sharded over
+    the mesh's FIRST axis. Unlike :func:`shard_batch` (which asserts a
+    'data' axis and always shards), this passes through unchanged on any
+    of: ``mesh is None`` (single-device fallback), a ``None`` array, a
+    scalar, a dim 0 not divisible by the axis size (tiny tail batches
+    below the padding schedule), or — when ``expect_dim0`` is given — a
+    dim 0 that isn't the session batch size (guards tree-mapped use over
+    mixed pytrees). One definition serves PipelineRunner, the surface
+    task, and StreamingSession (round-4 review: three divergent copies).
+    Everything downstream is per-row math, so jit compiles the same
+    program SPMD across the shards — no collectives, exactly the
+    reference's embarrassingly parallel symbol fan-out."""
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    ax = mesh.axis_names[0]
+    n = mesh.shape[ax]
+    out = []
+    for a in arrays:
+        nd = getattr(a, "ndim", 0)
+        if a is not None and nd >= 1 and a.shape[0] >= n \
+                and a.shape[0] % n == 0 \
+                and (expect_dim0 is None or a.shape[0] == expect_dim0):
+            spec = [None] * nd
+            spec[0] = ax
+            a = jax.device_put(a, NamedSharding(mesh, P(*spec)))
+        out.append(a)
+    return out if len(out) > 1 else out[0]
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of ``m`` >= ``n`` (batch padding so shards are
     equal — the static-shape version of the reference's greedy bin-packing

@@ -100,7 +100,6 @@ class FlightStreamServer(fl.FlightServerBase if HAVE_FLIGHT else object):
             # otherwise buffer fine and only fail inside _flush_locked —
             # possibly during ANOTHER client's put/get, the exact
             # cross-client failure this boundary exists to prevent
-            import pyarrow as pa
             for col in ("minute", "price", "size"):
                 typ = batch.schema.field(col).type
                 if not (pa.types.is_integer(typ)

@@ -213,7 +213,14 @@ class PipelineRunner:
         n = self.config.processing.shard_count
         if n <= 1:
             return symbols
-        i = self.config.processing.shard_index % n
+        i = self.config.processing.shard_index
+        if not (0 <= i < n):
+            # CLI --shard validates this; the config/env path must too.
+            # Wrapping with % n would silently alias another shard's
+            # partition (duplicate work, masked misconfiguration).
+            raise ValueError(
+                f"processing.shard_index={i} out of range for "
+                f"shard_count={n} (want 0 <= index < count)")
         return [s for s in symbols if symbol_fold(s) % n == i]
 
     def _symbol_chunks(self, symbols: List[str]):
@@ -228,27 +235,9 @@ class PipelineRunner:
             yield symbols[lo:lo + n]
 
     def _shard_rows(self, *arrays):
-        """Place batch-major arrays with dim 0 (the symbol/batch dim)
-        sharded over the mesh's first axis. Transparent fallbacks: no
-        mesh -> unchanged; a batch dim not divisible by the axis size
-        (tiny tail batches below the padding schedule) -> that array
-        stays unsharded rather than failing. Everything downstream is
-        per-row math, so jit compiles the same program SPMD across the
-        shards — no collectives, exactly the reference's embarrassingly
-        parallel symbol fan-out."""
-        if self.mesh is None:
-            return arrays if len(arrays) > 1 else arrays[0]
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        ax = self.mesh.axis_names[0]
-        n = self.mesh.shape[ax]
-        out = []
-        for a in arrays:
-            if a is not None and a.ndim >= 1 and a.shape[0] >= n \
-                    and a.shape[0] % n == 0:
-                spec = P(*((ax,) + (None,) * (a.ndim - 1)))
-                a = jax.device_put(a, NamedSharding(self.mesh, spec))
-            out.append(a)
-        return out if len(out) > 1 else out[0]
+        """Batch-dim mesh placement — see parallel.mesh.shard_rows."""
+        from iv_interpolation_tpu.parallel.mesh import shard_rows
+        return shard_rows(self.mesh, *arrays)
 
     def _device_grids(self, batch: ingest.PackedBatch):
         """(values, obs_mask, timeline_mask) on device, batch dim sharded

@@ -68,16 +68,11 @@ class StreamingSession:
         # ingestion and the fused refit run SPMD across local chips.
         # Donated ring updates preserve the sharding (same layout in and
         # out). Non-divisible B falls back unsharded, like the runner.
-        def _dev(x):
-            if mesh is None or getattr(x, "ndim", 0) < 1 \
-                    or x.shape[0] != B \
-                    or x.shape[0] % mesh.shape[mesh.axis_names[0]] != 0:
-                return x
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            spec = P(*((mesh.axis_names[0],) + (None,) * (x.ndim - 1)))
-            return jax.device_put(x, NamedSharding(mesh, spec))
+        from iv_interpolation_tpu.parallel.mesh import shard_rows
 
-        self._dev = _dev
+        def _dev(x):
+            return shard_rows(mesh, x, expect_dim0=B)
+
         self.chain_k = _dev(jnp.asarray(chain_k))
         self.chain_iv = _dev(jnp.asarray(chain_iv))
         self.chain_T = _dev(jnp.asarray(chain_T))

@@ -221,18 +221,14 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
     # fallback). Batches pad to a mesh multiple with quote_mask-False
     # rows so every shard is equal; padded fits are dropped on unpack.
     from iv_interpolation_tpu.parallel.mesh import (pad_to_multiple,
-                                                    pipeline_mesh)
+                                                    pipeline_mesh,
+                                                    shard_rows)
     mesh = pipeline_mesh(config.processing.mesh_shape,
                          config.processing.mesh_axis_names)
     n_mesh = mesh.shape[mesh.axis_names[0]] if mesh is not None else 1
 
     def dev(a):
-        x = jnp.asarray(a)
-        if mesh is not None and x.ndim >= 1 and x.shape[0] % n_mesh == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            spec = P(*((mesh.axis_names[0],) + (None,) * (x.ndim - 1)))
-            x = jax.device_put(x, NamedSharding(mesh, spec))
-        return x
+        return shard_rows(mesh, jnp.asarray(a))
 
     out_frames = []
     n_fit = 0

@@ -162,3 +162,17 @@ def test_none_default_env_overrides(monkeypatch):
     cfg = get_config("testing")
     assert cfg.processing.mesh_shape is None
     assert cfg.surface.svi_unroll is True
+
+
+def test_tuple_of_str_env_override(monkeypatch):
+    """Tuple env coercion keeps non-numeric elements as strings
+    (round-4 review: MESH_AXIS_NAMES=data,model crashed on int())."""
+    monkeypatch.setenv("IVTPU_PROCESSING__MESH_AXIS_NAMES", "data,model")
+    cfg = get_config("testing")
+    assert cfg.processing.mesh_axis_names == ("data", "model")
+    # numeric elements still parse as ints (mesh_shape path unchanged)
+    monkeypatch.setenv("IVTPU_PROCESSING__MESH_AXIS_NAMES", "data")
+    monkeypatch.setenv("IVTPU_PROCESSING__MESH_SHAPE", "2,4")
+    cfg = get_config("testing")
+    assert cfg.processing.mesh_axis_names == ("data",)
+    assert cfg.processing.mesh_shape == (2, 4)

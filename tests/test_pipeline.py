@@ -898,3 +898,14 @@ def test_symbol_sharding_across_processes(cfg, tmp_path):
         b["symbol"] = b["symbol"].astype(str)
         pd.testing.assert_frame_equal(a.drop(columns=drop),
                                       b.drop(columns=drop))
+
+
+def test_shard_index_out_of_range_raises(cfg):
+    """A config/env shard_index outside [0, shard_count) must raise, not
+    wrap with % n — wrapping silently aliased another shard's partition
+    (duplicate work, masked rollout misconfiguration; round-4 review).
+    The CLI already validates; this covers the env/config path."""
+    cfg.processing.shard_index, cfg.processing.shard_count = 2, 2
+    runner = PipelineRunner(cfg, store=MemoryStore())
+    with pytest.raises(ValueError, match="shard_index"):
+        runner._shard_symbols(["AAA", "BBB"])

@@ -297,6 +297,22 @@ def test_arbfree_reduced_centers_skip_padding(rng):
     np.testing.assert_allclose(got_p, got_b, atol=5e-4)
 
 
+def test_arbfree_zero_centers_means_exact_path(rng):
+    """n_centers=0 follows the config's '0 disables' convention: the
+    exact full-center fit, bitwise-equal to n_centers=None. Before the
+    round-4 review fix, 0 entered the reduced path with a ZERO-center
+    basis and silently fit a polynomial-only plane."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    pts, w = _scattered_quotes(rng, 96)
+    exact = fit_rbf_arbfree(jnp.array(pts), jnp.array(w),
+                            smoothing=1e-4, n_iters=4, n_centers=None)
+    zero = fit_rbf_arbfree(jnp.array(pts), jnp.array(w),
+                           smoothing=1e-4, n_iters=4, n_centers=0)
+    np.testing.assert_array_equal(np.asarray(exact["coef"]),
+                                  np.asarray(zero["coef"]))
+
+
 def test_arbfree_more_centers_than_live_sites_is_finite(rng):
     """n_centers > live count duplicates ranks; the reduced-path ridge
     must keep the (rank-deficient) normal equations finite."""
