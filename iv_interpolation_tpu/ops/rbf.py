@@ -232,6 +232,14 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     """
     if kernel not in _POLY_TERMS:  # friendly error, matching fit_rbf
         raise ValueError(f"unknown RBF kernel: {kernel!r}")
+    if n_pen_t < 1 or n_pen_k < 3:
+        # the butterfly FD stencils need >= 3 strike points; one T row
+        # is fine (calendar pairs are simply empty then)
+        raise ValueError(f"penalty grid too small: n_pen_t={n_pen_t} "
+                         f"(>= 1), n_pen_k={n_pen_k} (>= 3)")
+    if calendar_weight > 0.0 and n_pen_t < 2:
+        raise ValueError("calendar_weight > 0 needs n_pen_t >= 2 "
+                         "(calendar pairs compare adjacent T slices)")
     dtype = values.dtype
     n = points.shape[0]
     p = _POLY_TERMS[kernel]
@@ -326,16 +334,23 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     # solves the W-weighted saddle system) for any non-binary weights.
     inv_nd = 1.0 / jnp.maximum(jnp.sum(wts), 1.0)
     inv_gb = 1.0 / (n_pen_t * n_pen_k)
-    inv_gc = 1.0 / ((n_pen_t - 1) * n_pen_k)
+    # max(...) keeps n_pen_t=1 (no calendar pairs; CA has zero rows)
+    # from dividing by zero at trace time — round-4 review
+    inv_gc = 1.0 / max((n_pen_t - 1) * n_pen_k, 1)
     sqw = jnp.sqrt(wts)
     A_dw = sqw[:, None] * A_d
     y_w = sqw * values
     K_pad = jnp.zeros((c + p, c + p), dtype).at[:c, :c].set(K_cc)
-    scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diag(K_cc))), 1.0)
     # reduced path: duplicated centers (fewer live sites than centers)
-    # make exact zero Gram directions — a relative 1e-7 ridge absorbs
-    # them; full path keeps the original 1e-12 (SciPy-parity territory)
-    ridge = (1e-7 if reduced else 1e-12) * scale
+    # make exact zero Gram directions — a 1e-7 ridge absorbs them; full
+    # path keeps the original 1e-12 (SciPy-parity territory). These
+    # floors are ABSOLUTE constants in the normalized coordinate
+    # convention (log-moneyness k, T in years — where phi(0) is 0/±1
+    # for every supported kernel, so a diag(K)-relative scale is
+    # identically 1 and was deleted as dead weight, round-4 review);
+    # the quantity that actually tracks problem magnitude is the
+    # per-iteration max-diag-relative ridge inside lm_step.
+    ridge = 1e-7 if reduced else 1e-12
     H0 = inv_nd * (mm(A_dw.T, A_dw) + smoothing * K_pad) \
         + ridge * jnp.eye(c + p, dtype=dtype)
     # pin weight-0 quotes' RBF coefficients to ~0 (the direct path's
@@ -356,6 +371,13 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
 
     kg_row = jnp.broadcast_to(kg, (n_pen_t, n_pen_k))
 
+    # static: both weights are static_argnames, so the zero-penalty
+    # program contains no hinge/feasibility work at all (the reduced
+    # basis rides this scan for f32 robustness only — round-4 review:
+    # the untracked feasibility state was threaded through the carry,
+    # which XLA cannot dead-code-eliminate)
+    penalized = butterfly_weight > 0.0 or calendar_weight > 0.0
+
     def hinge_parts(u):
         """Penalty-grid pieces at coefficients u: (g flattened,
         dg/dw, dg/dw1 — the Gauss-Newton Jacobian partials, both
@@ -369,12 +391,15 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
 
     def cost_of(u):
         """(total cost, smooth data+seminorm cost, feasible on the raw
-        margin-free no-arb constraints)."""
+        margin-free no-arb constraints — feasibility only evaluated on
+        the penalized route; the zero-penalty contract ignores it)."""
         r_d = sqw * (mm(A_d, u) - values)
-        gf, _, _, dw = hinge_parts(u)
         smooth_c = inv_nd * (jnp.sum(r_d * r_d)
                              + smoothing * jnp.dot(u, mm(K_pad, u)))
         c = smooth_c
+        if not penalized:
+            return c, smooth_c, jnp.ones((), bool)
+        gf, _, _, dw = hinge_parts(u)
         if butterfly_weight > 0.0:
             c = c + butterfly_weight * inv_gb * jnp.sum(
                 jnp.minimum(gf - butterfly_margin, 0.0) ** 2)
@@ -391,8 +416,11 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         # proximal term mu*diag(H) plus reject-and-regrow-mu is LM's
         # standard cure, with masks instead of branches so the whole
         # loop stays one traced program.
-        u, mu, cost, u_best, best_smooth, any_feas = state
-        gf, dg_dw, dg_dw1, dw = hinge_parts(u)
+        if penalized:
+            u, mu, cost, u_best, best_smooth, any_feas = state
+            gf, dg_dw, dg_dw1, dw = hinge_parts(u)
+        else:  # slim carry: no hinge or feasibility state to drag along
+            u, mu, cost = state
 
         H = H0
         rhs = b0
@@ -413,7 +441,7 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
             rhs = rhs + calendar_weight * inv_gc * mm(
                 Cm.T, act_c * calendar_margin)
 
-        damp = mu * jnp.maximum(jnp.diag(H), 1e-12 * scale)
+        damp = mu * jnp.maximum(jnp.diag(H), 1e-12)
         H = H + jnp.diag(damp)
         rhs = rhs + damp * u                               # proximal at u
 
@@ -431,7 +459,7 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         # failed factorization (NaN) is caught by the accept gate
         # below: the step is rejected and mu regrows, same self-heal
         # as a singular LU.
-        rho = jnp.maximum(jnp.max(jnp.diag(H)), scale)
+        rho = jnp.maximum(jnp.max(jnp.diag(H)), 1.0)
         Hal = H + rho * mm(Pt, Pt.T)
         if reduced:
             # least-squares normal equations square the data operator's
@@ -454,6 +482,8 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         u = jnp.where(accept, u_new, u)
         cost = jnp.where(accept, cost_new, cost)
         mu = jnp.clip(jnp.where(accept, mu / 3.0, mu * 5.0), 1e-8, 1e12)
+        if not penalized:
+            return (u, mu, cost), None
         # track the best FEASIBLE iterate seen (hinge active sets can
         # cycle near the boundary; the returned fit should not depend on
         # which side of the fence the final iterate landed)
@@ -472,7 +502,6 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
     # accept gate rejects non-finite steps and regrows mu, so the scan
     # degrades gracefully where a one-shot solve dies; on a quadratic
     # objective it converges geometrically to the same minimiser.
-    penalized = butterfly_weight > 0.0 or calendar_weight > 0.0
     if penalized or reduced:
         # u0 = 0, NOT the smooth unpenalized fit: warm-starting from the
         # data-optimal surface was tried and stalls — its deep butterfly
@@ -481,15 +510,22 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         # stops (~-0.6 after 24 iters vs full repair from zero).
         u0 = jnp.zeros((c + p,), dtype)
         cost0, smooth0, _ = cost_of(u0)
-        state0 = (u0, jnp.asarray(1e-4, dtype), cost0, u0,
-                  jnp.asarray(jnp.inf, dtype), jnp.zeros((), bool))
-        (u_last, _, _, u_best, _, any_feas), _ = jax.lax.scan(
-            lm_step, state0, None, length=n_iters)
-        # best-FEASIBLE tracking is the penalized solver's contract; at
-        # zero penalty (reduced basis routed here for f32 robustness
-        # only) the caller asked for the plain data-optimal fit — the
-        # converged iterate — feasible or not, like fit_rbf/SciPy
-        u = jnp.where(any_feas, u_best, u_last) if penalized else u_last
+        if penalized:
+            state0 = (u0, jnp.asarray(1e-4, dtype), cost0, u0,
+                      jnp.asarray(jnp.inf, dtype), jnp.zeros((), bool))
+            (u_last, _, _, u_best, _, any_feas), _ = jax.lax.scan(
+                lm_step, state0, None, length=n_iters)
+            # best-FEASIBLE tracking is the penalized solver's contract
+            u = jnp.where(any_feas, u_best, u_last)
+        else:
+            # zero penalty, reduced basis: routed through the damped
+            # scan for f32 robustness only. The caller asked for the
+            # plain data-optimal fit — the converged iterate — like
+            # fit_rbf/SciPy, so no feasibility state is carried (or
+            # computed) at all.
+            state0 = (u0, jnp.asarray(1e-4, dtype), cost0)
+            (u, _, _), _ = jax.lax.scan(
+                lm_step, state0, None, length=n_iters)
     else:
         # zero penalty: the objective is quadratic and its stationarity
         # is the WEIGHTED smoothing-RBF saddle system
@@ -498,7 +534,7 @@ def fit_rbf_arbfree(points: jax.Array, values: jax.Array,
         # solved directly, which avoids squaring the Gram's condition
         # number the way the normal-equations path would. Uniform
         # weights reduce it to SciPy RBFInterpolator's system exactly.
-        s_eff = smoothing + 1e-12 * scale  # weight-0 rows need s > 0
+        s_eff = smoothing + 1e-12  # weight-0 rows need s > 0
         lhs = jnp.concatenate([
             jnp.concatenate([wts[:, None] * K_dc
                              + s_eff * jnp.eye(n, dtype=dtype),

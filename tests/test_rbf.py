@@ -297,6 +297,25 @@ def test_arbfree_reduced_centers_skip_padding(rng):
     np.testing.assert_allclose(got_p, got_b, atol=5e-4)
 
 
+def test_arbfree_single_slice_penalty_grid(rng):
+    """n_pen_t=1 (single-expiry bucket) must work with the calendar
+    penalty off — it used to ZeroDivisionError at trace time on the
+    unconditional 1/((n_pen_t-1)*n_pen_k) — and raise a descriptive
+    error when a calendar penalty is requested (round-4 review)."""
+    from iv_interpolation_tpu.ops.rbf import fit_rbf_arbfree
+
+    pts, w = _scattered_quotes(rng, 96)
+    fit = fit_rbf_arbfree(jnp.array(pts), jnp.array(w), smoothing=1e-4,
+                          n_iters=4, n_pen_t=1, calendar_weight=0.0)
+    assert np.isfinite(np.asarray(fit["coef"])).all()
+    assert fit["pen_w"].shape[0] == 1
+    with pytest.raises(ValueError, match="calendar"):
+        fit_rbf_arbfree(jnp.array(pts), jnp.array(w), n_pen_t=1,
+                        calendar_weight=1.0)
+    with pytest.raises(ValueError, match="penalty grid"):
+        fit_rbf_arbfree(jnp.array(pts), jnp.array(w), n_pen_k=2)
+
+
 def test_arbfree_zero_centers_means_exact_path(rng):
     """n_centers=0 follows the config's '0 disables' convention: the
     exact full-center fit, bitwise-equal to n_centers=None. Before the
