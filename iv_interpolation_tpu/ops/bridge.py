@@ -4,9 +4,15 @@ TPU-native replacement for the reference's data bridge
 (src/data_bridge/ohlcv_converter.py:138-369): the reference looped over
 rows in Python, drawing from the *global* NumPy RNG per row (irreproducible
 under parallelism, SURVEY.md §7.3); here all draws come from counter-based
-``jax.random`` keys derived from ``(seed, series index)``, so results are
-deterministic and order-independent, and the whole series is one fused XLA
-computation.
+``jax.random`` keys derived from ``(seed, series index, absolute epoch
+minute)``, so results are deterministic, order-independent AND
+grid-alignment-independent — a candle's draws depend only on (seed,
+symbol, minute), never on where that minute lands in the packed grid.
+That last property is what makes the staged and fused pipelines
+byte-identical even when task 1 drops leading-invalid rows (the stored
+grid then starts later than the in-memory one), and makes resumed runs
+with different windows rewrite identical rows. The whole series is one
+fused XLA computation.
 
 The only sequential dependence in the reference is the trend term
 (ohlcv_converter.py:224-227): the spread-simulation close obeys
@@ -65,10 +71,21 @@ def _linear_recurrence(m: jax.Array, a: jax.Array) -> jax.Array:
     return x
 
 
-def _process_volume(volume, key, base_volume, shape):
+def _per_minute_keys(stream_key, abs_minutes):
+    """(L,) independent keys: one per absolute epoch minute. fold_in is
+    the counter-based derivation — same (stream, minute) -> same key in
+    every process, window, and grid alignment."""
+    return jax.vmap(jax.random.fold_in, (None, 0))(
+        stream_key, abs_minutes.astype(jnp.uint32))
+
+
+def _process_volume(volume, key, base_volume, abs_minutes):
     """Reference _process_volume (ohlcv_converter.py:359-369): keep positive
     volumes, impute Exponential(base) draws for missing/non-positive."""
-    imputed = jax.random.exponential(key, shape, volume.dtype) * base_volume
+    ks = _per_minute_keys(key, abs_minutes)
+    imputed = jax.vmap(
+        lambda k: jax.random.exponential(k, (), volume.dtype))(ks) \
+        * base_volume
     have = jnp.isfinite(volume) & (volume > 0)
     return jnp.where(have, volume, imputed)
 
@@ -77,7 +94,8 @@ def _process_volume(volume, key, base_volume, shape):
 def synthesize_ohlcv(base_price: jax.Array, volume: jax.Array,
                      valid: jax.Array, key: jax.Array,
                      params: BridgeParams = BridgeParams(),
-                     strategy: str = "spread_simulation"):
+                     strategy: str = "spread_simulation",
+                     abs_minutes: jax.Array | None = None):
     """Generate synthetic 1-minute OHLCV from interpolated point prices.
 
     Args:
@@ -89,6 +107,11 @@ def synthesize_ohlcv(base_price: jax.Array, volume: jax.Array,
       key: jax PRNG key for this series.
       params: spread/trend/volume parameters (config ``data_bridge.*``).
       strategy: one of the four reference strategies.
+      abs_minutes: ``(L,)`` absolute epoch minutes of the grid rows.
+        Draws are keyed on them, so a minute's candle is identical no
+        matter where the grid starts (staged/fused/resume parity —
+        see module docstring). Defaults to ``arange(L)`` (standalone
+        use: deterministic, relative alignment).
 
     Returns:
       dict of ``(L,)`` arrays: open/high/low/close/volume plus ``valid``
@@ -100,8 +123,14 @@ def synthesize_ohlcv(base_price: jax.Array, volume: jax.Array,
     ok = valid & jnp.isfinite(base_price) & (base_price > 0)
     base = jnp.where(ok, base_price, 1.0)  # keep math finite on dead rows
 
+    if abs_minutes is None:
+        abs_minutes = jnp.arange(L)
     k_vol, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
-    u = lambda k, lo, hi: jax.random.uniform(k, (L,), dtype, lo, hi)
+
+    def u(k, lo, hi):
+        ks = _per_minute_keys(k, abs_minutes)
+        return jax.vmap(
+            lambda kk: jax.random.uniform(kk, (), dtype, lo, hi))(ks)
 
     if strategy == "spread_simulation":
         vol_mult = u(k1, 0.5, params.volatility_factor)
@@ -140,7 +169,9 @@ def synthesize_ohlcv(base_price: jax.Array, volume: jax.Array,
         high = base + spread / 2.0
         low = base - spread / 2.0
     elif strategy == "trend_following":
-        noise = jax.random.normal(k1, (L,), dtype) * (base * 0.001)
+        noise = jax.vmap(
+            lambda kk: jax.random.normal(kk, (), dtype))(
+            _per_minute_keys(k1, abs_minutes)) * (base * 0.001)
         open_, close, trend = _trend_following_scan(base, noise, ok,
                                                     params.trend_strength)
         # high/low asymmetric by trend sign (ohlcv_converter.py:312-317)
@@ -156,8 +187,9 @@ def synthesize_ohlcv(base_price: jax.Array, volume: jax.Array,
     else:
         raise ValueError(f"unknown conversion strategy: {strategy!r}")
 
-    vol = _process_volume(volume, k_vol, jnp.asarray(params.base_volume, dtype),
-                          (L,))
+    vol = _process_volume(volume, k_vol,
+                          jnp.asarray(params.base_volume, dtype),
+                          abs_minutes)
     nan = jnp.asarray(jnp.nan, dtype)
     out = {
         "open": jnp.where(ok, _round(open_, 4), nan),

@@ -25,14 +25,15 @@ def _checkpointer():
 def save_state(path: str, state: Any) -> str:
     """Save an array pytree (SurfaceFit, LMResult.params, operators...).
 
-    ``path`` is a directory; it is created fresh (orbax requires a
-    non-existent target).
+    ``path`` is a directory; an existing checkpoint there is replaced
+    (``force=True`` — the previous erase_and_create_empty dance left an
+    EXISTING empty directory, which orbax's save rejects with
+    "Destination already exists" AFTER the old checkpoint was erased;
+    round-4 review, reproduced).
     """
-    import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = _checkpointer()
-    ckptr.save(ocp.test_utils.erase_and_create_empty(path) if os.path.exists(path)
-               else path, state)
+    ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
     return path
 

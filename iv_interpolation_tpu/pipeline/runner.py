@@ -223,6 +223,20 @@ class PipelineRunner:
                 f"shard_count={n} (want 0 <= index < count)")
         return [s for s in symbols if symbol_fold(s) % n == i]
 
+    def _manifest(self, name: str, resume_batch_id=None) -> RunManifest:
+        """Stage manifest, shard-aware: under --shard I/N the task name
+        gains a per-shard suffix so each process writes its OWN jsonl.
+        Two shard processes launched within the same second otherwise
+        derive the same batch_id and append to one file — torn lines,
+        JSONDecodeError on the next --resume (round-4 review; --shard
+        documents per-process manifests)."""
+        n = self.config.processing.shard_count
+        if n > 1:
+            name = f"{name}.shard{self.config.processing.shard_index}"
+        return RunManifest(
+            self.config.checkpoint.manifest_dir, name, resume_batch_id,
+            flush_interval=self.config.checkpoint.checkpoint_interval)
+
     def _symbol_chunks(self, symbols: List[str]):
         """Chunk the requested symbols so each storage read is bounded
         (VERDICT r1 item 8 — the reference streamed with server-side
@@ -238,6 +252,57 @@ class PipelineRunner:
         """Batch-dim mesh placement — see parallel.mesh.shard_rows."""
         from iv_interpolation_tpu.parallel.mesh import shard_rows
         return shard_rows(self.mesh, *arrays)
+
+    def _iter_packed_batches(self, symbols, skip, start_date=None,
+                             end_date=None):
+        """Read + pack one bounded symbol chunk at a time, so host RAM
+        never holds the whole input table. ONE definition serves the
+        staged task-1 and the fused pipeline (round-4 review: two
+        near-identical copies had already drifted — only the staged one
+        could window by date). A requested symbol with zero observations
+        after the date window — or absent from the input table entirely
+        — gets an explicit skip record; a bare drop left it 'pending'
+        forever, fruitlessly re-enqueued by every --resume."""
+        cfg = self.config.interpolation
+        freq = parse_frequency(cfg.frequency)
+        for chunk_syms in self._symbol_chunks(symbols):
+            df = self.store.read(st.TICKERS, symbols=chunk_syms)
+            if start_date is not None and len(df):
+                df = df[pd.to_datetime(df["date"])
+                        >= pd.to_datetime(start_date)]
+            if end_date is not None and len(df):
+                df = df[pd.to_datetime(df["date"])
+                        <= pd.to_datetime(end_date)]
+            present = (set(df["symbol"].astype(str).unique())
+                       if len(df) else set())
+            for sym in chunk_syms:
+                if str(sym) not in present:
+                    skip(sym, "no observations (unknown symbol or "
+                              "empty date window)")
+            packed = ingest.pack_symbols(
+                df, self.config.processing.bucket_sizes,
+                min_points=cfg.min_data_points,
+                max_span_days=cfg.max_span_days,
+                max_timeline_points=cfg.max_timeline_points,
+                freq_minutes=freq,
+                max_batch=self.config.processing.batch_size,
+                max_slots=self.config.processing.max_slots_per_batch,
+                dtype=self.np_dtype,
+                # cubic's obs-count splitting walks host-side masks
+                compact=(cfg.method != "cubic"),
+            )
+            for sym, reason in packed.skipped.items():
+                skip(sym, reason)
+            bs = packed.batches
+            if cfg.method == "cubic":
+                bs = [b for orig in bs
+                      for b in _split_by_obs_count(
+                          orig, ingest.bucket_batch_cap(
+                              orig.bucket_len,
+                              self.config.processing.batch_size,
+                              self.config.processing
+                              .max_slots_per_batch))]
+            yield from bs
 
     def _device_grids(self, batch: ingest.PackedBatch):
         """(values, obs_mask, timeline_mask) on device, batch dim sharded
@@ -308,10 +373,7 @@ class PipelineRunner:
         date filter (batch_processor.py:28-51, default window
         2023-03-15..26) generalised to arbitrary bounds."""
         cfg = self.config.interpolation
-        manifest = RunManifest(
-            self.config.checkpoint.manifest_dir, "interpolation",
-            resume_batch_id,
-            flush_interval=self.config.checkpoint.checkpoint_interval)
+        manifest = self._manifest("interpolation", resume_batch_id)
         if resume_batch_id is not None:
             symbols = manifest.pending_symbols()
             self.log.info("resume batch %s: %d pending symbols",
@@ -333,43 +395,8 @@ class PipelineRunner:
         max_gap = cfg.max_gap_hours * 60 if cfg.max_gap_hours else 0
         n_rows_out = 0
 
-        def iter_batches():
-            """Read + pack one bounded symbol chunk at a time, so host
-            RAM never holds the whole input table."""
-            for chunk_syms in self._symbol_chunks(symbols):
-                df = self.store.read(st.TICKERS, symbols=chunk_syms)
-                if start_date is not None and len(df):
-                    df = df[pd.to_datetime(df["date"])
-                            >= pd.to_datetime(start_date)]
-                if end_date is not None and len(df):
-                    df = df[pd.to_datetime(df["date"])
-                            <= pd.to_datetime(end_date)]
-                packed = ingest.pack_symbols(
-                    df, self.config.processing.bucket_sizes,
-                    min_points=cfg.min_data_points,
-                    max_span_days=cfg.max_span_days,
-                    max_timeline_points=cfg.max_timeline_points,
-                    freq_minutes=freq,
-                    max_batch=self.config.processing.batch_size,
-                    max_slots=self.config.processing.max_slots_per_batch,
-                    dtype=self.np_dtype,
-                    # cubic's obs-count splitting walks host-side masks
-                    compact=(cfg.method != "cubic"),
-                )
-                for sym, reason in packed.skipped.items():
-                    manifest.skip_symbol(sym, reason)
-                bs = packed.batches
-                if cfg.method == "cubic":
-                    bs = [b for orig in bs
-                          for b in _split_by_obs_count(
-                              orig, ingest.bucket_batch_cap(
-                                  orig.bucket_len,
-                                  self.config.processing.batch_size,
-                                  self.config.processing
-                                  .max_slots_per_batch))]
-                yield from bs
-
-        for batch in iter_batches():
+        for batch in self._iter_packed_batches(
+                symbols, manifest.skip_symbol, start_date, end_date):
             if self.stop_requested:
                 break
             t0 = time.time()
@@ -448,9 +475,7 @@ class PipelineRunner:
                    batch_id: Optional[int] = None,
                    resume_batch_id: Optional[int] = None) -> dict:
         cfg = self.config.data_bridge
-        manifest = RunManifest(
-            self.config.checkpoint.manifest_dir, "bridge", resume_batch_id,
-            flush_interval=self.config.checkpoint.checkpoint_interval)
+        manifest = self._manifest("bridge", resume_batch_id)
         if resume_batch_id is not None:
             symbols = manifest.pending_symbols()
         if symbols is None:
@@ -467,26 +492,28 @@ class PipelineRunner:
         # spacing or the staged path diverges from the fused one
         freq = parse_frequency(self.config.interpolation.frequency)
         # column pruning: the bridge needs the numeric grid + identity
-        # columns plus is_interpolated (for raw-coverage price selection),
-        # not the Greeks written by task 1
-        read_cols = ["symbol", "date", "is_interpolated"] \
-            + list(ingest.ALL_COLS)
+        # columns, not the Greeks written by task 1
+        read_cols = ["symbol", "date"] + list(ingest.ALL_COLS)
         if batch_id is not None:
             read_cols.append("batch_id")
         # the reference's price-source priority rule evaluates coverage
         # over REAL quotes (ohlcv_converter.py:189-207). The stored
-        # interpolated grid has finite underlying_price on every valid
-        # row by construction, so running select_price_columns on it made
-        # the rule dead here (frac always 1.0) and diverged from the
-        # fused path, which sees pre-fill coverage. Compute the choice
-        # host-side over non-interpolated rows instead.
+        # interpolated grid cannot answer that: task 1 fills per-COLUMN
+        # NaNs even on observation rows and only stores rows with finite
+        # underlying_price, so every stored row — real or interpolated —
+        # has the column populated and any rule computed over the
+        # INTERPOLATED table is dead (frac identically 1.0; round-4
+        # review caught the first fix still reading post-fill rows).
+        # Genuine pre-fill coverage lives in the raw TICKERS table —
+        # the same per-quote finiteness the fused path's
+        # select_price_columns sees at observed grid positions.
         price_choice: Dict[str, int] = {}
 
-        def _choose_price_cols(df: pd.DataFrame) -> None:
-            sub = (df[~df["is_interpolated"].astype(bool)]
-                   if "is_interpolated" in df.columns else df)
+        def _choose_price_cols(chunk_syms) -> None:
             prio = ["underlying_price", "mark_price", "index_price"]
-            for sym, g in sub.groupby("symbol"):
+            raw = self.store.read(st.TICKERS, symbols=chunk_syms,
+                                  columns=["symbol"] + prio)
+            for sym, g in raw.groupby("symbol"):
                 n = max(len(g), 1)
                 fr = [(g[c].notna().sum() / n if c in g.columns else 0.0)
                       for c in prio]
@@ -501,7 +528,7 @@ class PipelineRunner:
                                      columns=read_cols)
                 if batch_id is not None and "batch_id" in df.columns:
                     df = df[df["batch_id"] == batch_id]
-                _choose_price_cols(df)
+                _choose_price_cols(chunk_syms)
                 packed = ingest.pack_symbols(
                     df, self.config.processing.bucket_sizes,
                     min_points=1,
@@ -560,10 +587,18 @@ class PipelineRunner:
                 keys = self._shard_rows(
                     jax.vmap(jax.random.fold_in, (None, 0))(
                         root_key, jnp.asarray(hashes)))
+                # absolute epoch minutes of the grid rows: the draws key
+                # on them, so candles match the fused path even when the
+                # stored grid starts later (leading-invalid rows)
+                L_b = filled["filled"].shape[-1]
+                abs_min = self._shard_rows(
+                    jnp.asarray(batch.t0_minutes)[:, None]
+                    + jnp.arange(L_b)[None, :] * freq)
                 ohlcv = tasks.bridge_batch(
                     filled["filled"], filled["valid"] & b_obs_mask,
                     keys, params=params, price_col=price_col,
-                    strategy=cfg.conversion_strategy)
+                    strategy=cfg.conversion_strategy,
+                    abs_minutes=abs_min)
                 failed: Dict[str, str] = {}
                 if cfg.enable_quality_checks:
                     base = jnp.take_along_axis(
@@ -639,9 +674,7 @@ class PipelineRunner:
     def run_task2(self, symbols: Optional[List[str]] = None,
                   resume_batch_id: Optional[int] = None) -> dict:
         cfg = self.config.candle_reconstruction
-        manifest = RunManifest(
-            self.config.checkpoint.manifest_dir, "candles", resume_batch_id,
-            flush_interval=self.config.checkpoint.checkpoint_interval)
+        manifest = self._manifest("candles", resume_batch_id)
         if resume_batch_id is not None:
             symbols = manifest.pending_symbols()
         if symbols is None:
@@ -876,7 +909,8 @@ class PipelineRunner:
     # ------------------------------------------------------------------
     def run_pipeline_fused(self, symbols: Optional[List[str]] = None,
                            limit: Optional[int] = None,
-                           resume_batch_id: Optional[int] = None) -> dict:
+                           resume_batch_id: Optional[int] = None,
+                           start_date=None, end_date=None) -> dict:
         """interpolate -> bridge -> aggregate per bucket batch with NO
         storage round-trip between stages — the north star's
         "eliminating the data_bridge/database round-trips on the hot
@@ -891,9 +925,7 @@ class PipelineRunner:
         bcfg = self.config.data_bridge
         ccfg = self.config.candle_reconstruction
         manifests = {
-            name: RunManifest(
-                self.config.checkpoint.manifest_dir, name, resume_batch_id,
-                flush_interval=self.config.checkpoint.checkpoint_interval)
+            name: self._manifest(name, resume_batch_id)
             for name in ("interpolation", "bridge", "candles")
         }
         if resume_batch_id is not None:
@@ -921,33 +953,13 @@ class PipelineRunner:
         freq = parse_frequency(icfg.frequency)
         tgt_freq = parse_frequency(ccfg.target_frequency)
 
+        def skip_all(sym, reason):
+            for m in manifests.values():
+                m.skip_symbol(sym, reason)
+
         def iter_batches():
-            for chunk_syms in self._symbol_chunks(symbols):
-                df = self.store.read(st.TICKERS, symbols=chunk_syms)
-                packed = ingest.pack_symbols(
-                    df, self.config.processing.bucket_sizes,
-                    min_points=icfg.min_data_points,
-                    max_span_days=icfg.max_span_days,
-                    max_timeline_points=icfg.max_timeline_points,
-                    freq_minutes=freq,
-                    max_batch=self.config.processing.batch_size,
-                    max_slots=self.config.processing.max_slots_per_batch,
-                    dtype=self.np_dtype,
-                    compact=(icfg.method != "cubic"),
-                )
-                for sym, reason in packed.skipped.items():
-                    for m in manifests.values():
-                        m.skip_symbol(sym, reason)
-                bs = packed.batches
-                if icfg.method == "cubic":
-                    bs = [b for orig in bs
-                          for b in _split_by_obs_count(
-                              orig, ingest.bucket_batch_cap(
-                                  orig.bucket_len,
-                                  self.config.processing.batch_size,
-                                  self.config.processing
-                                  .max_slots_per_batch))]
-                yield from bs
+            yield from self._iter_packed_batches(
+                symbols, skip_all, start_date, end_date)
 
         max_gap = icfg.max_gap_hours * 60 if icfg.max_gap_hours else 0
         params = BridgeParams(
@@ -1034,10 +1046,17 @@ class PipelineRunner:
             keys = self._shard_rows(
                 jax.vmap(jax.random.fold_in, (None, 0))(
                     root_key, jnp.asarray(hashes)))
+            # here t0_minutes is epoch minutes (pack_symbols convention),
+            # not src-interval units like the staged task2 path
+            minutes, base_bucket = self._shard_rows(
+                jnp.asarray(batch.t0_minutes)[:, None]
+                + jnp.arange(L)[None, :] * freq,
+                jnp.asarray(batch.t0_minutes) // tgt_freq)
             ohlcv = tasks.bridge_batch(
                 out["filled"], out["valid"], keys, params=params,
                 price_col=price_col,
-                strategy=bcfg.conversion_strategy)
+                strategy=bcfg.conversion_strategy,
+                abs_minutes=minutes)
             quality_ok = None
             if bcfg.enable_quality_checks:
                 from iv_interpolation_tpu.ops.bridge import (
@@ -1050,12 +1069,6 @@ class PipelineRunner:
                     ohlcv["open"], ohlcv["high"], ohlcv["low"],
                     ohlcv["close"], base, ohlcv["valid"],
                     max_spread_frac=bcfg.max_spread_percent)
-            # here t0_minutes is epoch minutes (pack_symbols convention),
-            # not src-interval units like the staged task2 path
-            minutes, base_bucket = self._shard_rows(
-                jnp.asarray(batch.t0_minutes)[:, None]
-                + jnp.arange(L)[None, :] * freq,
-                jnp.asarray(batch.t0_minutes) // tgt_freq)
             agg = tasks.candles_batch(
                 minutes, ohlcv, jnp.int32(tgt_freq), base_bucket,
                 num_segments=(L * freq + tgt_freq - 1) // tgt_freq + 1,

@@ -40,6 +40,7 @@ class StreamServer:
         self._buffer: list = []
         self._lock = threading.Lock()
         self._ingested = 0
+        self._rejected = 0
 
         outer = self
 
@@ -50,6 +51,13 @@ class StreamServer:
                         msg = json.loads(raw)
                     except json.JSONDecodeError:
                         self._reply({"ok": False, "error": "bad json"})
+                        continue
+                    if not isinstance(msg, dict):
+                        # valid JSON scalar/array ('5\n') used to
+                        # TypeError on '"cmd" in msg' and kill the
+                        # handler thread with no reply (round-4 review)
+                        self._reply({"ok": False,
+                                     "error": "message must be an object"})
                         continue
                     if "cmd" in msg:
                         reply = outer._command(msg["cmd"])
@@ -75,7 +83,21 @@ class StreamServer:
         self._thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------
+    _TICK_FIELDS = ("minute", "price", "size")
+
     def _tick(self, msg: dict) -> None:
+        # boundary validation (same reasoning as the Flight transport's
+        # do_put): a malformed tick must not buffer fine and then blow
+        # up a LATER flush — possibly triggered by another client's
+        # command. Ticks get no reply by protocol, so rejects are
+        # counted and surfaced in flush/stats replies.
+        if not isinstance(msg.get("underlying"), str) or not all(
+                isinstance(msg.get(f), (int, float))
+                and not isinstance(msg.get(f), bool)
+                for f in self._TICK_FIELDS):
+            with self._lock:
+                self._rejected += 1
+            return
         with self._lock:
             self._buffer.append(msg)
             if len(self._buffer) >= self.flush_every:
@@ -85,20 +107,31 @@ class StreamServer:
         if not self._buffer:
             return 0
         df = pd.DataFrame(self._buffer)
-        self._buffer = []
         n = self.session.ingest_ticks(df)
+        # clear ONLY after a successful ingest: clearing first lost
+        # every buffered client's ticks when ingest raised (round-4
+        # review). ingest_ticks is all-or-nothing (one device update).
+        self._buffer = []
         self._ingested += n
         return n
 
     def _command(self, cmd: str) -> dict:
+        try:
+            return self._command_locked(cmd)
+        except Exception as e:  # noqa: BLE001 — reply, don't kill the thread
+            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    def _command_locked(self, cmd: str) -> dict:
         with self._lock:
             if cmd == "flush":
                 return {"ok": True, "ingested": self._flush_locked(),
-                        "total": self._ingested}
+                        "total": self._ingested,
+                        "rejected": self._rejected}
             if cmd == "stats":
                 self._flush_locked()
                 return {"ok": True, **self.session.stats(),
-                        "server_ingested": self._ingested}
+                        "server_ingested": self._ingested,
+                        "rejected": self._rejected}
             if cmd == "refit":
                 self._flush_locked()
                 out = self.session.refit()
@@ -161,7 +194,8 @@ def build_session(config, store, n_underlyings: int = 64):
     import jax.numpy as jnp
 
     from iv_interpolation_tpu.pipeline import storage as st
-    from iv_interpolation_tpu.pipeline.surface_task import build_chains
+    from iv_interpolation_tpu.pipeline.surface_task import (build_chains,
+                                                            pack_chain_group)
 
     chains = []
     df = store.read(st.INTERPOLATED)
@@ -174,21 +208,9 @@ def build_session(config, store, n_underlyings: int = 64):
         unds = sorted(by_und)
         E = max(len(v) for v in by_und.values())
         n = max(len(c["k"]) for c in chains)
-        k = np.zeros((len(unds), E, n), np.float32)
-        iv = np.full((len(unds), E, n), 0.5, np.float32)
-        T = np.zeros((len(unds), E), np.float32)
-        for b, u in enumerate(unds):
-            slices = sorted(by_und[u], key=lambda c: c["T"])
-            for e in range(E):
-                c = slices[min(e, len(slices) - 1)]
-                m = len(c["k"])
-                k[b, e, :m] = c["k"]
-                iv[b, e, :m] = c["iv"]
-                if m < n:
-                    step = (c["k"][-1] - c["k"][0]) / max(m - 1, 1) or 1e-3
-                    k[b, e, m:] = c["k"][-1] + step * np.arange(1, n - m + 1)
-                    iv[b, e, m:] = c["iv"][-1]
-                T[b, e] = c["T"] + max(0, e - (len(slices) - 1)) * 1e-3
+        group = [(u, sorted(by_und[u], key=lambda c: c["T"]))
+                 for u in unds]
+        k, iv, T, _, _ = pack_chain_group(group, E, n, dtype=np.float32)
     else:
         unds = [f"u{i:04d}" for i in range(n_underlyings)]
         E, n = 4, 12

@@ -23,8 +23,10 @@ Backends: in-memory (tests), Parquet datasets (default), and Postgres
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, List, Optional
 
+import numpy as np
 import pandas as pd
 
 # canonical table names, matching the reference schema
@@ -88,9 +90,11 @@ class MemoryStore:
 class ParquetStore:
     """Append-only parquet dataset per table under ``root``.
 
-    Each ``write`` lands a new ``part-NNNNNN.parquet`` (O(batch), never a
-    table rewrite — the reference's execute_values inserts had the same
-    property); upsert semantics are realised at *read* time by dropping
+    Each ``write`` lands a new ``part-<ns>-<pid>.parquet`` (O(batch),
+    never a table rewrite — the reference's execute_values inserts had
+    the same property, and the (timestamp, pid) name stays
+    collision-free across concurrent --shard writer processes); upsert
+    semantics are realised at *read* time by dropping
     duplicate keys keeping the newest part, with automatic background
     compaction once a table accumulates ``compact_after`` parts. A
     ``_meta.json`` sidecar remembers the table's upsert keys.
@@ -171,10 +175,18 @@ class ParquetStore:
             with open(os.path.join(d, "_meta.json"), "w") as f:
                 json.dump({"upsert_keys": upsert_keys}, f)
         parts = self._parts(table)
-        n = int(parts[-1].rsplit("-", 1)[-1][:-8]) + 1 if parts else 0
-        tmp = os.path.join(d, f".part-{n:06d}.tmp")
+        # part names are (timestamp_ns, pid)-unique, NOT a sequential
+        # counter derived from listing the directory: concurrent --shard
+        # processes sharing one store both computed the same next number
+        # and the second os.replace silently clobbered the first shard's
+        # rows (round-4 review). Lexicographic order still reflects
+        # write order (zero-padded ns), which read-time upsert dedup
+        # (keep='last') depends on; compact()'s "part-000000" output
+        # sorts before every ns-named part, as it must.
+        name = f"part-{time.time_ns():020d}-{os.getpid():07d}"
+        tmp = os.path.join(d, f".{name}.tmp")
         df.to_parquet(tmp, index=False)
-        os.replace(tmp, os.path.join(d, f"part-{n:06d}.parquet"))
+        os.replace(tmp, os.path.join(d, f"{name}.parquet"))
         if self.compact_after and len(parts) + 1 >= self.compact_after:
             self.compact(table)
         return len(df)
@@ -186,7 +198,7 @@ class ParquetStore:
             return
         df = self.read(table)
         d = self._dir(table)
-        tmp = os.path.join(d, ".compact.tmp")
+        tmp = os.path.join(d, f".compact-{os.getpid()}.tmp")
         df.to_parquet(tmp, index=False)
         for p in parts:
             os.remove(p)
@@ -345,7 +357,16 @@ class PostgresStore:
         col_list = ", ".join(_ident(c) for c in cols)
         q = (f"INSERT INTO {_ident(table)} ({col_list}) "
              f"VALUES %s{conflict}")
-        rows = [tuple(r) for r in df.itertuples(index=False)]
+        # unwrap numpy scalars (np.float32/int64/bool_) and NaT to
+        # Python natives: psycopg2 cannot adapt them ("can't adapt type
+        # 'numpy.float32'") and the default processing dtype IS float32,
+        # so every real-psycopg2 deployment hit it on the first INSERT
+        # (round-4 review; the pure-Python pgwire fallback already
+        # unwrapped via .item())
+        rows = [tuple(None if v is pd.NaT
+                      else v.item() if isinstance(v, np.generic) else v
+                      for v in r)
+                for r in df.itertuples(index=False)]
         with self._connect() as conn, conn.cursor() as cur:
             self._execute_values(cur, q, rows, page_size=1000)
             conn.commit()

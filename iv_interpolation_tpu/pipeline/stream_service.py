@@ -96,6 +96,14 @@ class StreamingSession:
             _dev, make_ring(B, 3, int(tick_capacity), dtype=jnp.float32))
         self.latest_minute: int = 0
         self.n_ticks_seen = 0
+        # the ring's minute channel is float32, whose exact-integer range
+        # ends at 2^24 (~16.7M) — absolute EPOCH minutes (~29.8M today)
+        # round to even values and land ticks in wrong 1-min buckets
+        # (round-4 review). Minutes are therefore rebased to the first
+        # minute seen before entering the ring; the public API stays
+        # absolute (latest_minute, refit(now_minute=...)). Exact for
+        # sessions spanning < 2^24 minutes (~31 years).
+        self._minute_base: Optional[int] = None
 
     # ------------------------------------------------------------------
     def ingest_ticks(self, ticks: pd.DataFrame) -> int:
@@ -117,7 +125,10 @@ class StreamingSession:
         valid = np.zeros((B, K), bool)
         order = np.argsort(rows, kind="stable")
         rows_s = rows[order]
-        minute = ticks["minute"].to_numpy(np.float32)[order]
+        minute_abs = ticks["minute"].to_numpy(np.int64)[order]
+        if self._minute_base is None:
+            self._minute_base = int(minute_abs.min())
+        minute = (minute_abs - self._minute_base).astype(np.float32)
         price = ticks["price"].to_numpy(np.float32)[order]
         size = ticks["size"].to_numpy(np.float32)[order]
         # position within each underlying's run
@@ -127,7 +138,7 @@ class StreamingSession:
         block[rows_s, _CH_SIZE, pos] = size
         valid[rows_s, pos] = True
         self.ring = push(self.ring, jnp.asarray(block), jnp.asarray(valid))
-        self.latest_minute = max(self.latest_minute, int(minute.max()))
+        self.latest_minute = max(self.latest_minute, int(minute_abs.max()))
         self.n_ticks_seen += len(rows_s)
         return len(rows_s)
 
@@ -137,7 +148,9 @@ class StreamingSession:
         window ending at ``now_minute`` (defaults to the latest ingested
         minute) — one fused jit (candles -> realized vol -> surfaces)."""
         now = self.latest_minute if now_minute is None else int(now_minute)
-        start = now - self.window_minutes + 1
+        # ring minutes are rebased (see __init__); translate the absolute
+        # window start into ring coordinates
+        start = now - self.window_minutes + 1 - (self._minute_base or 0)
         data, valid = window(self.ring)
         minute_rel = (data[:, _CH_MINUTE] - float(start)).astype(jnp.int32)
         in_window = valid & (minute_rel >= 0) \

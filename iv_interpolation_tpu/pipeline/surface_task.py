@@ -170,6 +170,40 @@ def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg, dev=None):
     }
 
 
+def pack_chain_group(group, E_pad: int, n_pad: int, dtype=np.float64):
+    """Pad a list of ``(underlying, T-sorted slices)`` chains into one
+    dense ``(B, E_pad, n_pad)`` batch: strike axes extend strictly
+    monotonically, padded expiry slots repeat the last slice at
+    epsilon-larger T (maturities stay strictly ascending), and
+    ``quote_mask`` marks the real quotes. ONE definition shared by
+    ``run_surface_fit`` and ``serve.build_session`` (round-4 review:
+    the serving copy had drifted — no quote_mask, a dead 0.5 iv fill).
+
+    Returns ``(k, iv, T, E_real, quote_mask)``.
+    """
+    B = len(group)
+    k = np.zeros((B, E_pad, n_pad), dtype)
+    iv = np.zeros((B, E_pad, n_pad), dtype)
+    T = np.zeros((B, E_pad), dtype)
+    E_real = np.zeros(B, np.int64)
+    quote_mask = np.zeros((B, E_pad, n_pad), bool)
+    for b, (_und, slices) in enumerate(group):
+        E_real[b] = len(slices)
+        for e in range(E_pad):
+            c = slices[min(e, len(slices) - 1)]
+            m = len(c["k"])
+            k[b, e, :m] = c["k"]
+            iv[b, e, :m] = c["iv"]
+            quote_mask[b, e, :m] = e < len(slices)
+            if m < n_pad:
+                step = (c["k"][-1] - c["k"][0]) / max(m - 1, 1) or 1e-3
+                k[b, e, m:] = c["k"][-1] + step * np.arange(
+                    1, n_pad - m + 1)
+                iv[b, e, m:] = c["iv"][-1]
+            T[b, e] = c["T"] + max(0, e - (len(slices) - 1)) * 1e-3
+    return k, iv, T, E_real, quote_mask
+
+
 def run_surface_fit(config, store, limit: Optional[int] = None,
                     method: Optional[str] = None) -> dict:
     """Fit one surface per underlying from interpolated data and persist
@@ -234,30 +268,10 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
     n_fit = 0
     for (E_pad, n_pad), group in sorted(prepared.items()):
         B = len(group)
-        k = np.zeros((B, E_pad, n_pad), np.float64)
-        iv = np.zeros((B, E_pad, n_pad), np.float64)
-        T = np.zeros((B, E_pad), np.float64)
-        E_real = np.zeros(B, np.int64)
         # real-quote mask: padded strikes and duplicated expiry slices
         # must not enter the fit_rmse statistic
-        quote_mask = np.zeros((B, E_pad, n_pad), bool)
-        for b, (und, slices) in enumerate(group):
-            E_real[b] = len(slices)
-            for e in range(E_pad):
-                c = slices[min(e, len(slices) - 1)]
-                m = len(c["k"])
-                k[b, e, :m] = c["k"]
-                iv[b, e, :m] = c["iv"]
-                quote_mask[b, e, :m] = e < len(slices)
-                if m < n_pad:
-                    # extend the strike axis strictly monotonically
-                    step = (c["k"][-1] - c["k"][0]) / max(m - 1, 1) or 1e-3
-                    k[b, e, m:] = c["k"][-1] + step * np.arange(
-                        1, n_pad - m + 1)
-                    iv[b, e, m:] = c["iv"][-1]
-                # padded expiry slots repeat the last slice at epsilon-
-                # larger T (keeps maturities strictly ascending)
-                T[b, e] = c["T"] + max(0, e - (len(slices) - 1)) * 1e-3
+        k, iv, T, E_real, quote_mask = pack_chain_group(group, E_pad,
+                                                        n_pad)
         if n_mesh > 1:
             B_fit = pad_to_multiple(B, n_mesh)
             if B_fit != B:

@@ -128,13 +128,18 @@ def interpolate_batch(values: jax.Array, obs_mask: jax.Array,
 def bridge_batch(filled: jax.Array, valid: jax.Array, keys: jax.Array,
                  params: BridgeParams = BridgeParams(),
                  price_col: jax.Array | None = None,
-                 strategy: str = "spread_simulation"):
+                 strategy: str = "spread_simulation",
+                 abs_minutes: jax.Array | None = None):
     """Bridge kernel: interpolated grids -> synthetic 1-min OHLCV grids.
 
     ``price_col``: (B,) int index into ALL_COLS choosing each symbol's
     price source (the reference's underlying->mark->index priority rule,
     ohlcv_converter.py:189-207, computed host-side from non-null ratios).
     Defaults to underlying_price for all symbols.
+
+    ``abs_minutes``: (B, L) absolute epoch minutes of the grid rows —
+    draws key on them so a minute's candle is grid-alignment-independent
+    (staged/fused/resume byte parity; see ops.bridge module docstring).
     """
     B = filled.shape[0]
     if price_col is None:
@@ -143,10 +148,14 @@ def bridge_batch(filled: jax.Array, valid: jax.Array, keys: jax.Array,
         filled, price_col[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     volume = filled[:, _VOLUME]
+    if abs_minutes is None:
+        abs_minutes = jnp.broadcast_to(
+            jnp.arange(filled.shape[-1]), valid.shape)
     return jax.vmap(
-        lambda b, v, ok, key: synthesize_ohlcv(
-            b, v, ok, key, params=params, strategy=strategy)
-    )(base, volume, valid, keys)
+        lambda b, v, ok, key, mins: synthesize_ohlcv(
+            b, v, ok, key, params=params, strategy=strategy,
+            abs_minutes=mins)
+    )(base, volume, valid, keys, abs_minutes)
 
 
 @partial(jax.jit, static_argnames=("num_segments", "min_count"))

@@ -21,16 +21,31 @@ from iv_interpolation_tpu.ops.bridge import (
 
 
 def _draws(key, L, dtype=jnp.float64):
-    """Replicate the key-split order inside synthesize_ohlcv."""
+    """Replicate the key derivation inside synthesize_ohlcv: six streams
+    split from the series key, then one key per ABSOLUTE minute via
+    fold_in (default minutes = arange(L)) — the scheme that makes a
+    minute's draws independent of grid alignment."""
     k_vol, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
-    u = lambda k, lo, hi: np.asarray(jax.random.uniform(k, (L,), dtype, lo, hi))
+    mins = jnp.arange(L).astype(jnp.uint32)
+
+    def per_min(k):
+        return jax.vmap(jax.random.fold_in, (None, 0))(k, mins)
+
+    def u(k, lo, hi):
+        return np.asarray(jax.vmap(
+            lambda kk: jax.random.uniform(kk, (), dtype, lo, hi))(
+            per_min(k)))
+
+    vol_exp = np.asarray(jax.vmap(
+        lambda kk: jax.random.exponential(kk, (), dtype))(
+        per_min(k_vol))) * 50.0
     return {
         "vol_mult": u(k1, 0.5, 1.5),
         "o_off_u": u(k2, -1.0, 1.0),
         "c_off_u": u(k3, -1.0, 1.0),
         "h_u": u(k4, 0.0, 1.0),
         "l_u": u(k5, 0.0, 1.0),
-        "vol_exp": np.asarray(jax.random.exponential(k_vol, (L,), dtype)) * 50.0,
+        "vol_exp": vol_exp,
     }
 
 
@@ -154,11 +169,14 @@ def test_trend_following_matches_sequential_oracle(rng):
     got = synthesize_ohlcv(jnp.array(base), jnp.full(L, 5.0),
                            jnp.array(valid), key,
                            strategy="trend_following")
-    # replicate the key split + noise draws
+    # replicate the key split + per-minute noise draws
     _, k1, *_ = jax.random.split(key, 6)
     ok = valid & np.isfinite(base) & (base > 0)
     base_safe = np.where(ok, base, 1.0)
-    noise = np.asarray(jax.random.normal(k1, (L,), jnp.float64)) \
+    pks = jax.vmap(jax.random.fold_in, (None, 0))(
+        k1, jnp.arange(L).astype(jnp.uint32))
+    noise = np.asarray(jax.vmap(
+        lambda kk: jax.random.normal(kk, (), jnp.float64))(pks)) \
         * (base_safe * 0.001)
 
     closes_hist = []

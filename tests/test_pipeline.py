@@ -403,6 +403,56 @@ def test_fused_pipeline_matches_staged(cfg, frequency, method):
 
 
 @pytest.mark.slow
+def test_price_priority_rule_live_and_paths_agree(cfg):
+    """A symbol whose raw underlying_price coverage is below the 80%
+    threshold must ride mark_price in BOTH the staged and fused bridge
+    (reference ohlcv_converter.py:189-207). Round-4 review: the staged
+    rule read the post-fill INTERPOLATED table, where underlying_price
+    is populated on every stored row by construction (task 1 fills
+    per-column NaNs and only stores finite-underlying rows), so the
+    rule was dead — it always picked underlying_price and diverged
+    from the fused pick. It now reads raw TICKERS coverage."""
+    tickers = generate_sample_tickers(num_symbols=2, hours=10)
+    syms = sorted(tickers["symbol"].unique())
+    victim = syms[0]
+    idx = tickers.index[tickers["symbol"] == victim]
+    rng = np.random.default_rng(3)
+    # keep ~40% coverage: enough to interpolate a valid grid, below 0.8
+    drop = rng.choice(idx, size=int(len(idx) * 0.6), replace=False)
+    tickers.loc[drop, "underlying_price"] = np.nan
+    cfg.interpolation.min_data_points = 5
+
+    stores = {}
+    for mode in ("staged", "fused"):
+        store = MemoryStore()
+        store.write(st.TICKERS, tickers)
+        runner = PipelineRunner(cfg, store=store)
+        res = (runner.run_all() if mode == "staged"
+               else runner.run_pipeline_fused())
+        assert res["task1"]["by_status"].get("completed") == 2
+        stores[mode] = store
+
+    for table in (st.MINUTE_CANDLES, st.RECONSTRUCTED):
+        a = (stores["staged"].read(table)
+             .sort_values(["symbol", "timestamp"]).reset_index(drop=True))
+        b = (stores["fused"].read(table)
+             .sort_values(["symbol", "timestamp"]).reset_index(drop=True))
+        drop_cols = [c for c in ("batch_id", "created_at") if c in a.columns]
+        a["symbol"] = a["symbol"].astype(str)
+        b["symbol"] = b["symbol"].astype(str)
+        pd.testing.assert_frame_equal(a.drop(columns=drop_cols),
+                                      b.drop(columns=drop_cols))
+
+    # the victim's candles ride mark_price (~2% of underlying x iv), the
+    # full-coverage symbol rides underlying — magnitudes separate by 10x+
+    m = stores["staged"].read(st.MINUTE_CANDLES)
+    m["symbol"] = m["symbol"].astype(str)
+    vic = m[m["symbol"] == victim]["close"].median()
+    oth = m[m["symbol"] == syms[1]]["close"].median()
+    assert len(m) and vic < 0.1 * oth, (vic, oth)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["staged", "fused"])
 def test_quality_gate_isolates_single_symbol(cfg, mode):
     """One poisoned symbol in a bucket errors alone; the rest complete

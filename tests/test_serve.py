@@ -60,6 +60,36 @@ def test_bad_json_and_unknown_cmd(server):
         assert reply["ok"] is False and "unknown" in reply["error"]
 
 
+def test_non_dict_json_and_malformed_ticks(server, rng):
+    """Round-4 review regressions: a JSON scalar line ('5') must get an
+    error reply instead of killing the handler thread with a TypeError,
+    and a tick missing required numeric fields must be rejected at the
+    boundary (counted in replies) instead of buffering and blowing up a
+    later flush — which used to discard every other client's ticks."""
+    import json
+    import socket
+    with socket.create_connection(("127.0.0.1", server.port)) as sock:
+        f = sock.makefile("rwb")
+        f.write(b"5\n")
+        f.flush()
+        reply = json.loads(f.readline())
+        assert reply["ok"] is False and "object" in reply["error"]
+        # connection still alive: a command round-trips
+        f.write(b'{"cmd": "stats"}\n')
+        f.flush()
+        assert json.loads(f.readline())["ok"] is True
+
+    good = _ticks(rng, "btc", 10)
+    bad = [{"underlying": "btc", "minute": "noon", "price": 1.0,
+            "size": 1.0},
+           {"underlying": 7, "minute": 1, "price": 1.0, "size": 1.0},
+           {"underlying": "btc", "price": 1.0, "size": 1.0}]
+    replies = send_lines("127.0.0.1", server.port,
+                         good + bad + [{"cmd": "flush"}])
+    assert replies[0]["ok"] and replies[0]["ingested"] == 10
+    assert replies[0]["rejected"] == 3
+
+
 def test_auto_flush_threshold(server, rng):
     """120 ticks with flush_every=50 auto-ingest 100 before the final
     command; stats on the SAME connection (ordering across connections is

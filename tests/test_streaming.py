@@ -151,3 +151,41 @@ def test_streaming_session_uses_operator_refit(rng):
     out = sess.refit()
     assert bool(jnp.all(out.butterfly_ok))
     assert np.all(np.isfinite(np.asarray(out.w_grid)))
+
+
+def test_streaming_session_epoch_scale_minutes(rng):
+    """Absolute EPOCH minutes (~29.8M, above float32's 2^24 exact-int
+    range) must bucket identically to the same ticks with small
+    minutes. Round-4 review: minutes were stored raw in the f32 ring,
+    so consecutive epoch minutes rounded to the same even value and
+    ticks landed in wrong 1-min candles; the session now rebases
+    minutes to the first minute seen before they enter the ring."""
+    import pandas as pd
+    from iv_interpolation_tpu.pipeline.stream_service import StreamingSession
+
+    B, E, n = 2, 3, 10
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E), (B, E))
+    iv = 0.4 + 0.05 * k * k
+    unds = [f"u{i}" for i in range(B)]
+
+    minutes = np.sort(rng.integers(0, 64, 300))
+    prices = 100 + np.cumsum(rng.normal(0, 0.01, 300))
+    sizes = rng.uniform(0.1, 5, 300)
+    und_col = [unds[i % B] for i in range(300)]
+
+    outs = {}
+    for label, base in (("small", 0), ("epoch", 29_800_000)):
+        sess = StreamingSession(unds, k, iv, T, window_minutes=64,
+                                tick_capacity=512, n_grid=17)
+        ticks = pd.DataFrame({"underlying": und_col,
+                              "minute": minutes + base,
+                              "price": prices, "size": sizes})
+        assert sess.ingest_ticks(ticks) == 300
+        assert sess.latest_minute == int(minutes.max()) + base
+        outs[label] = sess.refit()
+
+    for field in ("w_grid", "realized_vol", "candles_1m"):
+        a, b = getattr(outs["small"], field), getattr(outs["epoch"], field)
+        jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)), a, b)
