@@ -192,7 +192,10 @@ def main(argv=None) -> int:
         os.environ["ENVIRONMENT"] = args.env
 
     if args.init_env:
-        path = os.path.join(args.data_root or ".", ".env")
+        root = args.data_root or "."
+        os.makedirs(root, exist_ok=True)  # setup flow runs before any
+        #                                   other command creates it
+        path = os.path.join(root, ".env")
         if os.path.exists(path):
             print(f"refusing to overwrite existing {path}")
             return 1
@@ -343,7 +346,11 @@ def main(argv=None) -> int:
         from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
         ctx = mp.get_context("spawn")
         monitor_proc = ctx.Process(
-            target=RealtimeMonitor(config).run, daemon=True)
+            target=RealtimeMonitor(config).run, daemon=True,
+            # the side dashboard starts BEFORE the run's first manifest
+            # flush: wait for a new batch instead of exiting on the
+            # previous (finished) one or on a missing runs dir
+            kwargs={"wait_for_new": True})
         monitor_proc.start()
     t0 = time.time()
     from contextlib import nullcontext
@@ -407,8 +414,20 @@ def _dispatch(args, runner, limit):
                                          resume_batch_id=args.resume)}
     elif args.task == "both":
         out = {"task1": runner.run_task1(resume_batch_id=args.resume,
-                                         limit=limit)}
-        out["task2"] = runner.run_task2()
+                                         limit=limit,
+                                         start_date=args.start_date,
+                                         end_date=args.end_date)}
+        # scope task2 to this run's symbols when the run itself is
+        # scoped — '--test' used to smoke-run task1 on 3 symbols and
+        # then reconstruct EVERY candle symbol in storage (round-4
+        # review)
+        scope = None
+        if limit or args.resume or args.start_date or args.end_date:
+            m = runner._manifest("interpolation",
+                                 out["task1"].get("batch_id"))
+            scope = sorted(s for s, r in m.records().items()
+                           if r.status == "completed")
+        out["task2"] = runner.run_task2(symbols=scope)
     elif args.task == "surface":
         from iv_interpolation_tpu.pipeline.surface_task import run_surface_fit
         out = {"surface": run_surface_fit(runner.config, runner.store,
@@ -434,9 +453,13 @@ def _dispatch(args, runner, limit):
     elif args.task == "pipeline":
         # fused: stages chained on-device, no storage round-trips between
         out = runner.run_pipeline_fused(limit=limit,
-                                        resume_batch_id=args.resume)
+                                        resume_batch_id=args.resume,
+                                        start_date=args.start_date,
+                                        end_date=args.end_date)
     else:  # all (staged via storage)
-        out = runner.run_all(limit=limit)
+        out = runner.run_all(limit=limit, resume_batch_id=args.resume,
+                             start_date=args.start_date,
+                             end_date=args.end_date)
     return out
 
 

@@ -65,6 +65,11 @@ def setup_logging(log_dir: Optional[str] = None,
         ph.setLevel(logging.INFO)
         ph.setFormatter(logging.Formatter("%(asctime)s|%(message)s"))
         perf.addHandler(ph)
+        # three-stream separation: perf events must NOT propagate up to
+        # iv_tpu's console + main-file handlers — a 10k-symbol run would
+        # flood the console (garbling the --with-monitor repaint) and
+        # duplicate the whole perf stream into the main log
+        perf.propagate = False
 
     _CONFIGURED = True
     return root

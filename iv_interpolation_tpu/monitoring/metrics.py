@@ -66,24 +66,34 @@ def host_system_census() -> dict:
         import os
 
         import psutil
-        proc = psutil.Process(os.getpid())
-        disk = psutil.disk_usage("/")
-        dio = psutil.disk_io_counters()
-        nio = psutil.net_io_counters()
-        return {
-            "cpu_percent_per_core": psutil.cpu_percent(percpu=True),
-            "cpu_percent": psutil.cpu_percent(),
-            "load_avg": list(os.getloadavg()),
-            "disk_used_pct": disk.percent,
-            "disk_free_gb": disk.free / 2**30,
-            "disk_read_mb": (dio.read_bytes / 2**20) if dio else None,
-            "disk_write_mb": (dio.write_bytes / 2**20) if dio else None,
-            "net_sent_mb": nio.bytes_sent / 2**20,
-            "net_recv_mb": nio.bytes_recv / 2**20,
-            "process_rss_gb": proc.memory_info().rss / 2**30,
-        }
     except Exception:
         return {}
+    out: dict = {}
+
+    def probe(name, fn):
+        # per-probe guard: one unavailable counter (containers often
+        # lack net/disk IO counters) must not discard the whole census
+        try:
+            out[name] = fn()
+        except Exception:
+            out[name] = None
+
+    probe("cpu_percent_per_core", lambda: psutil.cpu_percent(percpu=True))
+    probe("cpu_percent", psutil.cpu_percent)
+    probe("load_avg", lambda: list(os.getloadavg()))
+    probe("disk_used_pct", lambda: psutil.disk_usage("/").percent)
+    probe("disk_free_gb", lambda: psutil.disk_usage("/").free / 2**30)
+    probe("disk_read_mb",
+          lambda: psutil.disk_io_counters().read_bytes / 2**20)
+    probe("disk_write_mb",
+          lambda: psutil.disk_io_counters().write_bytes / 2**20)
+    probe("net_sent_mb",
+          lambda: psutil.net_io_counters().bytes_sent / 2**20)
+    probe("net_recv_mb",
+          lambda: psutil.net_io_counters().bytes_recv / 2**20)
+    probe("process_rss_gb",
+          lambda: psutil.Process(os.getpid()).memory_info().rss / 2**30)
+    return out
 
 
 @dataclass

@@ -31,20 +31,25 @@ class RealtimeMonitor:
         self.task = task
         self.batch_id = batch_id
         self.interval = interval_s or config.monitoring.refresh_interval_s
-        self._seen_alerts = set()
-        self._prev_poll = None  # (ts, rows_out, symbols_done)
+        self._prev_poll = None  # (batch key, ts, rows_out, symbols_done)
 
     def throughput(self, summary: dict) -> dict:
         """rows/s, symbols/min and ETA from consecutive polls (reference
-        performance_monitor.py:226-265). First poll returns {}."""
+        performance_monitor.py:226-265). First poll returns {}. Polls
+        are keyed on (task, batch_id): when the monitored batch changes
+        mid-run (--task all moves from interpolation to bridge), a
+        cross-batch delta would print negative garbage throughput
+        (round-4 review)."""
         by = summary["by_status"]
         done = by.get("completed", 0) + by.get("skipped", 0) \
             + by.get("error", 0)
         now = time.time()
+        key = (summary["task"], summary["batch_id"])
         prev, self._prev_poll = self._prev_poll, (
-            now, summary["output_rows"], done)
-        if prev is None:
+            key, now, summary["output_rows"], done)
+        if prev is None or prev[0] != key:
             return {}
+        prev = prev[1:]
         dt = now - prev[0]
         if dt <= 0:
             return {}
@@ -64,20 +69,28 @@ class RealtimeMonitor:
             if not name.endswith(".jsonl"):
                 continue
             task, _, bid = name[:-6].rpartition("_")
+            try:
+                bid = int(bid)
+            except ValueError:
+                continue  # stray .jsonl (editor backup, notes) — skip,
+                #           same guard as RunManifest.list_batches
             if self.task and task != self.task:
                 continue
-            if self.batch_id and int(bid) != self.batch_id:
+            if self.batch_id and bid != self.batch_id:
                 continue
-            candidates.append((int(bid), task))
+            candidates.append((bid, task))
         if not candidates:
             return None
         bid, task = max(candidates)
         return RunManifest(d, task, bid)
 
     def alerts(self, manifest: RunManifest) -> list:
-        """Threshold alerts with dedup (reference
-        performance_monitor.py:267-304): host-memory pressure and low
-        throughput, thresholds from MonitoringConfig."""
+        """CURRENT threshold alerts: host-memory pressure and low
+        throughput, thresholds from MonitoringConfig (reference
+        performance_monitor.py:267-304). No dedup here: the dashboard
+        repaints the whole screen each frame, so deduping by message
+        (the reference's log-emission behavior) made a persistent
+        CRITICAL visible for exactly one frame (round-4 review)."""
         out = []
         mcfg = self.config.monitoring
         host = host_memory_stats()
@@ -94,12 +107,7 @@ class RealtimeMonitor:
                     s["by_status"].get("completed", 0) > 0:
                 out.append(("WARNING",
                             f"low throughput: {per_s:.0f} symbols/s"))
-        deduped = []
-        for a in out:
-            if a not in self._seen_alerts:
-                self._seen_alerts.add(a)
-                deduped.append(a)
-        return deduped
+        return out
 
     def render(self, manifest: RunManifest) -> str:
         s = manifest.summary()
@@ -157,11 +165,46 @@ class RealtimeMonitor:
         with open(path, "w") as f:
             json.dump(payload, f, indent=2, default=str)
 
-    def run(self, max_iterations: Optional[int] = None) -> None:
-        """Poll + render until the batch finishes (progress.py:236-267)."""
+    def run(self, max_iterations: Optional[int] = None,
+            wait_for_new: bool = False,
+            wait_s: Optional[float] = None) -> None:
+        """Poll + render until the batch finishes (progress.py:236-267).
+
+        ``wait_for_new=True`` (the --with-monitor side process) waits up
+        to ``wait_s`` (default 10x the refresh interval) for a manifest
+        to APPEAR — or for a batch newer than one that was already
+        finished when the monitor started — before giving up. Without
+        it, the dashboard spawned alongside a fresh run exited
+        immediately: either no ./runs dir existed yet, or it latched
+        onto the previous (completed) batch and printed 'batch
+        complete' within one cycle (round-4 review). Plain --monitor
+        keeps the instant behavior so inspecting a finished batch
+        still returns immediately."""
+        deadline = time.time() + (wait_s if wait_s is not None
+                                  else 10 * self.interval)
+        stale = None  # batch that was already done when we started
+        first_poll = True
+        started = False
         i = 0
         while True:
             manifest = self._latest_manifest()
+            key = ((manifest.task, manifest.batch_id)
+                   if manifest is not None else None)
+            if wait_for_new and not started:
+                if first_poll and manifest is not None \
+                        and manifest.is_done():
+                    # latch ONLY on the first poll: a batch appearing
+                    # (and even finishing) mid-wait is the new run
+                    stale = key
+                first_poll = False
+                if manifest is None or key == stale:
+                    if time.time() >= deadline:
+                        print("no run manifests found" if manifest is None
+                              else "batch complete")
+                        return
+                    time.sleep(min(self.interval, 1.0))
+                    continue
+                started = True
             if manifest is None:
                 print("no run manifests found")
                 return

@@ -52,9 +52,18 @@ class RunManifest:
         buffered tail; those symbols simply re-run on resume (storage
         writes are idempotent upserts)."""
         self.task = task
-        self.batch_id = batch_id if batch_id is not None else int(time.time())
         self.flush_interval = max(1, flush_interval)
         os.makedirs(manifest_dir, exist_ok=True)
+        if batch_id is None:
+            # epoch-seconds id (reference convention, progress.py:18-20)
+            # — but two runs started within the same second must not
+            # share a file: the second would load the first's records
+            # and report its completions as this run's (round-4 review)
+            batch_id = int(time.time())
+            while os.path.exists(os.path.join(
+                    manifest_dir, f"{task}_{batch_id}.jsonl")):
+                batch_id += 1
+        self.batch_id = batch_id
         self.path = os.path.join(manifest_dir,
                                  f"{task}_{self.batch_id}.jsonl")
         self._records: Dict[str, SymbolRecord] = {}

@@ -1213,13 +1213,52 @@ class PipelineRunner:
 
     # ------------------------------------------------------------------
     def run_all(self, symbols: Optional[List[str]] = None,
-                limit: Optional[int] = None) -> dict:
+                limit: Optional[int] = None,
+                resume_batch_id: Optional[int] = None,
+                start_date=None, end_date=None) -> dict:
         """Full pipeline: interpolate -> bridge -> reconstruct
         (reference complete_pipeline.run_complete_pipeline,
-        complete_pipeline.py:740-831)."""
-        s1 = self.run_task1(symbols=symbols, limit=limit)
-        s2 = self.run_bridge()
-        s3 = self.run_task2()
+        complete_pipeline.py:740-831).
+
+        With ``symbols``/``limit``/``resume_batch_id``/date bounds, the
+        downstream stages are SCOPED to the completed set of the stage
+        before them instead of re-discovering from the shared tables —
+        otherwise ``--test`` (3 symbols) or ``--resume`` would
+        interpolate a handful of symbols and then bridge/reconstruct
+        every symbol ever written to storage (round-4 review; the CLI
+        also silently dropped --resume for the default task).
+        ``resume_batch_id`` resumes each stage whose manifest exists
+        for that batch; stages that never started run fresh over the
+        scoped set."""
+        scoped = (symbols is not None or bool(limit)
+                  or resume_batch_id is not None
+                  or start_date is not None or end_date is not None)
+
+        def stage_resume(name):
+            if resume_batch_id is None:
+                return None
+            return (resume_batch_id
+                    if self._manifest(name, resume_batch_id).records()
+                    else None)
+
+        def completed(name, batch_id):
+            m = self._manifest(name, batch_id)
+            return sorted(s for s, r in m.records().items()
+                          if r.status == "completed")
+
+        # task1 gets the id verbatim: resuming an unknown batch must
+        # no-op (empty pending set), not silently start a full fresh run
+        s1 = self.run_task1(symbols=symbols, limit=limit,
+                            resume_batch_id=resume_batch_id,
+                            start_date=start_date, end_date=end_date)
+        scope = (completed("interpolation", s1.get("batch_id"))
+                 if scoped else None)
+        s2 = self.run_bridge(symbols=scope,
+                             resume_batch_id=stage_resume("bridge"))
+        scope2 = (completed("bridge", s2.get("batch_id"))
+                  if scoped else None)
+        s3 = self.run_task2(symbols=scope2,
+                            resume_batch_id=stage_resume("candles"))
         self.metrics.snapshot(f"pipeline_{s1.get('batch_id', 'run')}")
         return {"task1": s1, "bridge": s2, "task2": s3,
                 "step_metrics": self.metrics.summary()}

@@ -950,6 +950,73 @@ def test_symbol_sharding_across_processes(cfg, tmp_path):
                                       b.drop(columns=drop))
 
 
+def test_run_all_scopes_downstream_stages(cfg):
+    """A scoped run_all (limit / symbols / resume / dates) must bridge
+    and reconstruct ONLY this run's symbols. Round-4 review: the CLI's
+    default task silently dropped --resume, and a '--test' smoke run
+    interpolated 3 symbols then bridged/reconstructed every symbol in
+    the shared tables."""
+    tickers = generate_sample_tickers(num_symbols=3, hours=6)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    runner.run_all()  # prior full run populates all shared tables
+
+    res = runner.run_all(limit=1)
+    assert res["task1"]["by_status"].get("completed") == 1
+    # downstream stages touched 1 symbol, not the 3 already in storage
+    assert res["bridge"]["by_status"].get("completed") == 1
+    assert res["task2"]["by_status"].get("completed") == 1
+
+    # resume flows through: error one symbol of the limited batch, then
+    # run_all(resume) re-processes exactly it end-to-end
+    bid = res["task1"]["batch_id"]
+    m = RunManifest(cfg.checkpoint.manifest_dir, "interpolation", bid)
+    victim = sorted(m.records())[0]
+    m.error_symbol(victim, "simulated crash")
+    m.flush()
+    res2 = runner.run_all(resume_batch_id=bid)
+    assert res2["task1"]["by_status"].get("completed") == 1
+    assert res2["bridge"]["by_status"].get("completed") == 1
+
+
+def test_monitor_wait_for_new_batch(cfg, tmp_path, capsys):
+    """--with-monitor's side process waits for the run's manifest to
+    appear instead of exiting on 'no manifests' or a previous finished
+    batch (round-4 review)."""
+    import threading
+    import time as _t
+
+    from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
+
+    cfg.checkpoint.manifest_dir = str(tmp_path / "runs")
+    mon = RealtimeMonitor(cfg, interval_s=0.05)
+
+    def make_manifest():
+        _t.sleep(0.2)
+        m = RunManifest(cfg.checkpoint.manifest_dir, "interpolation", 99)
+        m.initialize_symbols(["a"])
+        m.complete_symbol("a", input_rows=5, output_rows=10,
+                          processing_time=0.1)
+        m.flush()
+
+    t = threading.Thread(target=make_manifest)
+    t.start()
+    mon.run(wait_for_new=True, wait_s=5.0)
+    t.join()
+    out = capsys.readouterr().out
+    assert "batch 99" in out and "batch complete" in out
+
+    # and an empty dir gives up gracefully after the wait budget
+    cfg.checkpoint.manifest_dir = str(tmp_path / "never")
+    t0 = _t.time()
+    RealtimeMonitor(cfg, interval_s=0.05).run(wait_for_new=True,
+                                              wait_s=0.3)
+    assert _t.time() - t0 >= 0.25
+    assert "no run manifests" in capsys.readouterr().out
+
+
 def test_shard_index_out_of_range_raises(cfg):
     """A config/env shard_index outside [0, shard_count) must raise, not
     wrap with % n — wrapping silently aliased another shard's partition

@@ -107,11 +107,15 @@ def test_monitor_throughput_and_eta(ran_store):
     cfg, _ = ran_store
     from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
     mon = RealtimeMonitor(cfg)
-    s1 = {"by_status": {"completed": 10, "pending": 20}, "output_rows": 100}
+    s1 = {"task": "interpolation", "batch_id": 7,
+          "by_status": {"completed": 10, "pending": 20},
+          "output_rows": 100}
     assert mon.throughput(s1) == {}
     import time as _t
     _t.sleep(0.01)
-    s2 = {"by_status": {"completed": 20, "pending": 10}, "output_rows": 300}
+    s2 = {"task": "interpolation", "batch_id": 7,
+          "by_status": {"completed": 20, "pending": 10},
+          "output_rows": 300}
     tp = mon.throughput(s2)
     assert tp["rows_per_sec"] > 0
     assert tp["symbols_per_min"] > 0
@@ -120,6 +124,69 @@ def test_monitor_throughput_and_eta(ran_store):
     _t.sleep(0.01)
     tp3 = mon.throughput(s2)  # no progress since last poll
     assert tp3["eta_s"] is None
+    # the monitored batch changes (--task all: interpolation -> bridge):
+    # a cross-batch delta would be negative garbage — first poll of the
+    # new batch must prime instead (round-4 review)
+    _t.sleep(0.01)
+    s3 = {"task": "bridge", "batch_id": 9,
+          "by_status": {"completed": 0, "pending": 30}, "output_rows": 0}
+    assert mon.throughput(s3) == {}
+
+
+def test_monitor_skips_stray_manifest_files(ran_store, tmp_path):
+    """A stray .jsonl in the manifest dir (editor backup, notes) used to
+    crash _latest_manifest with int('notes') (round-4 review)."""
+    cfg, _ = ran_store
+    from iv_interpolation_tpu.monitoring.monitor import RealtimeMonitor
+    d = cfg.checkpoint.manifest_dir
+    with open(f"{d}/notes.jsonl", "w") as f:
+        f.write("scratch\n")
+    with open(f"{d}/interpolation_12.bak.jsonl", "w") as f:
+        f.write("{}\n")
+    m = RealtimeMonitor(cfg)._latest_manifest()
+    assert m is not None and isinstance(m.batch_id, int)
+
+
+def test_monitor_alerts_persist_across_frames(ran_store, monkeypatch):
+    """A persistent CRITICAL must render on EVERY frame — per-message
+    dedup made it visible for exactly one repaint (round-4 review)."""
+    cfg, _ = ran_store
+    from iv_interpolation_tpu.monitoring import monitor as mon_mod
+    monkeypatch.setattr(mon_mod, "host_memory_stats",
+                        lambda: {"host_used_pct": 97.0})
+    mon = mon_mod.RealtimeMonitor(cfg)
+    m = mon._latest_manifest()
+    first = mon.alerts(m)
+    second = mon.alerts(m)
+    assert any(lvl == "CRITICAL" for lvl, _ in first)
+    assert first == second  # still visible on the next frame
+
+
+def test_perf_logger_does_not_propagate(tmp_path):
+    """Perf events are their own stream: they must not duplicate into
+    the console/main-log handlers (round-4 review)."""
+    import logging as _logging
+
+    from iv_interpolation_tpu.monitoring import logging as mlog
+    mlog.setup_logging(log_dir=str(tmp_path / "logs"))
+    assert _logging.getLogger("iv_tpu.performance").propagate is False
+
+
+def test_host_system_census_survives_probe_failure(monkeypatch):
+    """One unavailable psutil counter (common in containers) must not
+    discard the whole census (round-4 review)."""
+    import psutil
+
+    from iv_interpolation_tpu.monitoring.metrics import host_system_census
+
+    def boom():
+        raise RuntimeError("no net counters in this container")
+
+    monkeypatch.setattr(psutil, "net_io_counters", boom)
+    c = host_system_census()
+    assert c["net_sent_mb"] is None
+    assert c["cpu_percent"] is not None
+    assert c["process_rss_gb"] > 0
 
 
 def test_host_system_census_shape():
@@ -275,8 +342,10 @@ def test_monitor_alerts_thresholds(ran_store):
     alerts = mon.alerts(m)
     levels = {lvl for lvl, _ in alerts}
     assert levels & {"WARNING", "CRITICAL"}
-    # dedup: a second poll reports nothing new
-    assert mon.alerts(m) == []
+    # alerts reflect CURRENT state every frame (the dashboard repaints
+    # the whole screen, so message-dedup would hide a persistent
+    # condition after one frame — round-4 review)
+    assert mon.alerts(m) == alerts
 
 
 def test_surface_from_prices_when_iv_missing(rng):
