@@ -214,28 +214,12 @@ def _residual(z, k, w, weights, k_pen, calendar_weight, E):
 
 
 def _inv3x3(A: jax.Array) -> jax.Array:
-    """Closed-form 3x3 inverse (adjugate/det), same elementwise design
-    as ``ops.svi._solve3x3`` — computed ONCE per block so the forward
+    """Closed-form 3x3 inverse via the shared adjugate/cofactor block
+    (``ops.svi.adjugate3x3``) — computed ONCE per block so the forward
     elimination's two solves against the same Schur complement (and the
     backward pass's re-solve) share one determinant/cofactor set."""
-    a11, a12, a13 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    a21, a22, a23 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    a31, a32, a33 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
-    c11 = a22 * a33 - a23 * a32
-    c12 = a23 * a31 - a21 * a33
-    c13 = a21 * a32 - a22 * a31
-    det = a11 * c11 + a12 * c12 + a13 * c13
-    c21 = a13 * a32 - a12 * a33
-    c22 = a11 * a33 - a13 * a31
-    c23 = a12 * a31 - a11 * a32
-    c31 = a12 * a23 - a13 * a22
-    c32 = a13 * a21 - a11 * a23
-    c33 = a11 * a22 - a12 * a21
-    adj = jnp.stack([
-        jnp.stack([c11, c21, c31], axis=-1),
-        jnp.stack([c12, c22, c32], axis=-1),
-        jnp.stack([c13, c23, c33], axis=-1),
-    ], axis=-2)
+    from iv_interpolation_tpu.ops.svi import adjugate3x3
+    adj, det = adjugate3x3(A)
     return adj / det[..., None, None]
 
 
@@ -405,7 +389,19 @@ def _fit_essvi_jit(k: jax.Array, w: jax.Array,
     E = k.shape[-2]
     if weights is None:
         weights = jnp.ones_like(w)
-    k_pen = jnp.linspace(jnp.max(k[..., 0]), jnp.min(k[..., -1]),
+    # calendar-penalty grid over the intersection of the QUOTED strike
+    # ranges — masked via weights, not the raw first/last columns:
+    # zero-weight padded/sentinel strikes would collapse the range and
+    # move the hinge off the quoted region (round-4 review; essvi_init
+    # applies the same masked-quote discipline)
+    live = weights > 0
+    big = jnp.asarray(jnp.inf, k.dtype)
+    k_lo = jnp.min(jnp.where(live, k, big), axis=-1)    # (E,)
+    k_hi = jnp.max(jnp.where(live, k, -big), axis=-1)
+    has = jnp.any(live, axis=-1)
+    k_lo = jnp.where(has, k_lo, k[..., 0])
+    k_hi = jnp.where(has, k_hi, k[..., -1])
+    k_pen = jnp.linspace(jnp.max(k_lo), jnp.min(k_hi),
                          n_penalty_grid).astype(k.dtype)
     if solver not in ("block", "dense"):
         raise ValueError(f"unknown solver: {solver!r}")

@@ -80,6 +80,12 @@ def masked_interp(values: jax.Array, timeline_mask: jax.Array,
 
     has_prev = prev_idx >= 0
     has_next = next_idx < L
+    # the gap check below must see REAL neighbours only: the extrapolate
+    # branch fabricates has_prev for the head region, and counting that
+    # as a "bridged" gap silently NaN'd head extrapolation whenever the
+    # first observation sat more than max_gap into the timeline — while
+    # the (never-gap-checked) tail stayed extrapolated (round-4 review)
+    real_has_prev, real_has_next = has_prev, has_next
     prev_c = jnp.clip(prev_idx, 0, L - 1)
     next_c = jnp.clip(next_idx, 0, L - 1)
     zeros = jnp.where(valid, values, 0.0)
@@ -131,7 +137,7 @@ def masked_interp(values: jax.Array, timeline_mask: jax.Array,
 
     if max_gap_minutes > 0:
         gap = next_idx - prev_idx
-        bridged = ~valid & has_prev & has_next
+        bridged = ~valid & real_has_prev & real_has_next
         too_wide = bridged & (gap > max_gap_minutes)
         filled = jnp.where(too_wide, jnp.nan, filled)
 
@@ -161,11 +167,28 @@ def scatter_observations(obs_pos: jax.Array, obs_vals: jax.Array,
       ``(..., L)`` grid with NaN where no observation landed. Matches the
       reference's exact-timestamp left-merge (core.py:54-55): observations
       not aligned to the grid are dropped by the caller (position -1).
+      Duplicate positions keep the LAST valid observation
+      deterministically — XLA scatter with repeated indices is
+      implementation-defined, which made same-minute duplicate quotes
+      nondeterministic across backends (round-4 review). (The pipeline
+      itself dedups on (symbol, date) at storage-read time; this guard
+      protects direct callers.)
     """
+    K = obs_pos.shape[-1]
     pos = jnp.where(obs_valid, obs_pos, timeline_len)  # park invalid at L
+    # winner per position = highest observation index mapping there
+    order = jnp.arange(K, dtype=jnp.int32)
+    winner = jnp.full((timeline_len + 1,), -1, jnp.int32) \
+        .at[pos].max(order)  # scatter-max: associative, deterministic
+    keep = obs_valid & (winner[pos] == order)
+    # losers park at L as well — they must not write AT ALL (a loser's
+    # NaN racing the winner's value at one index is the same
+    # nondeterminism); everything landing at L writes NaN, which is
+    # order-free, and the slice below drops it
+    pos_w = jnp.where(keep, pos, timeline_len)
     grid = jnp.full(obs_vals.shape[:-1] + (timeline_len + 1,), jnp.nan,
                     dtype=obs_vals.dtype)
-    grid = grid.at[..., pos].set(jnp.where(obs_valid, obs_vals, jnp.nan))
+    grid = grid.at[..., pos_w].set(jnp.where(keep, obs_vals, jnp.nan))
     return grid[..., :timeline_len]
 
 

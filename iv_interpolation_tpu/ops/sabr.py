@@ -59,7 +59,21 @@ def sabr_vol(params: jax.Array, F, K, T) -> jax.Array:
 
     z = (nu / alpha) * FKmid * logFK
     sqrt_term = jnp.sqrt(1.0 - 2.0 * rho * z + z * z)
-    x = jnp.log((sqrt_term + z - rho) / (1.0 - rho))
+    # x(z) = log((sqrt_term + z - rho)/(1 - rho)). The direct numerator
+    # N = sqrt_term + z - rho cancels catastrophically for z << 0
+    # (true value ~ (1-rho^2)/(2|z|); f32 computes <= 0 and log NaNs —
+    # reachable on the deep-OTM-put wing mid-LM, where every step then
+    # rejects and the fit silently returns the init). Conjugate
+    # identity: N * (sqrt_term - z + rho) = 1 - rho^2 exactly, and the
+    # conjugate C is large+stable precisely where N cancels (z < 0) —
+    # while N is the stable one where C cancels (z >> 0). Select by
+    # sign (round-4 review).
+    N = sqrt_term + z - rho
+    C = jnp.where(z < 0.0, sqrt_term - z + rho, 1.0)  # safe denominator:
+    #   the unselected branch must not divide by a cancelling C (the
+    #   where-grad NaN trap)
+    num = jnp.where(z < 0.0, (1.0 - rho * rho) / C, N)
+    x = jnp.log(num / (1.0 - rho))
     # z/x -> 1 as z -> 0; series z/x ~ 1 + rho z/2 + ... keeps grads finite
     small = jnp.abs(z) < 1e-7
     z_safe = jnp.where(small, 1.0, z)

@@ -187,9 +187,18 @@ def _grid_diagnostics(out, m, k_grid, T):
     # svi/sabr keep module-level constants as numpy (see ops/svi.py)
     g = butterfly_g(k_grid, w_grid, w1, w2)
     iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0) / jnp.maximum(T, 1e-12))
-    butterfly_ok = jnp.all(g >= -1e-10, axis=(-2, -1))
+    # 1024-ulp dtype-scaled flag tolerances (the same policy as
+    # ops.andreasen_huge's arbitrage flags): the old fixed -1e-10/-1e-12
+    # sat far below f32 spline-evaluation noise (the E2 rows scale
+    # ~1/h^2, ~±600 at n=50 on [-1,1]), so genuinely clean surfaces
+    # flagged arbitrageable from rounding alone (round-4 review).
+    # Floored at the old constants so x64 behavior is unchanged.
+    eps = jnp.finfo(w_grid.dtype).eps
+    tol_g = jnp.maximum(1024.0 * eps, 1e-10)
+    tol_w = jnp.maximum(1024.0 * eps, 1e-12)
+    butterfly_ok = jnp.all(g >= -tol_g, axis=(-2, -1))
     calendar_ok = jnp.all(
-        w_grid[..., 1:, :] >= w_grid[..., :-1, :] - 1e-12, axis=(-2, -1))
+        w_grid[..., 1:, :] >= w_grid[..., :-1, :] - tol_w, axis=(-2, -1))
     return {
         "k_grid": k_grid,
         "w_grid": w_grid,

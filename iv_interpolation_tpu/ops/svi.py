@@ -51,13 +51,16 @@ def svi_init(k: jax.Array, w: jax.Array) -> jax.Array:
     return jnp.array([a0, b0, 0.0, m0, 0.1 * span], w.dtype)
 
 
-def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
-    """Batched closed-form 3x3 solve (Cramer / adjugate): pure
-    elementwise math instead of jnp.linalg.solve's batched LU — the
-    quasi-init solves G x batch tiny systems (millions at production
-    shapes) and the LU path dominated its wall time on TPU. The systems
-    are ridge-regularised normal equations, so the determinant is
-    bounded away from zero."""
+def adjugate3x3(A: jax.Array):
+    """Batched 3x3 ``(adjugate, det)`` via pure elementwise cofactor
+    math — the ONE home for the 9-cofactor block behind both
+    :func:`_solve3x3` (svi quasi-init) and ``ops.essvi._inv3x3``
+    (round-4 review: the identical block lived in two files, so a
+    numerical hardening of one would silently miss the other).
+
+    adj rows are laid out so ``adj @ b`` solves ``A x = det * x`` —
+    i.e. ``x = (adj @ b) / det``.
+    """
     a11, a12, a13 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     a21, a22, a23 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
     a31, a32, a33 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
@@ -71,12 +74,24 @@ def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
     c31 = a12 * a23 - a13 * a22
     c32 = a13 * a21 - a11 * a23
     c33 = a11 * a22 - a12 * a21
-    b1, b2, b3 = b[..., 0], b[..., 1], b[..., 2]
-    inv_det = 1.0 / det
-    x1 = (c11 * b1 + c21 * b2 + c31 * b3) * inv_det
-    x2 = (c12 * b1 + c22 * b2 + c32 * b3) * inv_det
-    x3 = (c13 * b1 + c23 * b2 + c33 * b3) * inv_det
-    return jnp.stack([x1, x2, x3], axis=-1)
+    adj = jnp.stack([
+        jnp.stack([c11, c21, c31], axis=-1),
+        jnp.stack([c12, c22, c32], axis=-1),
+        jnp.stack([c13, c23, c33], axis=-1),
+    ], axis=-2)
+    return adj, det
+
+
+def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 solve (Cramer / adjugate): pure
+    elementwise math instead of jnp.linalg.solve's batched LU — the
+    quasi-init solves G x batch tiny systems (millions at production
+    shapes) and the LU path dominated its wall time on TPU. The systems
+    are ridge-regularised normal equations, so the determinant is
+    bounded away from zero."""
+    adj, det = adjugate3x3(A)
+    x = jnp.einsum("...ij,...j->...i", adj, b)
+    return x / det[..., None]
 
 
 def svi_quasi_init(k: jax.Array, w: jax.Array, n_m: int = 8,
@@ -230,10 +245,12 @@ def svi_g(params: jax.Array, k: jax.Array) -> jax.Array:
     w = a + b * (rho * km + root)
     w1 = b * (rho + km / root)
     w2 = b * sigma * sigma / (root * root * root)
-    w = jnp.maximum(w, 1e-12)
-    t1 = (1.0 - k * w1 / (2.0 * w)) ** 2
-    t2 = (w1 * w1 / 4.0) * (1.0 / w + 0.25)
-    return t1 - t2 + w2 / 2.0
+    # closed-form SVI derivatives -> the ONE shared Gatheral g formula
+    # (surface.arbitrage.butterfly_g, which owns the w floor policy) —
+    # essvi_g follows the same pattern; an inline copy of the t1/t2
+    # terms had already drifted into two homes (round-4 review)
+    from iv_interpolation_tpu.surface.arbitrage import butterfly_g
+    return butterfly_g(k, w, w1, w2)
 
 
 def svi_is_butterfly_free(params: jax.Array, k_grid: jax.Array,

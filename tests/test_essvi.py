@@ -321,3 +321,26 @@ def test_static_float_knobs_accept_numpy_scalars(rng):
                             calendar_weight=np.float32(10.0),
                             huber_delta=np.float64(1e-3))
     assert np.isfinite(np.asarray(fit.params)).all()
+
+
+def test_penalty_grid_ignores_padded_sentinel_strikes(rng):
+    """The calendar-penalty grid k_pen must span the QUOTED strike
+    range: a zero-weight sentinel strike in the last column used to
+    collapse min(k[..., -1]) and move the hinge off the quoted region
+    (round-4 review). The padded fit must match the clean fit."""
+    E, n = 4, 12
+    k = jnp.broadcast_to(jnp.linspace(-0.6, 0.6, n), (E, n))
+    theta = jnp.cumsum(jnp.asarray(rng.uniform(0.01, 0.04, E)))
+    w = theta[:, None] * (1.0 + 0.1 * k * k)
+
+    clean = fit_essvi(k, w, max_iters=48)
+
+    # pad one extra column with a sentinel strike, weight 0
+    k_pad = jnp.concatenate([k, jnp.full((E, 1), -999.0)], axis=-1)
+    w_pad = jnp.concatenate([w, jnp.full((E, 1), 7.0)], axis=-1)
+    wts = jnp.concatenate([jnp.ones((E, n)), jnp.zeros((E, 1))], axis=-1)
+    padded = fit_essvi(k_pad, w_pad, weights=wts, max_iters=48)
+
+    np.testing.assert_allclose(np.asarray(padded.params),
+                               np.asarray(clean.params),
+                               rtol=1e-4, atol=1e-6)

@@ -260,3 +260,47 @@ def test_pack_symbols_const_cols_first_non_null():
     assert gotcp == {"a": "c", "b": "p"}
     # padding slots stay None
     assert all(v is None for v in b.const_cols["strike"][len(b.symbols):])
+
+
+def test_head_extrapolation_survives_max_gap():
+    """extrapolate=True + max_gap together (pipeline/tasks.py passes
+    both): head extrapolation must survive the gap check — the
+    fabricated has_prev used to count the pre-first-observation region
+    as a 'bridged' gap and NaN it whenever the first observation sat
+    more than max_gap into the timeline (round-4 review). Tail behavior
+    (never gap-checked) is unchanged."""
+    L = 100
+    vals = np.full(L, np.nan)
+    vals[45], vals[50] = 10.0, 20.0  # first obs at minute 45
+    got = np.asarray(masked_interp(
+        jnp.array(vals), jnp.ones(L, bool), method="linear",
+        max_gap_minutes=30, extrapolate=True))
+    # head: extrapolated through (45, 10) and (50, 20), slope 2
+    np.testing.assert_allclose(got[0], 10.0 - 45 * 2.0, rtol=1e-6)
+    np.testing.assert_allclose(got[44], 10.0 - 2.0, rtol=1e-6)
+    # interior bridged gap of 5 <= 30: interpolated
+    np.testing.assert_allclose(got[47], 14.0, rtol=1e-6)
+    # tail extrapolation unchanged
+    np.testing.assert_allclose(got[60], 20.0 + 10 * 2.0, rtol=1e-6)
+    # a genuinely too-wide INTERIOR gap still NaNs
+    vals2 = np.full(L, np.nan)
+    vals2[0], vals2[80] = 1.0, 2.0
+    got2 = np.asarray(masked_interp(
+        jnp.array(vals2), jnp.ones(L, bool), method="linear",
+        max_gap_minutes=30, extrapolate=True))
+    assert np.isnan(got2[40])
+
+
+def test_scatter_observations_duplicates_keep_last():
+    """Duplicate grid positions resolve deterministically to the LAST
+    valid observation (XLA scatter with repeated indices is otherwise
+    implementation-defined — round-4 review)."""
+    pos = jnp.array([3, 5, 3, 7, 3])
+    vals = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    valid = jnp.array([True, True, True, True, True])
+    g = np.asarray(scatter_observations(pos, vals, valid, 10))
+    assert g[3] == 5.0 and g[5] == 2.0 and g[7] == 4.0
+    # an invalid last duplicate does not win
+    valid2 = jnp.array([True, True, True, True, False])
+    g2 = np.asarray(scatter_observations(pos, vals, valid2, 10))
+    assert g2[3] == 3.0

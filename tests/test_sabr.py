@@ -90,3 +90,30 @@ def test_batched_calibration(rng):
                                  jnp.array(K), jnp.array(T)[..., None] * 0
                                  + jnp.array(T)[..., None]))
     np.testing.assert_allclose(iv_fit, iv, atol=1e-5)
+
+
+def test_deep_otm_put_wing_f32_stable():
+    """Hagan x(z) for z << 0: the direct numerator sqrt_term + z - rho
+    cancels catastrophically (f32 computed <= 0 -> log NaN) on the
+    deep-OTM-put wing with large nu/alpha — reachable mid-LM from the
+    SABR bounds. The conjugate identity (1-rho^2)/(sqrt_term - z + rho)
+    is exact and stable there (round-4 review). x64 agreement pins the
+    rewrite's correctness."""
+    F, T = 100.0, 1.0
+    params = jnp.array([1e-3, 0.5, 0.3, 5.0])  # tiny alpha -> |z| huge
+    K = jnp.array([1e-3, 0.01, 0.1, 1.0, 10.0])  # K << F -> z << 0
+    got64 = np.asarray(sabr_vol(params, jnp.float64(F), K,
+                                jnp.float64(T)))
+    assert np.all(np.isfinite(got64)) and np.all(got64 > 0)
+    got32 = np.asarray(sabr_vol(params.astype(jnp.float32),
+                                jnp.float32(F), K.astype(jnp.float32),
+                                jnp.float32(T)))
+    assert np.all(np.isfinite(got32)) and np.all(got32 > 0)
+    np.testing.assert_allclose(got32, got64, rtol=2e-3)
+    # the other wing (z >> 0, where the CONJUGATE cancels) stays on the
+    # direct branch and remains finite too
+    K_hi = jnp.array([1e3, 1e4, 1e5])
+    hi32 = np.asarray(sabr_vol(params.astype(jnp.float32),
+                               jnp.float32(F), K_hi.astype(jnp.float32),
+                               jnp.float32(T)))
+    assert np.all(np.isfinite(hi32)) and np.all(hi32 > 0)
