@@ -102,45 +102,52 @@ def sharded_masked_interp(values: jax.Array, timeline_mask: jax.Array,
         d = jax.lax.axis_index(axis_name)
         offset = d * Lc
         valid = jnp.isfinite(vals) & mask
-        iota = jnp.arange(Lc)
         # shard boundary summary: last/first valid (global pos, value)
         any_valid = jnp.any(valid, axis=-1)
         last_loc = (Lc - 1) - jnp.argmax(jnp.flip(valid, -1), axis=-1)
         first_loc = jnp.argmax(valid, axis=-1)
-        take = lambda a, i: jnp.take_along_axis(
-            jnp.where(valid, vals, 0.0), i[..., None], axis=-1)[..., 0]
-        last_pos = jnp.where(any_valid, last_loc + offset, -1)
-        last_val = jnp.where(any_valid, take(vals, last_loc), 0.0)
-        first_pos = jnp.where(any_valid, first_loc + offset, L)
-        first_val = jnp.where(any_valid, take(vals, first_loc), 0.0)
 
-        summary = jnp.stack([
-            last_pos.astype(vals.dtype), last_val,
-            first_pos.astype(vals.dtype), first_val,
-        ], axis=0)  # (4, ...)
-        gathered = jax.lax.all_gather(summary, axis_name)  # (ndev, 4, ...)
-        g_last_pos = gathered[:, 0]
-        g_last_val = gathered[:, 1]
-        g_first_pos = gathered[:, 2]
-        g_first_val = gathered[:, 3]
+        def take(i):
+            # gather the (zero-masked) local values at per-row index i
+            return jnp.take_along_axis(
+                jnp.where(valid, vals, 0.0), i[..., None], axis=-1)[..., 0]
+
+        last_pos = jnp.where(any_valid, last_loc + offset, -1)
+        last_val = jnp.where(any_valid, take(last_loc), 0.0)
+        first_pos = jnp.where(any_valid, first_loc + offset, L)
+        first_val = jnp.where(any_valid, take(first_loc), 0.0)
+
+        # positions ride their OWN int32 all_gather: round-tripping them
+        # through vals.dtype corrupted them for half precision (bf16 is
+        # integer-exact only to 256) and for f32 timelines beyond 2^24
+        # (round-4 review)
+        pos_summary = jnp.stack([last_pos, first_pos],
+                                axis=0).astype(jnp.int32)    # (2, ...)
+        val_summary = jnp.stack([last_val, first_val], axis=0)
+        g_pos = jax.lax.all_gather(pos_summary, axis_name)   # (ndev, 2, ...)
+        g_val = jax.lax.all_gather(val_summary, axis_name)
+        g_last_pos, g_first_pos = g_pos[:, 0], g_pos[:, 1]
+        g_last_val, g_first_val = g_val[:, 0], g_val[:, 1]
 
         shard_ids = jnp.arange(ndev).reshape((ndev,) + (1,) *
                                              (g_last_pos.ndim - 1))
         # carry-in prev: the last valid sample in any shard before d —
         # positions grow with shard id, so take the max over earlier shards
         before = shard_ids < d
-        prev_pos_f = jnp.max(jnp.where(before, g_last_pos, -1.0), axis=0)
-        sel_prev = jnp.argmax(jnp.where(before, g_last_pos, -1.0), axis=0)
+        prev_masked = jnp.where(before, g_last_pos, -1)
+        prev_pos = jnp.max(prev_masked, axis=0)
+        sel_prev = jnp.argmax(prev_masked, axis=0)
         prev_val = jnp.take_along_axis(g_last_val, sel_prev[None], axis=0)[0]
         # carry-in next: first valid sample in any shard after d
         after = shard_ids > d
-        next_pos_f = jnp.min(jnp.where(after, g_first_pos, float(L)), axis=0)
-        sel_next = jnp.argmin(jnp.where(after, g_first_pos, float(L)), axis=0)
+        next_masked = jnp.where(after, g_first_pos, L)
+        next_pos = jnp.min(next_masked, axis=0)
+        sel_next = jnp.argmin(next_masked, axis=0)
         next_val = jnp.take_along_axis(g_first_val, sel_next[None], axis=0)[0]
 
         return _local_fill(vals, mask, offset, L,
-                           prev_pos_f.astype(jnp.int32), prev_val,
-                           next_pos_f.astype(jnp.int32), next_val,
+                           prev_pos, prev_val,
+                           next_pos, next_val,
                            method, max_gap_minutes)
 
     nbatch = values.ndim - 1

@@ -189,21 +189,34 @@ def pack_symbols(df: pd.DataFrame, bucket_sizes: Sequence[int],
     if df.empty:
         return IngestResult(batches=[], skipped={})
 
-    df = df.sort_values(["symbol", "date"]).drop_duplicates(
-        subset=["symbol", "date"], keep="last")
-    minutes_all = to_epoch_minutes(df["date"])
+    # sort by the COMPUTED epoch minutes, not the raw date column: a
+    # string date column sorts lexicographically ('12/...' < '6/...'),
+    # which silently produced negative rel positions that wrapped the
+    # grid scatter to the wrong end of the timeline (round-4 review).
+    # The stable lexsort keeps input order within equal (symbol, minute)
+    # keys, so keep='last' below means the same thing it always did.
+    ts_ns = (pd.to_datetime(df["date"]).astype("datetime64[ns]")
+             .astype(np.int64).to_numpy())
+    order = np.lexsort((ts_ns, df["symbol"].to_numpy()))
+    df = df.iloc[order]
+    # ns-resolution sort key so sub-minute feeds still keep the LATEST
+    # timestamp within a minute under keep='last'; minutes derive from
+    # the same single to_datetime pass
+    minutes_all = ts_ns[order] // _MINUTE_NS
     # distinct timestamps inside ONE grid minute (sub-minute feeds) would
     # emit duplicate (row, pos) scatter coordinates, and the device
     # scatter declares unique_indices=True — duplicates are undefined
     # behavior, i.e. silently corrupt grids. Keep the last row per
-    # (symbol, epoch minute), consistent with the timestamp dedup above.
+    # (symbol, epoch minute).
     dup = pd.DataFrame({
         "s": df["symbol"].to_numpy(),
-        "m": np.asarray(minutes_all),
+        "m": minutes_all,
     }).duplicated(["s", "m"], keep="last").to_numpy()
     if dup.any():
         df = df[~dup]
-        minutes_all = to_epoch_minutes(df["date"])
+        minutes_all = minutes_all[~dup]  # one mask, not a second full
+        #                                  to_datetime pass (round-4
+        #                                  review: pack is host-bound)
 
     per_bucket: Dict[int, List[dict]] = {}
     skipped: Dict[str, str] = {}

@@ -63,6 +63,16 @@ def _quote_string(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _quote_ident(name: str) -> str:
+    """Quote a SQL identifier (cursor names): embedded double quotes are
+    doubled, the same discipline _quote_string applies to literals — an
+    unescaped name could end the identifier early and inject statements
+    into DECLARE/FETCH/CLOSE (round-4 review)."""
+    if "\x00" in name:
+        raise InterfaceError("NUL byte in identifier")
+    return '"' + name.replace('"', '""') + '"'
+
+
 def render_literal(v: Any) -> str:
     """Render one Python value as a PostgreSQL literal."""
     if v is None:
@@ -289,7 +299,7 @@ class Cursor:
     def close(self):
         if self._declared:
             try:
-                self._conn._simple_query(f'CLOSE "{self._name}"')
+                self._conn._simple_query(f'CLOSE {_quote_ident(self._name)}')
             except (PgError, InterfaceError, OSError):
                 # a dead connection during unwinding must not replace
                 # the informative original exception
@@ -302,7 +312,7 @@ class Cursor:
         if self._name is not None:
             self._conn._ensure_tx()
             self._conn._simple_query(
-                f'DECLARE "{self._name}" NO SCROLL CURSOR FOR {sql}')
+                f'DECLARE {_quote_ident(self._name)} NO SCROLL CURSOR FOR {sql}')
             self._declared = True
             self.description = None
             self._rows, self._pos = [], 0
@@ -321,7 +331,7 @@ class Cursor:
 
     def _fetch_from_portal(self, n: int) -> List[tuple]:
         desc, rows, _ = self._conn._simple_query(
-            f'FETCH FORWARD {int(n)} FROM "{self._name}"')
+            f'FETCH FORWARD {int(n)} FROM {_quote_ident(self._name)}')
         if desc is not None and self.description is None:
             self.description = desc
         return rows
@@ -488,7 +498,12 @@ class Connection:
             if tag == b"T":            # RowDescription
                 (nf,) = struct.unpack("!H", payload[:2])
                 off = 2
-                desc, oids = [], []
+                # a new result set starts: drop the previous statement's
+                # rows too (psycopg2 parity — a multi-statement simple
+                # query returns only the LAST result set; keeping prior
+                # rows mixed differently-shaped tuples under the last
+                # statement's description, round-4 review)
+                desc, oids, rows = [], [], []
                 for _ in range(nf):
                     end = payload.index(b"\x00", off)
                     name = payload[off:end].decode()

@@ -106,17 +106,30 @@ def window_candles(state: RingState, t0_minute: jax.Array,
     the read side of the streaming chain, no host round trip.
 
     Channels convention: C >= 5 with [open, high, low, close, volume].
-    ``t0_minute``: epoch minute of the window's first slot.
+
+    PRECONDITION (dense convention): each stream pushes exactly ONE
+    slot per consecutive minute. ``t0_minute`` is the epoch minute of
+    each stream's FIRST push — scalar or per-stream ``(B,)`` — and each
+    stream's window-start minute is derived as ``t0 + max(count - L,
+    0)``, so wrapped rings and streams with differing push counts label
+    their slots correctly (round-4 review: a single scalar window-start
+    minute mislabeled every stream whose ring had wrapped a different
+    amount). The ring stores no timestamps, so SPARSE tick streams
+    cannot use this helper — use :func:`window` plus an explicit minute
+    channel instead (the ``pipeline.stream_service`` pattern).
     """
     from iv_interpolation_tpu.ops.segment_ohlcv import aggregate_ohlcv
 
     data, valid = window(state)
-    L = data.shape[-1]
-    minutes = t0_minute + jnp.arange(L)
-    base_bucket = t0_minute // bucket_minutes
+    B, _, L = data.shape
+    t0 = jnp.broadcast_to(jnp.asarray(t0_minute), (B,))
+    start = t0 + jnp.maximum(state.count - L, 0)
+    minutes = start[:, None] + jnp.arange(L)[None, :]
+    base_bucket = start // bucket_minutes
     return jax.vmap(
-        lambda o, h, l, c, v, ok: aggregate_ohlcv(
-            minutes, o, h, l, c, v, ok, jnp.int32(bucket_minutes),
-            base_bucket, num_segments=num_segments, min_count=min_count,
+        lambda m, o, h, l, c, v, ok, bb: aggregate_ohlcv(
+            m, o, h, l, c, v, ok, jnp.int32(bucket_minutes),
+            bb, num_segments=num_segments, min_count=min_count,
             assume_sorted=True)  # minutes is an arange over the window
-    )(data[:, 0], data[:, 1], data[:, 2], data[:, 3], data[:, 4], valid)
+    )(minutes, data[:, 0], data[:, 1], data[:, 2], data[:, 3],
+      data[:, 4], valid, base_bucket)

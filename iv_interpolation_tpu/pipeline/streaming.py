@@ -147,14 +147,20 @@ def streaming_step(tick_minute: jax.Array, tick_price: jax.Array,
     pair_ok = ok[..., 1:] & ok[..., :-1]
     safe = jnp.where(ok, jnp.maximum(close, 1e-12), 1.0)
     lr = jnp.where(pair_ok, jnp.log(safe[..., 1:] / safe[..., :-1]), 0.0)
-    n_ret = jnp.maximum(pair_ok.sum(-1), 1)
+    n_pairs = pair_ok.sum(-1)
+    n_ret = jnp.maximum(n_pairs, 1)
     var_per_bar = (lr * lr).sum(-1) / n_ret
     realized = jnp.sqrt(var_per_bar * (MINUTES_PER_YEAR / bucket_minutes))
 
-    # 4) refit: blend quote IVs toward the realized level at the money
+    # 4) refit: blend quote IVs toward the realized level at the money.
+    # An underlying with ZERO in-window return pairs (quiet name, refit
+    # before its first tick) keeps its quoted surface (scale 1) — its
+    # realized=0 is "no data", not "volatility is zero", and blending
+    # toward it halved the whole surface (round-4 review)
     atm_idx = jnp.argmin(jnp.abs(chain_k), axis=-1, keepdims=True)
     atm_iv = jnp.take_along_axis(chain_iv, atm_idx, axis=-1)
-    scale = jnp.where(atm_iv > 1e-6,
+    has_data = (n_pairs > 0)[:, None, None]
+    scale = jnp.where(has_data & (atm_iv > 1e-6),
                       1.0 + 0.5 * (realized[:, None, None] / jnp.maximum(
                           atm_iv, 1e-6) - 1.0),
                       1.0)

@@ -304,3 +304,40 @@ def test_scatter_observations_duplicates_keep_last():
     valid2 = jnp.array([True, True, True, True, False])
     g2 = np.asarray(scatter_observations(pos, vals, valid2, 10))
     assert g2[3] == 3.0
+
+
+def test_pack_symbols_string_dates_sort_chronologically():
+    """A STRING date column sorts lexicographically ('10/...' < '9/...'),
+    which used to leave obs_min unsorted — negative rel positions
+    wrapped the grid scatter to the wrong end of the timeline (round-4
+    review). pack_symbols now sorts on the computed ns timestamps, so a
+    string-dated frame packs identically to the datetime-typed one."""
+    from iv_interpolation_tpu.pipeline import ingest
+
+    dates = pd.date_range("2024-09-30 10:00", periods=12, freq="3h")
+    df_dt = pd.DataFrame({
+        "symbol": "a", "date": dates, "iv": np.linspace(0.4, 0.5, 12),
+        "underlying_price": np.linspace(100, 105, 12),
+    })
+    # month-first US strings: '10/1/2024 ...' sorts before '9/30/...'
+    df_str = df_dt.copy()
+    df_str["date"] = [
+        f"{d.month}/{d.day}/{d.year} {d.strftime('%H:%M')}"
+        for d in dates]
+    df_str = df_str.sample(frac=1.0, random_state=3)  # scrambled input
+
+    packs = {}
+    for name, frame in (("dt", df_dt), ("str", df_str)):
+        packed = ingest.pack_symbols(
+            frame, (1 << 14,), min_points=5, max_span_days=35,
+            max_timeline_points=100_000, freq_minutes=60,
+            max_batch=64, dtype=np.float64, compact=False)
+        assert not packed.skipped, packed.skipped
+        packs[name] = packed.batches[0]
+
+    a, b = packs["dt"], packs["str"]
+    assert list(a.t0_minutes) == list(b.t0_minutes)
+    np.testing.assert_array_equal(np.asarray(a.values),
+                                  np.asarray(b.values))
+    np.testing.assert_array_equal(np.asarray(a.obs_mask),
+                                  np.asarray(b.obs_mask))

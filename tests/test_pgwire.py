@@ -192,3 +192,33 @@ def test_implicit_transaction_and_rollback():
         cur.execute("SELECT 1")
         assert not conn._in_tx
         conn.close()
+
+
+def test_multi_statement_returns_last_result_set():
+    """psycopg2 parity: a multi-statement simple query returns only the
+    LAST statement's rows — prior rows used to stay concatenated under
+    the last description (round-4 review)."""
+    with MockPgServer(auth="trust") as srv:
+        conn = pgwire.connect("127.0.0.1", "db", "ivtpu", "secret",
+                              port=srv.port)
+        with conn.cursor() as cur:
+            cur.execute('CREATE TABLE "t1" ("a" BIGINT); '
+                        'CREATE TABLE "t2" ("b" BIGINT)')
+            cur.execute('INSERT INTO "t1" ("a") VALUES (1), (2); '
+                        'INSERT INTO "t2" ("b") VALUES (7)')
+            cur.execute('SELECT "a" FROM "t1"; SELECT "b" FROM "t2"')
+            rows = cur.fetchall()
+            assert rows == [(7,)], rows
+            assert cur.description[0][0] == "b"
+        conn.close()
+
+
+def test_quote_ident():
+    """Cursor names are identifiers: embedded double quotes must be
+    doubled, not end the identifier early (round-4 review)."""
+    assert pgwire._quote_ident("plain") == '"plain"'
+    assert pgwire._quote_ident('a"b') == '"a""b"'
+    assert pgwire._quote_ident('x"; DROP TABLE t; --') \
+        == '"x""; DROP TABLE t; --"'
+    with pytest.raises(pgwire.InterfaceError):
+        pgwire._quote_ident("a\x00b")

@@ -123,3 +123,35 @@ def test_ragged_push_compacts_mid_block_padding(rng):
     assert int(v.sum()) == 3
     np.testing.assert_allclose(np.asarray(data[0, 0, :3]), [1, 2, 3])
     np.testing.assert_allclose(np.asarray(data[0, 1, :3]), [10, 20, 30])
+
+
+def test_window_candles_wrapped_and_ragged_counts(rng):
+    """Per-stream window-start minutes: t0 is each stream's FIRST-push
+    minute and the window start derives from count, so a wrapped ring
+    and a partially-filled ring in one batch both label their slots
+    correctly (round-4 review: one scalar window-start shifted every
+    stream whose ring wrapped a different amount)."""
+    B, C, L = 2, 5, 30
+    ring = make_ring(B, C, L)
+    # stream 0: 40 pushes (wraps; window = minutes 10..39)
+    # stream 1: 30 pushes (no wrap; window = minutes 0..29)
+    for i in range(40):
+        rows = np.zeros((B, C, 1), np.float32)
+        valid = np.zeros((B, 1), bool)
+        rows[0, :, 0] = [100.0 + i, 101.0 + i, 99.0 + i, 100.0 + i, 2.0]
+        valid[0, 0] = True
+        if i < 30:
+            rows[1, :, 0] = [200.0 + i, 201.0 + i, 199.0 + i,
+                             200.0 + i, 3.0]
+            valid[1, 0] = True
+        ring = push(ring, jnp.asarray(rows), jnp.asarray(valid))
+    candles = window_candles(ring, jnp.int32(0), bucket_minutes=5,
+                             num_segments=9, min_count=5)
+    # stream 0's first bucket = minutes 10..14 -> open 110, close 114
+    np.testing.assert_allclose(np.asarray(candles.open[0, 0]), 110.0)
+    np.testing.assert_allclose(np.asarray(candles.close[0, 0]), 114.0)
+    # stream 1's first bucket = minutes 0..4 -> open 200, close 204
+    np.testing.assert_allclose(np.asarray(candles.open[1, 0]), 200.0)
+    np.testing.assert_allclose(np.asarray(candles.close[1, 0]), 204.0)
+    assert int(candles.valid[0].sum()) == 6
+    assert int(candles.valid[1].sum()) == 6

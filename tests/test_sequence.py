@@ -72,3 +72,21 @@ def test_max_gap_respected_across_shards():
     np.testing.assert_allclose(got, ref, atol=1e-12, equal_nan=True)
     assert np.isnan(got[300])      # 50 -> 700 gap masked
     assert np.isfinite(got[25])    # 0 -> 50 bridged
+
+
+def test_bf16_positions_survive_all_gather(rng):
+    """Boundary positions ride an int32 all_gather, not values.dtype:
+    bf16 is integer-exact only to 256, so a boundary position like 1000
+    used to round and corrupt interpolation weights and has_prev/next
+    tests at shard seams (round-4 review)."""
+    mesh = make_mesh((8, 1))
+    L = 2048  # positions far beyond bf16's exact-integer range
+    vals = np.full(L, np.nan)
+    vals[700], vals[1500] = 4.0, 8.0  # one bridge spanning shard seams
+    mask = np.ones(L, bool)
+    v16 = jnp.asarray(vals, jnp.bfloat16)
+    ref = masked_interp(v16, jnp.array(mask), method="linear")
+    got = sharded_masked_interp(v16, jnp.array(mask), mesh,
+                                method="linear")
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32))

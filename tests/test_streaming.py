@@ -189,3 +189,38 @@ def test_streaming_session_epoch_scale_minutes(rng):
         a, b = getattr(outs["small"], field), getattr(outs["epoch"], field)
         jax.tree.map(lambda x, y: np.testing.assert_array_equal(
             np.asarray(x), np.asarray(y)), a, b)
+
+
+def test_zero_tick_underlying_keeps_quoted_surface(rng):
+    """An underlying with no in-window ticks must keep its quoted IVs
+    (scale 1): realized=0 is 'no data', not 'volatility is zero' — the
+    blend used to multiply its whole surface by 0.5 (round-4 review)."""
+    import pandas as pd
+    from iv_interpolation_tpu.pipeline.stream_service import StreamingSession
+
+    B, E, n = 2, 3, 10
+    k = jnp.broadcast_to(jnp.linspace(-0.8, 0.8, n), (B, E, n))
+    T = jnp.broadcast_to(jnp.linspace(0.1, 1.0, E), (B, E))
+    iv = 0.4 + 0.05 * k * k
+    sess = StreamingSession(["live", "quiet"], k, iv, T,
+                            window_minutes=64, tick_capacity=512,
+                            n_grid=17)
+    minutes = np.sort(rng.integers(0, 64, 200))
+    sess.ingest_ticks(pd.DataFrame({
+        "underlying": "live", "minute": minutes,
+        "price": 100 + np.cumsum(rng.normal(0, 0.01, 200)),
+        "size": np.ones(200)}))
+    out = sess.refit()
+    assert float(np.asarray(out.realized_vol)[1]) == 0.0
+    # quiet underlying's surface equals the pure quoted-IV fit
+    from iv_interpolation_tpu.surface.surface import fit_eval_surface
+    ref = fit_eval_surface(k[1:2], iv[1:2], T[1:2], n_grid=17,
+                           spline_bc="not-a-knot")  # session default
+    np.testing.assert_allclose(np.asarray(out.w_grid[1]),
+                               np.asarray(ref["w_grid"][0]),
+                               rtol=1e-6, atol=1e-8)
+    # the live one actually rescaled (its realized differs from quotes)
+    assert not np.allclose(np.asarray(out.w_grid[0]),
+                           np.asarray(fit_eval_surface(
+                               k[:1], iv[:1], T[:1], n_grid=17,
+                               spline_bc="not-a-knot")["w_grid"][0]))
