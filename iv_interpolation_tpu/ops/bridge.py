@@ -142,7 +142,6 @@ def synthesize_ohlcv(base_price: jax.Array, volume: jax.Array,
         first_ok = jnp.argmax(ok)  # first valid row has trend_bias = 0
         is_first = jnp.arange(L) == first_ok
         m = jnp.where(ok & ~is_first, jnp.asarray(-0.15, dtype), 1.0)
-        m = jnp.where(ok, m, 1.0)
         a = jnp.where(
             ok,
             jnp.where(is_first, base + c_off, base + c_off + 0.15 * base),

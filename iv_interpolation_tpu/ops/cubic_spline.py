@@ -49,11 +49,15 @@ def fit_cubic_spline(x: jax.Array, y: jax.Array, bc_type: str = "natural",
     n = x.shape[-1]
     if n < 2:
         raise ValueError("need at least 2 knots")
-    if n == 2 or (n == 3 and bc_type == "not-a-knot"):
-        # Degenerate: spline is a straight line (matches SciPy behaviour for
-        # n=2; for n=3 not-a-knot SciPy fits a parabola — handled below).
-        if n == 2:
-            return jnp.zeros_like(y)
+    if n == 2 and bc_type != "clamped":
+        # Degenerate: a straight line (SciPy behaviour for n=2 natural/
+        # not-a-knot). Clamped n=2 must NOT short-circuit: SciPy fits
+        # the cubic Hermite honoring fp0/fpn, and the general clamped
+        # system below degenerates to exactly its 2x2 equations —
+        # returning zeros here discarded both end slopes (round-4
+        # review, which also removed a dead 'n==3 not-a-knot' clause
+        # that guarded nothing).
+        return jnp.zeros_like(y)
 
     h = jnp.diff(x, axis=-1)                      # (..., n-1)
     s = jnp.diff(y, axis=-1) / h                  # slopes (..., n-1)

@@ -77,13 +77,27 @@ def check_candle_results(store, frequency: str = "5min") -> dict:
 
 
 def compare_minute_vs_reconstructed(store, symbol: Optional[str] = None,
-                                    n: int = 12) -> pd.DataFrame:
-    """Side-by-side sample of source 1-min vs 5-min output
-    (check_results.py:197-242's CTE UNION, as a merged frame)."""
+                                    n: int = 12,
+                                    frequency: str = "5min") -> pd.DataFrame:
+    """Side-by-side sample of source 1-min vs N-min output
+    (check_results.py:197-242's CTE UNION, as a merged frame).
+
+    ``frequency`` selects which reconstructed rows to audit AND sizes
+    the source aggregation window — the table's unique key
+    (symbol, timestamp, frequency) supports multiple frequencies, and a
+    hardcoded 5-minute span compared 15-min rows against a third of
+    their source candles (round-4 review; check_candle_results applies
+    the same filter).
+    """
+    from iv_interpolation_tpu.pipeline.runner import parse_frequency
+
+    window_min = parse_frequency(frequency)
     minute = store.read(st.MINUTE_CANDLES,
                         symbols=[symbol] if symbol else None)
     recon = store.read(st.RECONSTRUCTED,
                        symbols=[symbol] if symbol else None)
+    if not recon.empty and "frequency" in recon.columns:
+        recon = recon[recon["frequency"] == frequency]
     if minute.empty or recon.empty:
         return pd.DataFrame()
     if symbol is None:
@@ -95,7 +109,8 @@ def compare_minute_vs_reconstructed(store, symbol: Optional[str] = None,
     for _, r in recon.iterrows():
         span = minute[(minute["timestamp"] >= r["timestamp"])
                       & (minute["timestamp"] < r["timestamp"]
-                         + pd.Timedelta(minutes=5))].sort_values("timestamp")
+                         + pd.Timedelta(minutes=window_min))
+                      ].sort_values("timestamp")
         rows.append({
             "timestamp": r["timestamp"],
             "src_count": len(span),

@@ -139,11 +139,17 @@ class RunManifest:
         return dict(self._records)
 
     def pending_symbols(self) -> List[str]:
-        """Symbols to (re)process on resume: pending + error
-        (batch_processor.py:53-65 resume semantics)."""
+        """Symbols to (re)process on resume: pending + error + the ones
+        caught mid-PROCESSING by a crash (batch_processor.py:53-65
+        resume semantics). 'processing' must be included — a flushed
+        start_symbol with no completion IS the crash signature, and
+        excluding it silently dropped those symbols from every resume
+        while is_done() stayed False forever (round-4 review). Storage
+        writes are idempotent upserts, so re-running a symbol that
+        half-wrote is safe."""
         return sorted(
             s for s, r in self._records.items()
-            if r.status in ("pending", "error")
+            if r.status in ("pending", "error", "processing")
         )
 
     def summary(self) -> dict:
@@ -192,7 +198,11 @@ class RunManifest:
                 continue
             try:
                 m = RunManifest(manifest_dir, t, int(bid))
-            except (ValueError, json.JSONDecodeError):
+            except (ValueError, json.JSONDecodeError, TypeError,
+                    KeyError):
+                # one malformed/foreign-version manifest (extra or
+                # missing record fields -> TypeError/KeyError in
+                # SymbolRecord(**rec)) must not abort the whole listing
                 continue
             out.append(m.summary())
         return out

@@ -192,7 +192,17 @@ class ParquetStore:
         return len(df)
 
     def compact(self, table: str) -> None:
-        """Merge all parts into one (applying upsert dedup)."""
+        """Merge all parts into one (applying upsert dedup).
+
+        Crash-safe ordering: the compacted file is INSTALLED first,
+        then the old parts are removed — the old order (remove, then
+        replace) lost the whole table if the process died in between
+        (round-4 review). "part-000000" sorts before every ns-named
+        part, so during the brief overlap window read-time keep-last
+        dedup still prefers the original parts (same values); only a
+        keyless append table would transiently double rows mid-crash,
+        and re-running compact() heals that too.
+        """
         parts = self._parts(table)
         if len(parts) <= 1:
             return
@@ -200,9 +210,11 @@ class ParquetStore:
         d = self._dir(table)
         tmp = os.path.join(d, f".compact-{os.getpid()}.tmp")
         df.to_parquet(tmp, index=False)
+        target = os.path.join(d, "part-000000.parquet")
+        os.replace(tmp, target)
         for p in parts:
-            os.remove(p)
-        os.replace(tmp, os.path.join(d, "part-000000.parquet"))
+            if p != target:
+                os.remove(p)
 
     def count(self, table: str, exact: bool = False) -> int:
         """Row count from part metadata (fast). With upserted duplicates
@@ -353,7 +365,11 @@ class PostgresStore:
                 f"{_ident(c)} = EXCLUDED.{_ident(c)}"
                 for c in cols if c not in upsert_keys)
             keys = ", ".join(_ident(k) for k in upsert_keys)
-            conflict = f" ON CONFLICT ({keys}) DO UPDATE SET {updates}"
+            # every column a key -> empty SET list is a syntax error;
+            # the correct idempotent upsert is DO NOTHING
+            conflict = (f" ON CONFLICT ({keys}) DO UPDATE SET {updates}"
+                        if updates else
+                        f" ON CONFLICT ({keys}) DO NOTHING")
         col_list = ", ".join(_ident(c) for c in cols)
         q = (f"INSERT INTO {_ident(table)} ({col_list}) "
              f"VALUES %s{conflict}")

@@ -33,12 +33,22 @@ def validate_readiness(config, store, task: str = "all") -> dict:
     (production_main.py:63-163)."""
     checks = {}
 
-    devices = jax.devices()
-    checks["device"] = {
-        "ok": len(devices) > 0,
-        "platform": devices[0].platform if devices else None,
-        "count": len(devices),
-    }
+    # a backend outage must report not-ready, not crash the readiness
+    # check with a traceback (relay outages exceeding 30 min are a
+    # documented environment fact — bench.py's whole harness exists for
+    # them; round-4 review)
+    try:
+        devices = jax.devices()
+    except Exception as e:  # noqa: BLE001 — init failure IS the finding
+        checks["device"] = {"ok": False, "platform": None, "count": 0,
+                            "error": f"{type(e).__name__}: {e}"}
+        devices = []
+    else:
+        checks["device"] = {
+            "ok": len(devices) > 0,
+            "platform": devices[0].platform if devices else None,
+            "count": len(devices),
+        }
     try:
         stats = devices[0].memory_stats() or {}
         hbm_gb = stats.get("bytes_limit", 0) / 2**30
@@ -86,19 +96,32 @@ def estimate_processing(config, store,
     n_rows = store.count(st.TICKERS)
     n_sym = len(store.list_symbols(st.TICKERS)) if n_rows else 0
 
-    # calibration: one small interpolate_batch, timed after warmup
+    # calibration: one small interpolate_batch, timed after warmup.
+    # The timed call gets FRESH input content and the timing bracket
+    # ends with a host readback — this runtime memoises executions on
+    # (executable, input content) across processes and
+    # block_until_ready can return before remote work completes, so
+    # timing a repeat call on identical buffers measured a cache hit
+    # (the exact bug class bench.py documents and fixed; round-4
+    # review).
     B, C, L = 8, 8, 256
-    rng = np.random.default_rng(0)
-    vals = rng.normal(size=(B, C, L)).astype(np.float32)
-    vals[:, :, 1::3] = np.nan
-    args = (jnp.asarray(vals), jnp.asarray(np.ones((B, L), bool)),
-            jnp.asarray(np.ones((B, L), bool)),
-            jnp.ones((B,), jnp.float32), jnp.zeros((B,), bool))
-    out = tasks.interpolate_batch(*args)
-    jax.block_until_ready(out)
+
+    def make_args(seed):
+        r = np.random.default_rng(seed)
+        vals = r.normal(size=(B, C, L)).astype(np.float32)
+        vals[:, :, 1::3] = np.nan
+        return (jnp.asarray(vals), jnp.asarray(np.ones((B, L), bool)),
+                jnp.asarray(np.ones((B, L), bool)),
+                jnp.ones((B,), jnp.float32), jnp.zeros((B,), bool))
+
+    out = tasks.interpolate_batch(*make_args(0))
+    float(out["filled"][0, 0, 0])  # honest warmup barrier: on the TPU
+    #   relay block_until_ready can return before compile+execute
+    #   finish, which would push the whole compile into the timed call
+    args = make_args(1)          # fresh content, same shapes (cached jit)
     t0 = time.perf_counter()
     out = tasks.interpolate_batch(*args)
-    jax.block_until_ready(out)
+    float(out["filled"][0, 0, 0])  # one-element readback: honest finish
     dt = time.perf_counter() - t0
     grid_points_per_s = (B * L) / max(dt, 1e-9)
 

@@ -112,6 +112,12 @@ class PipelineVisualizer:
         recon = recon[recon["symbol"] == symbol].sort_values(
             "timestamp").head(n_candles)
         minute = self.store.read(st.MINUTE_CANDLES, symbols=[symbol])
+        if minute.empty:
+            # a cleared/absent minute_candles table returns a column-
+            # less frame; sort_values('timestamp') on it KeyError'd and
+            # took summary_report down with it (round-4 review) — skip
+            # the figure like the other guards do
+            return None
         minute = minute.sort_values("timestamp")
         minute = minute[
             (minute["timestamp"] >= recon["timestamp"].min())

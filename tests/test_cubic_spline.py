@@ -111,3 +111,22 @@ def test_fuzz_vs_scipy(seed, bc):
     ref = CubicSpline(k, y, bc_type=BC_MAP[bc])(t)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-7,
                                err_msg=f"seed={seed} n={n} bc={bc}")
+
+
+def test_clamped_two_knots_matches_scipy(rng):
+    """n=2 clamped: the cubic Hermite honoring BOTH end slopes — the
+    n==2 early return used to hand back a flat line, discarding fp0/fpn
+    (round-4 review). The general clamped system degenerates to exactly
+    SciPy's 2x2 equations."""
+    k = np.array([0.0, 1.5])
+    iv = np.array([0.4, 0.5])
+    fp0, fpn = 0.3, -0.4
+    t = np.linspace(0.0, 1.5, 40)
+    M = fit_cubic_spline(jnp.array(k), jnp.array(iv), bc_type="clamped",
+                         fp0=fp0, fpn=fpn)
+    got = eval_cubic_spline(jnp.array(k), jnp.array(iv), M, jnp.array(t))
+    ref = CubicSpline(k, iv, bc_type=((1, fp0), (1, fpn)))(t)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-8)
+    # natural/not-a-knot n=2 stay the SciPy straight line
+    M0 = fit_cubic_spline(jnp.array(k), jnp.array(iv), bc_type="natural")
+    np.testing.assert_allclose(np.asarray(M0), 0.0)

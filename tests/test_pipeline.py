@@ -1026,3 +1026,41 @@ def test_shard_index_out_of_range_raises(cfg):
     runner = PipelineRunner(cfg, store=MemoryStore())
     with pytest.raises(ValueError, match="shard_index"):
         runner._shard_symbols(["AAA", "BBB"])
+
+
+def test_resume_reprocesses_mid_processing_symbols(cfg):
+    """A symbol caught mid-PROCESSING by a crash (flushed start_symbol,
+    no completion) must re-run on --resume — excluding it silently
+    dropped its output forever while is_done() stayed False (round-4
+    review)."""
+    tickers = generate_sample_tickers(num_symbols=2, hours=6)
+    store = MemoryStore()
+    store.write(st.TICKERS, tickers)
+    cfg.interpolation.min_data_points = 5
+    runner = PipelineRunner(cfg, store=store)
+    s1 = runner.run_task1()
+    bid = s1["batch_id"]
+    m = RunManifest(cfg.checkpoint.manifest_dir, "interpolation", bid)
+    victim = sorted(m.records())[0]
+    m.start_symbol(victim, input_rows=5)   # crash signature
+    m.flush()
+    m2 = RunManifest(cfg.checkpoint.manifest_dir, "interpolation", bid)
+    assert m2.pending_symbols() == [victim]
+    s2 = runner.run_task1(resume_batch_id=bid)
+    m3 = RunManifest(cfg.checkpoint.manifest_dir, "interpolation", bid)
+    assert m3.records()[victim].status == "completed"
+    assert m3.is_done()
+
+
+def test_list_batches_skips_malformed_manifest(cfg, tmp_path):
+    """One foreign-version manifest record (extra fields) must not
+    abort --list-batches (round-4 review)."""
+    d = str(tmp_path / "runs")
+    m = RunManifest(d, "interpolation", 100)
+    m.initialize_symbols(["a"])
+    m.flush()
+    with open(f"{d}/interpolation_101.jsonl", "w") as f:
+        f.write('{"symbol": "x", "status": "pending", '
+                '"mystery_field": 1}\n')
+    out = RunManifest.list_batches(d, task="interpolation")
+    assert [b["batch_id"] for b in out] == [100]

@@ -181,3 +181,23 @@ def test_table_report_skips_foreign_tables(live_store, monkeypatch):
     names = [e["table"] for e in report]
     assert st.MINUTE_CANDLES in names
     assert "my-weird table" not in names and "no_such_table" not in names
+
+
+def test_upsert_all_key_columns_do_nothing(live_store):
+    """Every column an upsert key -> DO NOTHING (an empty DO UPDATE SET
+    list is a syntax error; round-4 review). Uses a bespoke all-key
+    table so NOT NULL columns of the pipeline tables don't interfere."""
+    import pandas as pd
+
+    with live_store._connect() as conn, conn.cursor() as cur:
+        cur.execute('DROP TABLE IF EXISTS "allkeys"')
+        cur.execute('CREATE TABLE "allkeys" ("symbol" VARCHAR(50), '
+                    '"tag" BIGINT, '
+                    'CONSTRAINT allkeys_uniq UNIQUE ("symbol", "tag"))')
+        conn.commit()
+    df = pd.DataFrame({"symbol": ["a", "b"], "tag": [1, 2]})
+    n1 = live_store.write("allkeys", df, upsert_keys=["symbol", "tag"])
+    n2 = live_store.write("allkeys", df, upsert_keys=["symbol", "tag"])
+    assert n1 == 2 and n2 == 2  # no syntax error, idempotent
+    assert live_store.count("allkeys") == 2
+    live_store.drop("allkeys")

@@ -595,3 +595,57 @@ def test_cli_shard_flag_validation(capsys):
     assert "I/N" in capsys.readouterr().err
     assert cli.main(["--shard", "4/4", "--json"]) == 2
     assert "out of range" in capsys.readouterr().err
+
+
+def test_validate_readiness_survives_backend_outage(ran_store, monkeypatch):
+    """A backend init failure (relay outage) reports ready=False with
+    the error instead of crashing the readiness check (round-4
+    review)."""
+    import jax
+
+    from iv_interpolation_tpu.pipeline.validate import validate_readiness
+
+    def boom():
+        raise RuntimeError("UNAVAILABLE: TPU backend setup failed")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    cfg, store = ran_store
+    rep = validate_readiness(cfg, store)
+    assert rep["ready"] is False
+    assert "UNAVAILABLE" in rep["checks"]["device"]["error"]
+
+
+def test_compare_minute_vs_reconstructed_filters_frequency(ran_store):
+    """Mixed-frequency reconstructed tables: the audit must select one
+    frequency and size the source window from it — a hardcoded 5-min
+    span compared 15-min rows against a third of their source candles
+    (round-4 review)."""
+    import pandas as pd
+
+    from iv_interpolation_tpu.pipeline import storage as st
+    from iv_interpolation_tpu.pipeline.check_results import (
+        compare_minute_vs_reconstructed)
+
+    cfg, store = ran_store
+    minute = store.read(st.MINUTE_CANDLES)
+    sym = str(minute["symbol"].iloc[0])
+    sub = minute[minute["symbol"].astype(str) == sym].sort_values(
+        "timestamp")
+    # synthesize 15-min rows from the real 1-min data
+    grp = sub.set_index("timestamp").resample("15min")
+    recon15 = pd.DataFrame({
+        "open": grp["open"].first(), "high": grp["high"].max(),
+        "low": grp["low"].min(), "close": grp["close"].last(),
+        "volume": grp["volume"].sum(),
+    }).dropna().reset_index()
+    recon15["symbol"] = sym
+    recon15["frequency"] = "15min"
+    store.write(st.RECONSTRUCTED, recon15,
+                upsert_keys=["symbol", "timestamp", "frequency"])
+
+    for freq in ("5min", "15min"):
+        df = compare_minute_vs_reconstructed(store, symbol=sym, n=6,
+                                             frequency=freq)
+        full = df[df["src_count"] == int(freq[:-3])]
+        assert len(full) > 0, freq
+        assert full["matches"].all(), (freq, df)
