@@ -106,7 +106,8 @@ def _run_method_parity(n_devices: int) -> list:
     k, iv, T = _surface_batch()
     passed = []
     for method, tol in (("cubic_spline", 0.0), ("svi", 1e-6),
-                        ("essvi", 1e-6)):
+                        ("essvi", 1e-6), ("sabr", 1e-6),
+                        ("smoothing_spline", 1e-6)):
         fit = lambda a, b, c, m=method: fit_eval_surface(
             a, b, c, method=m, n_grid=16, svi_iters=8,
             # unrolled LM only helps on TPU; on CPU its huge executable
@@ -124,6 +125,43 @@ def _run_method_parity(n_devices: int) -> list:
             np.asarray(ref["butterfly_ok"]),
             err_msg=f"sharded {method} butterfly flags diverged")
         passed.append(method)
+
+    # rbf + ah ride their own batched entry points (the surface task's
+    # dispatch), sharded the same data-parallel way — tiny shapes keep
+    # the CPU dry run's compile bounded
+    from iv_interpolation_tpu.ops.rbf import fit_eval_rbf_arbfree_batched
+    B = k.shape[0]
+    pts = jnp.stack(
+        [k.reshape(B, -1),
+         jnp.broadcast_to(T[..., None], k.shape).reshape(B, -1)], axis=-1)
+    vals = (iv * iv * T[..., None]).reshape(B, -1)
+    query = pts[:, ::3]
+
+    def rbf_fit(p, v, q):
+        return fit_eval_rbf_arbfree_batched(p, v, q, n_iters=4,
+                                            n_pen_t=6, n_pen_k=9)
+
+    ref_r = rbf_fit(pts, vals, query)
+    ps_, vs_, qs_ = shard_batch(mesh, pts, vals, query)
+    out_r = jax.jit(rbf_fit)(ps_, vs_, qs_)
+    np.testing.assert_allclose(np.asarray(out_r[0]), np.asarray(ref_r[0]),
+                               rtol=1e-5, atol=1e-6,
+                               err_msg="sharded rbf w_query diverged")
+    passed.append("rbf")
+
+    from iv_interpolation_tpu.ops.andreasen_huge import fit_eval_ah_surface
+
+    def ah_fit(a, b, c):
+        return fit_eval_ah_surface(a, b, c, n_grid=65, n_iters=4)
+
+    ref_a = ah_fit(k, iv, T)
+    ks, ivs, Ts = shard_batch(mesh, k, iv, T)
+    out_a = jax.jit(ah_fit)(ks, ivs, Ts)
+    np.testing.assert_allclose(np.asarray(out_a["w_grid"]),
+                               np.asarray(ref_a["w_grid"]),
+                               rtol=1e-5, atol=1e-6,
+                               err_msg="sharded ah w_grid diverged")
+    passed.append("ah")
     return passed
 
 

@@ -295,9 +295,15 @@ def fit_eval_surface(k: jax.Array, iv: jax.Array, expiries: jax.Array,
     g = _slice_g(fit, k_grid, w_grid)
     iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0)
                        / jnp.maximum(fit.expiries[..., None], 1e-12))
-    butterfly_ok = jnp.all(g >= -1e-10, axis=(-2, -1))
+    # 1024-ulp dtype-scaled flag tolerances, floored at the old x64
+    # constants (same policy as spline_matrix._grid_diagnostics and the
+    # AH flags): fixed tolerances sit below f32 evaluation noise
+    eps = jnp.finfo(w_grid.dtype).eps
+    butterfly_ok = jnp.all(g >= -jnp.maximum(1024.0 * eps, 1e-10),
+                           axis=(-2, -1))
     calendar_ok = jnp.all(
-        w_grid[..., 1:, :] >= w_grid[..., :-1, :] - 1e-12, axis=(-2, -1)
+        w_grid[..., 1:, :] >= w_grid[..., :-1, :]
+        - jnp.maximum(1024.0 * eps, 1e-12), axis=(-2, -1)
     )
     # fit quality at the quotes (exactly 0 for interpolating splines)
     w_obs = iv * iv * expiries[..., None]
