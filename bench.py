@@ -260,6 +260,71 @@ def _spline_accuracy(step_jit, k_row, T_host):
     }
 
 
+def bench_parity(rng, B=32768):
+    """Compensated (double-f32) spline fit+eval — the CLI ``--parity``
+    mode (ops/spline_compensated.py, config ``surface.compensated``).
+
+    The fast f32 path bottoms out at ulp/2 ~ 6e-8 near w ~ 1.6, which
+    can never meet BASELINE.md's <=1e-8 oracle target; the df64 pair
+    ``f64(w_grid) + f64(w_grid_lo)`` reproduces the SciPy x64 oracle to
+    ~1e-9 (tests/test_spline_compensated.py). This stage measures BOTH
+    the deliverable-path parity on the chip and its throughput, so the
+    cost of parity mode is quoted next to the headline fast path.
+
+    Returns (surfaces/s, max |hi+lo - oracle| over a 64-surface clean
+    sub-batch, oracle evaluated at the df64 query positions q_hi+q_lo).
+    """
+    from iv_interpolation_tpu.ops.spline_compensated import (
+        fit_eval_surface_compensated, queries_df)
+
+    k_row = np.linspace(-1.0, 1.0, N_K, dtype=np.float32)
+    k = jnp.asarray(np.broadcast_to(k_row, (E, N_K)).copy())
+    T = jnp.asarray(np.linspace(0.05, 2.0, E, dtype=np.float32))
+    q = queries_df(-1.0, 1.0, N_GRID)
+
+    def step(iv):
+        out = fit_eval_surface_compensated(k, iv, T, queries=q)
+        return (out["w_grid"], out["w_grid_lo"],
+                out["butterfly_ok"], out["calendar_ok"])
+
+    step_jit = jax.jit(step)
+    gen = _iv_gen(B, k_row)
+    seed0 = int(rng.integers(0, 2**31 - 16))
+    inputs = [(gen(seed0 + i),) for i in range(6)]
+    for (x,) in inputs:
+        jax.block_until_ready(x)
+    dt = _median_time(step_jit, inputs)
+    del inputs
+    sps = B / dt
+
+    # oracle parity on the same clean-smile population as the fast path
+    Bs = 64
+    prng = np.random.default_rng(12345)
+    atm = prng.uniform(0.15, 0.6, (Bs, 1, 1))
+    curv = prng.uniform(0.05, 0.3, (Bs, 1, 1))
+    kk = k_row[None, None, :]
+    iv_clean = np.broadcast_to(atm + curv * kk * kk,
+                               (Bs, E, N_K)).astype(np.float32)
+    w_hi, w_lo, _, _ = step_jit(jnp.asarray(iv_clean))
+    w64 = np.asarray(w_hi, np.float64) + np.asarray(w_lo, np.float64)
+    q64 = (np.asarray(q[0], np.float64) + np.asarray(q[1], np.float64))
+    T_host = np.linspace(0.05, 2.0, E, dtype=np.float32)
+
+    parity = 0.0
+    try:
+        from scipy.interpolate import CubicSpline
+        for b in range(0, Bs, 4):
+            for e in range(E):
+                w_knots = (iv_clean[b, e].astype(np.float64) ** 2
+                           * float(T_host[e]))
+                ref = CubicSpline(k_row.astype(np.float64), w_knots,
+                                  bc_type="not-a-knot")(q64)
+                parity = max(parity, float(np.abs(w64[b, e] - ref).max()))
+    except ImportError:                       # pragma: no cover
+        parity = None
+    return sps, parity
+
+
 def bench_rbf(rng, B=8, N=2048, n_iters=24, n_centers=None):
     # 24 iters: 16 repaired only ~75-100% of the arbitrage-laden batch
     # (seed-dependent); 24 is the measured knee where arbfree_frac is
@@ -487,6 +552,14 @@ def _stage_essvi(rng):
     return {"value": round(sps, 1), "rmse": round(rmse, 6)}
 
 
+def _stage_parity(rng):
+    sps, err = (bench_parity(rng, B=512) if SMOKE
+                else bench_parity(rng))
+    return {"value": round(sps, 1),
+            "max_err_vs_x64_oracle": (
+                None if err is None else float(f"{err:.3g}"))}
+
+
 def _stage_streaming(rng):
     ups = (bench_streaming(rng, B=8, L_ticks=256, n_minutes=64) if SMOKE
            else bench_streaming(rng))
@@ -520,6 +593,7 @@ def _stage_ah(rng):
 
 STAGES = (
     ("spline", _stage_spline),
+    ("parity", _stage_parity),
     ("svi", _stage_svi),
     ("essvi", _stage_essvi),
     ("streaming", _stage_streaming),
@@ -529,6 +603,7 @@ STAGES = (
 )
 
 _EXTRA_NAMES = {
+    "parity": "parity_df64_surfaces_per_sec_fit_eval_30x50",
     "svi": "svi_lm_slices_per_sec_1024x30_quasi32",
     "essvi": "essvi_surfaces_per_sec_1024x30x50_iters32",
     "streaming": "streaming_refit_underlyings_per_sec_1024",
@@ -536,7 +611,8 @@ _EXTRA_NAMES = {
     "rbf_reduced": "rbf_arbfree_reduced_c512_surfaces_per_sec_64x2048_iters24",
     "ah": "ah_surfaces_per_sec_512x8x16_grid257_iters16",
 }
-_EXTRA_UNITS = {"svi": "slices/s", "essvi": "surfaces/s",
+_EXTRA_UNITS = {"parity": "surfaces/s",
+                "svi": "slices/s", "essvi": "surfaces/s",
                 "streaming": "underlyings/s", "rbf": "surfaces/s",
                 "rbf_reduced": "surfaces/s", "ah": "surfaces/s"}
 
@@ -574,7 +650,15 @@ def _assemble(state):
         # accuracy telemetry: throughput alone would stay green through
         # a silent numeric regression (the bf16-MXU class of bug) —
         # these fields pin values AND flags every bench run
+        # headline parity is the DELIVERABLE parity path (CLI --parity,
+        # compensated df64 — the <=1e-8 north star); the fast f32
+        # path's own envelope stays visible as parity_fast_f32_max_err
         "parity_max_err_vs_x64_oracle": (
+            stages["parity"].get("max_err_vs_x64_oracle")
+            if "parity" in stages
+            else (None if sp.get("parity_max_err") is None
+                  else float(f"{sp['parity_max_err']:.3g}"))),
+        "parity_fast_f32_max_err": (
             None if sp.get("parity_max_err") is None
             else float(f"{sp['parity_max_err']:.3g}")),
         "butterfly_clean_frac": sp.get("butterfly_clean_frac"),
@@ -588,7 +672,8 @@ def _assemble(state):
             continue
         extra = {"metric": _EXTRA_NAMES[name], "value": res["value"],
                  "unit": _EXTRA_UNITS[name]}
-        for key in ("rmse", "arbfree_frac", "price_rmse"):
+        for key in ("rmse", "arbfree_frac", "price_rmse",
+                    "max_err_vs_x64_oracle"):
             if key in res:
                 extra[key] = res[key]
         extras.append(extra)

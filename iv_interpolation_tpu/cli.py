@@ -58,11 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write synthetic hourly tickers to storage")
     p.add_argument("--symbols", type=int, default=None,
                    help="limit number of symbols processed")
-    p.add_argument("--method", default=None,
-                   choices=["cubic_spline", "smoothing_spline", "svi",
-                            "essvi", "sabr", "rbf", "ah"],
+    from iv_interpolation_tpu.models import available as _model_names
+    p.add_argument("--method", default=None, choices=list(_model_names()),
                    help="smile/surface family for --task surface "
                         "(default: config surface.smile_method)")
+    p.add_argument("--parity", action="store_true",
+                   help="compensated double-f32 surface fits: the "
+                        "persisted (total_variance, total_variance_lo) "
+                        "pair matches the x64 oracle to <=1e-8 "
+                        "(cubic_spline only; throughput cost in "
+                        "docs/PERF.md)")
     p.add_argument("--env", choices=["development", "testing", "production"],
                    default=None, help="environment preset")
     p.add_argument("--storage", choices=["parquet", "memory", "postgres"],
@@ -227,6 +232,8 @@ def main(argv=None) -> int:
         config.storage.backend = args.storage
     if args.data_root:
         config.storage.root = args.data_root
+    if args.parity:
+        config.surface.compensated = True
     if args.shard:
         try:
             i_s, n_s = args.shard.split("/")

@@ -194,6 +194,13 @@ class SurfaceConfig:
     # resolution and per-slice LM budget (ops.andreasen_huge)
     ah_grid: int = 257
     ah_iters: int = 16
+    # parity mode (CLI --parity): run cubic-spline fit+eval on the
+    # compensated double-f32 path (ops.spline_compensated) and persist
+    # the df64 low limb (total_variance_lo) — the pair reproduces the
+    # SciPy x64 oracle to ~1e-12, meeting the <=1e-8 north star that
+    # plain f32 output cannot (ulp/2 ~ 6e-8 at w ~ 1.6). Throughput
+    # cost vs the matrix fast path is quoted in docs/PERF.md.
+    compensated: bool = False
     # No-arbitrage handling: hinge-penalty weight on negative butterfly-g
     # during SVI calibration (calendar no-arb is structural: total-variance
     # interpolation between calendar-ordered slices cannot create it)

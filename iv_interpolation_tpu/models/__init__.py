@@ -1,24 +1,26 @@
-"""Model families — the smile/surface parameterisations.
+"""Model families — the smile/surface parameterisations behind
+``--task surface`` / ``--method``.
 
-Namespace over the kernels in ``ops``/``surface``: each family offers a
-fit (calibration) and an evaluation path, all batched and jit-compiled.
+Each family registers a :class:`~iv_interpolation_tpu.models.base.
+SurfaceModel` (fit_eval + attach_local_vol) that
+``pipeline.surface_task.run_surface_fit`` consumes via :func:`get`;
+``cli.py --method``'s choices are :func:`available`. The family modules
+own the family-specific adapter logic (batch packing, precision modes,
+local-vol/density conventions):
 
-  * cubic spline smiles   -> :mod:`iv_interpolation_tpu.models.spline`
-  * SVI slices            -> :mod:`iv_interpolation_tpu.models.svi`
-  * eSSVI surfaces        -> :mod:`iv_interpolation_tpu.models.essvi`
-  * SABR (Hagan)          -> :mod:`iv_interpolation_tpu.models.sabr`
-  * RBF/thin-plate        -> :mod:`iv_interpolation_tpu.models.rbf`
-  * Andreasen-Huge        -> :mod:`iv_interpolation_tpu.models.andreasen_huge`
-  * Black-Scholes         -> :mod:`iv_interpolation_tpu.models.black_scholes`
-  * full surfaces         -> :mod:`iv_interpolation_tpu.surface`
+  * cubic/smoothing splines -> :mod:`.spline` (incl. the compensated
+    double-f32 <=1e-8-parity mode)
+  * SVI slices              -> :mod:`.svi`
+  * eSSVI joint surfaces    -> :mod:`.essvi`
+  * SABR (Hagan)            -> :mod:`.sabr`
+  * RBF/thin-plate          -> :mod:`.rbf` (scattered-quote packing)
+  * Andreasen-Huge          -> :mod:`.andreasen_huge` (measure-converted
+    density)
 """
 
-from iv_interpolation_tpu.models import (  # noqa: F401
-    andreasen_huge,
-    black_scholes,
-    essvi,
-    rbf,
-    sabr,
-    spline,
-    svi,
+from iv_interpolation_tpu.models.base import (  # noqa: F401
+    PERSIST_KEYS,
+    SurfaceModel,
+    available,
+    get,
 )

@@ -1,11 +1,14 @@
-"""Model-family alias for :mod:`iv_interpolation_tpu.ops.essvi`."""
-from iv_interpolation_tpu.ops.essvi import (  # noqa: F401
-    EssviFit,
+"""eSSVI surface model: one joint (theta_e, rho_e, psi_e) calibration
+per surface with increasing ATM total variance and butterfly-free
+slices by construction (ops.essvi — block-tridiagonal GN solver).
+"""
+
+from iv_interpolation_tpu.models._slicewise import slicewise_model
+from iv_interpolation_tpu.ops.essvi import (  # noqa: F401  (public math)
     essvi_g,
-    essvi_init,
     essvi_w,
-    essvi_w_derivs,
-    fit_essvi,
     fit_essvi_batched,
-    psi_butterfly_cap,
 )
+
+ESSVI = slicewise_model(
+    "essvi", "joint eSSVI surface calibration (arb-free by construction)")

@@ -1,13 +1,16 @@
-"""Model-family alias for :mod:`iv_interpolation_tpu.ops.svi`."""
-from iv_interpolation_tpu.ops.svi import (  # noqa: F401
-    SVI_LOWER,
-    SVI_UPPER,
-    fit_svi,
+"""SVI slice model: 5-parameter (a, b, rho, m, sigma) raw-SVI smiles
+calibrated per expiry with the batched Levenberg-Marquardt engine
+(ops.svi / ops.lm); butterfly no-arb available as a hinge penalty
+(``surface.butterfly_penalty``), residual weighting via
+``surface.svi_weighting``.
+"""
+
+from iv_interpolation_tpu.models._slicewise import slicewise_model
+from iv_interpolation_tpu.ops.svi import (  # noqa: F401  (public math)
     fit_svi_batched,
     svi_g,
-    svi_init,
-    svi_is_butterfly_free,
-    svi_quasi_init,
     svi_total_variance,
-    vega_weights,
 )
+
+SVI = slicewise_model(
+    "svi", "raw-SVI slices via batched LM (surface.lm_max_iters)")

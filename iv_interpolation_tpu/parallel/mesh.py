@@ -140,8 +140,6 @@ def shard_rows(mesh, *arrays, expect_dim0: int | None = None):
     return out if len(out) > 1 else out[0]
 
 
-def pad_to_multiple(n: int, m: int) -> int:
-    """Smallest multiple of ``m`` >= ``n`` (batch padding so shards are
-    equal — the static-shape version of the reference's greedy bin-packing
-    at optimized_batch_processor.py:123-164)."""
-    return ((n + m - 1) // m) * m
+# canonical definition lives in utils (shared with pipeline.ingest);
+# re-exported here because every mesh consumer pads through this module
+from iv_interpolation_tpu.utils import pad_to_multiple  # noqa: E402,F401

@@ -45,10 +45,10 @@ def full_nan(shape, dtype) -> np.ndarray:
     return a
 
 
-def to_epoch_minutes(ts: pd.Series) -> np.ndarray:
-    """Timestamps -> int64 epoch minutes (floor)."""
-    vals = pd.to_datetime(ts).astype("datetime64[ns]").astype(np.int64)
-    return vals // _MINUTE_NS
+# to_epoch_minutes/choose_bucket/batch_pad live in utils (shared with
+# parallel.mesh and user code); re-exported here for the ingest callers
+from iv_interpolation_tpu.utils import (batch_pad, choose_bucket,  # noqa: E402,F401
+                                        to_epoch_minutes)
 
 
 @dataclass
@@ -127,22 +127,6 @@ class IngestResult:
     skipped: Dict[str, str]         # symbol -> reason
 
 
-def choose_bucket(length: int, bucket_sizes: Sequence[int]) -> Optional[int]:
-    """Smallest configured bucket >= length (None if too long)."""
-    for b in sorted(bucket_sizes):
-        if length <= b:
-            return b
-    return None
-
-
-def batch_pad(n: int, max_batch: int) -> int:
-    """Pad a chunk's batch dim to a geometric schedule so XLA sees a small
-    fixed set of shapes (a ragged final chunk would otherwise force a full
-    recompile per distinct remainder — 1-2 min each on this runtime)."""
-    b = 16
-    while b < n and b < max_batch:
-        b *= 2
-    return min(b, max_batch)
 
 
 def bucket_batch_cap(bucket: int, max_batch: int,

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from iv_interpolation_tpu import models
 from iv_interpolation_tpu.pipeline import storage as st
-from iv_interpolation_tpu.surface.surface import fit_eval_surface
 
 SURFACES = "vol_surfaces"
 
@@ -93,81 +93,6 @@ def build_chains(df: pd.DataFrame, min_strikes: int = 4):
                            iv=grp["iv"].to_numpy(),
                            T=float(grp["T"].mean())))
     return chains
-
-
-def _fit_rbf_surfaces(k, iv, T, quote_mask, scfg, dev=None):
-    """Scattered RBF surfaces over all (k, T) quotes — the WHOLE shape
-    bucket as one batched fit (BASELINE.json config #4), evaluated on
-    the same (E, grid) layout as the slice-wise methods so downstream
-    handling is uniform.
-
-    ``surface.rbf_butterfly_penalty`` / ``rbf_calendar_penalty`` > 0
-    switch to the no-arbitrage penalty-smoothing solver
-    (``ops.rbf.fit_rbf_arbfree``), with padded quotes weight-0 in the
-    data term; at 0 the plain interpolating/smoothing fit is used (all
-    quotes, matching the round-1 behavior). Flags are always the
-    pipeline's post-hoc finite-difference diagnostics on the eval grid.
-    Returns dict of (B, ...) arrays incl. a quote-masked ``fit_rmse``.
-    """
-    from iv_interpolation_tpu.ops.rbf import (fit_eval_rbf_arbfree_batched,
-                                              fit_eval_rbf_batched)
-    from iv_interpolation_tpu.surface.arbitrage import butterfly_g_fd
-
-    dev = dev or jnp.asarray  # mesh placement hook (run_surface_fit)
-
-    B, E, n = k.shape
-    m = scfg.grid_strikes
-    pts = np.stack([k.reshape(B, E * n),
-                    np.repeat(T, n, axis=-1)], axis=-1)      # (B, E n, 2)
-    vals = (iv ** 2 * T[..., None]).reshape(B, E * n)
-    lo = k[:, :, 0].max(axis=1)
-    hi = k[:, :, -1].min(axis=1)
-    kg_row = lo[:, None] + (hi - lo)[:, None] * np.linspace(0.0, 1.0, m)
-    k_grid = np.broadcast_to(kg_row[:, None, :], (B, E, m))
-    # grid queries first, the data sites after — one eval pass serves
-    # both the surface grid and the fit_rmse statistic
-    query = np.concatenate([
-        np.stack([k_grid.reshape(B, E * m),
-                  np.repeat(T, m, axis=-1)], axis=-1),
-        pts,
-    ], axis=1)
-
-    penalized = (scfg.rbf_butterfly_penalty > 0.0
-                 or scfg.rbf_calendar_penalty > 0.0)
-    if penalized:
-        w_eval, _, _ = fit_eval_rbf_arbfree_batched(
-            dev(pts), dev(vals), dev(query),
-            weights=dev(quote_mask.reshape(B, E * n).astype(vals.dtype)),
-            smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel,
-            butterfly_weight=scfg.rbf_butterfly_penalty,
-            calendar_weight=scfg.rbf_calendar_penalty,
-            n_iters=scfg.rbf_penalty_iters,
-            n_centers=scfg.rbf_centers)
-    else:
-        w_eval = fit_eval_rbf_batched(
-            dev(pts), dev(vals), dev(query),
-            smoothing=scfg.rbf_smoothing, kernel=scfg.rbf_kernel)
-    w_grid = w_eval[:, :E * m].reshape(B, E, m)
-    w_data = w_eval[:, E * m:]
-    qm = jnp.asarray(quote_mask.reshape(B, E * n))
-    n_real = jnp.maximum(qm.sum(axis=-1), 1)
-    fit_rmse = jnp.sqrt(
-        jnp.sum(jnp.where(qm, (w_data - jnp.asarray(vals)) ** 2, 0.0),
-                axis=-1) / n_real)
-    k_grid = jnp.asarray(k_grid)
-    g = butterfly_g_fd(k_grid, w_grid)
-    iv_grid = jnp.sqrt(jnp.maximum(w_grid, 0.0)
-                       / jnp.maximum(jnp.asarray(T)[..., None], 1e-12))
-    return {
-        "k_grid": k_grid,
-        "w_grid": w_grid,
-        "iv_grid": iv_grid,
-        "g": g,
-        "butterfly_ok": jnp.all(g >= -1e-10, axis=(1, 2)),
-        "calendar_ok": jnp.all(
-            w_grid[:, 1:] - w_grid[:, :-1] >= -1e-12, axis=(1, 2)),
-        "fit_rmse": fit_rmse,
-    }
 
 
 def pack_chain_group(group, E_pad: int, n_pad: int, dtype=np.float64):
@@ -282,108 +207,22 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 quote_mask = np.concatenate(
                     [quote_mask,
                      np.zeros((pads,) + quote_mask.shape[1:], bool)])
-        if method == "rbf":
-            res_all = _fit_rbf_surfaces(k, iv, T, quote_mask, scfg,
-                                        dev=dev)
-            keys = ["k_grid", "w_grid", "iv_grid",
-                    "butterfly_ok", "calendar_ok", "fit_rmse"]
-            if scfg.compute_local_vol:
-                # RBF surfaces support the same Dupire extraction as the
-                # slice-wise methods (the promise of compute_local_vol
-                # is method-agnostic); cells without a real local vol
-                # persist NaN, like everywhere else
-                from iv_interpolation_tpu.surface.localvol import (
-                    _backward_dwdT, risk_neutral_density)
-                g_ = res_all["g"]
-                dwdT = _backward_dwdT(res_all["w_grid"],
-                                      jnp.asarray(T), 1e-10)
-                lv = dwdT / jnp.maximum(g_, 1e-10)
-                valid = (g_ > 1e-10) & (dwdT >= 0.0)
-                res_all = {
-                    **res_all,
-                    "local_vol": jnp.where(
-                        valid, jnp.sqrt(jnp.maximum(lv, 0.0)), jnp.nan),
-                    "density": jnp.where(
-                        res_all["w_grid"] > 0.0,
-                        risk_neutral_density(res_all["k_grid"],
-                                             res_all["w_grid"], g_),
-                        jnp.nan),
-                }
-                keys += ["local_vol", "density"]
-            results = [
-                {key: res_all[key][b:b + 1] for key in keys}
-                for b in range(B)
-            ]
-        elif method == "ah":
-            # Andreasen-Huge one-step surfaces: arbitrage-free BY
-            # CONSTRUCTION (ops.andreasen_huge) — same output contract
-            # as fit_eval_surface, on the method's own dense PDE grid
-            from iv_interpolation_tpu.ops.andreasen_huge import (
-                fit_eval_ah_surface)
-            res_all = fit_eval_ah_surface(
-                dev(k), dev(iv), dev(T),
-                n_grid=scfg.ah_grid, n_iters=scfg.ah_iters,
-                quote_mask=dev(quote_mask))
-            keys = ["k_grid", "w_grid", "iv_grid",
-                    "butterfly_ok", "calendar_ok", "fit_rmse"]
-            if scfg.compute_local_vol:
-                # the AH model's local vol is its own calibration
-                # product (exact, no Dupire extraction; already in the
-                # fused output). Its 'g' is the STRIKE-space density
-                # d2C/dK2; every other method persists the
-                # LOG-MONEYNESS Breeden-Litzenberger density, so convert
-                # measures (p(k) = K * d2C/dK2, K = e^k on the unit
-                # forward) before writing the shared 'density' column.
-                # The two boundary-condition columns carry no PDE row
-                # (g padded with 0 there) -> persist NaN, not a
-                # fabricated zero density (round-3 advisor finding).
-                p_k = jnp.exp(res_all["k_grid"]) * res_all["g"]
-                interior = jnp.zeros_like(p_k, bool).at[..., 1:-1].set(True)
-                res_all = {**res_all,
-                           "density": jnp.where(interior, p_k, jnp.nan)}
-                keys += ["local_vol", "density"]
-            results = [
-                {key: res_all[key][b:b + 1] for key in keys}
-                for b in range(B)
-            ]
-        else:
-            res_all = fit_eval_surface(
-                dev(k), dev(iv), dev(T),
-                method=method, n_grid=scfg.grid_strikes,
-                svi_iters=scfg.lm_max_iters,
-                svi_butterfly_penalty=scfg.butterfly_penalty,
-                svi_weighting=scfg.svi_weighting,
-                # auto (None): unroll only on TPU — the unrolled LM is a
-                # dispatch-floor workaround, and on CPU its ~50x bigger
-                # executable was implicated in an LLVM-JIT segfault late
-                # in full-suite runs
-                svi_unroll=(scfg.svi_unroll if scfg.svi_unroll is not None
-                            else jax.default_backend() == "tpu"),
-                smoothing_lam=scfg.smoothing_lam,
-                spline_bc=scfg.spline_bc,
-                quote_mask=dev(quote_mask))
-            keys = ["k_grid", "w_grid", "iv_grid",
-                    "butterfly_ok", "calendar_ok", "fit_rmse"]
-            if scfg.compute_local_vol:
-                from iv_interpolation_tpu.surface.localvol import (
-                    local_vol_surface)
-                lv = local_vol_surface(res_all)
-                # cells where g <= 0 or dw/dT < 0 hold eps-clamped
-                # garbage (~1e10x real values); persist NaN there so no
-                # downstream consumer mistakes them for real local vols.
-                # density is masked where the w-clamp would fabricate
-                # ~1e5-scale spikes from w <= 0 wing cells (negative
-                # density from g < 0 is a REAL arbitrage signal — kept)
-                lv["local_vol"] = jnp.where(
-                    lv["local_vol_valid"], lv["local_vol"], jnp.nan)
-                lv["density"] = jnp.where(
-                    res_all["w_grid"] > 0.0, lv["density"], jnp.nan)
-                res_all = {**res_all, **lv}
-                keys += ["local_vol", "density"]
-            results = [
-                {key: res_all[key][b:b + 1] for key in keys}
-                for b in range(B)
-            ]
+        model = models.get(method)
+        res_all = model.fit_eval(k, iv, T, quote_mask, scfg, dev=dev)
+        keys = list(models.PERSIST_KEYS)
+        if "w_grid_lo" in res_all:
+            # compensated spline: persist the df64 low limb — the
+            # (total_variance, total_variance_lo) pair reconstructs the
+            # x64 oracle to ~1e-12 (models.spline)
+            keys.append("w_grid_lo")
+        if scfg.compute_local_vol:
+            res_all = model.attach_local_vol(res_all, T=jnp.asarray(T),
+                                             scfg=scfg)
+            keys += ["local_vol", "density"]
+        results = [
+            {key: res_all[key][b:b + 1] for key in keys}
+            for b in range(B)
+        ]
         for b, (und, slices) in enumerate(group):
             res = results[b]
             n_fit += 1
@@ -399,6 +238,9 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
                 "total_variance": w.ravel(),
                 "iv": ivg.ravel(),
             })
+            if "w_grid_lo" in res:
+                sdf["total_variance_lo"] = np.asarray(
+                    res["w_grid_lo"][0])[:E_use].ravel()
             if "local_vol" in res:
                 sdf["local_vol"] = np.asarray(
                     res["local_vol"][0])[:E_use].ravel()

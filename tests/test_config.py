@@ -89,16 +89,44 @@ def test_every_processing_knob_is_consumed():
         assert f.name in src, f"processing knob {f.name!r} is decorative"
 
 
-def test_models_and_utils_namespaces():
-    """The models/ and utils/ namespaces expose the family APIs."""
-    from iv_interpolation_tpu.models import (black_scholes, rbf, sabr,
-                                             spline, svi)
+def test_every_surface_knob_is_consumed():
+    """Same guard, SurfaceConfig: every field must appear in the surface
+    task / model-family source (covers the new 'compensated' switch)."""
+    import dataclasses
+    import inspect
+    from iv_interpolation_tpu.config import SurfaceConfig
+    from iv_interpolation_tpu.models import (_slicewise, andreasen_huge,
+                                             rbf, spline)
+    from iv_interpolation_tpu.pipeline import surface_task
+    src = (inspect.getsource(surface_task) + inspect.getsource(_slicewise)
+           + inspect.getsource(spline) + inspect.getsource(rbf)
+           + inspect.getsource(andreasen_huge))
+    for f in dataclasses.fields(SurfaceConfig):
+        assert f.name in src, f"surface knob {f.name!r} is decorative"
+
+
+def test_models_registry_and_utils():
+    """models/ is a real registry: every family resolves to a
+    SurfaceModel whose callables the pipeline consumes; unknown names
+    fail with the available list."""
+    from iv_interpolation_tpu import models
+    assert set(models.available()) == {
+        "cubic_spline", "smoothing_spline", "svi", "essvi", "sabr",
+        "rbf", "ah"}
+    for name in models.available():
+        m = models.get(name)
+        assert isinstance(m, models.SurfaceModel)
+        assert m.name == name
+        assert callable(m.fit_eval) and callable(m.attach_local_vol)
+    import pytest
+    with pytest.raises(ValueError, match="essvi"):
+        models.get("nope")
+    # family modules still expose their public math
+    from iv_interpolation_tpu.models import rbf, sabr, spline, svi
     assert callable(spline.fit_eval_smile)
-    assert callable(spline.build_spline_operator)
-    assert callable(svi.fit_svi)
-    assert callable(sabr.fit_sabr)
+    assert callable(svi.fit_svi_batched)
+    assert callable(sabr.fit_sabr_batched)
     assert callable(rbf.fit_rbf)
-    assert callable(black_scholes.bs_greeks)
     from iv_interpolation_tpu.utils import (choose_bucket, pad_to_multiple,
                                             to_epoch_minutes)
     assert pad_to_multiple(3, 8) == 8

@@ -264,6 +264,44 @@ def test_surface_task_local_vol_columns(tmp_path):
     assert (df["local_vol"] >= 0).all()
 
 
+def test_surface_task_parity_mode(tmp_path):
+    """surface.compensated (CLI --parity) runs the double-f32 spline
+    path and persists the df64 low limb: (total_variance,
+    total_variance_lo) reconstructs the x64 value (models.spline)."""
+    import numpy as np
+    from iv_interpolation_tpu.pipeline.surface_task import (SURFACES,
+                                                            run_surface_fit)
+    cfg = get_config("testing")
+    cfg.checkpoint.manifest_dir = str(tmp_path / "runs")
+    cfg.interpolation.min_data_points = 5
+    cfg.surface.compensated = True
+    symbols = [f"btc-{exp}-{strike}-c"
+               for exp in ("28apr23", "30jun23")
+               for strike in (20000, 22000, 24000, 26000, 28000, 30000)]
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(hours=8,
+                                                    symbols=symbols))
+    runner = PipelineRunner(cfg, store=store)
+    runner.run_task1()
+    rep = run_surface_fit(cfg, store)
+    assert rep["surfaces"] == 1
+    df = store.read(SURFACES)
+    assert "total_variance_lo" in df.columns
+    tv = df["total_variance"].to_numpy()
+    lo = df["total_variance_lo"].to_numpy()
+    assert np.isfinite(lo).all()
+    # the low limb is a genuine sub-ulp correction: tiny vs hi, nonzero
+    # somewhere, and the interpolating spline reprices quotes exactly
+    assert (np.abs(lo) <= 1e-7 * np.maximum(np.abs(tv), 1e-6)).all()
+    assert np.any(lo != 0.0)
+    assert (df["fit_rmse"] == 0.0).all()
+    # clamped BC has no compensated form — must fail loudly, not quietly
+    # fall back to f32
+    cfg.surface.spline_bc = "clamped"
+    with pytest.raises(ValueError, match="compensated"):
+        run_surface_fit(cfg, store)
+
+
 def test_surface_task_ah_local_vol_columns(tmp_path):
     """method='ah' + compute_local_vol persists the model's OWN local
     vol (exact calibration product) and the log-moneyness
