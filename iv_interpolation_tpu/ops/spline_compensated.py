@@ -164,8 +164,22 @@ def fit_cubic_spline_df(x: jax.Array, y, bc_type: str = "natural"):
     raise ValueError(f"unsupported bc_type for compensated path: {bc_type!r}")
 
 
-@jax.jit
-def eval_cubic_spline_df(x: jax.Array, y, M, t):
+def _select_onehot(oh, a):
+    """Exact one-hot row selection: sum over n of a masked broadcast.
+
+    Replaces ``take_along_axis``: measured IN CONTEXT (fused into the
+    surface eval at B=8192x30x50) each gather cost ~190 ms on this
+    TPU runtime while the equivalent one-hot compare+mask+reduce runs
+    in ~25 us — the gather lowering serializes, the one-hot maps onto
+    plain VPU compare/select/add lanes and fuses with its consumers.
+    Exact by construction: one nonzero term per output element, so the
+    reduction order cannot round (safe for df64 lo limbs).
+    """
+    return jnp.sum(jnp.where(oh, a[..., None, :], 0.0), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("with_derivs",))
+def eval_cubic_spline_df(x: jax.Array, y, M, t, with_derivs: bool = False):
     """Evaluate fitted splines at df64 query positions.
 
     Args:
@@ -174,9 +188,13 @@ def eval_cubic_spline_df(x: jax.Array, y, M, t):
       t: df64 pair of query positions (..., m). The *positions* carry a
         low limb because the oracle grid is exact-f64 linspace — an f32
         position alone contributes up to ulp/2 * |dw/dk| of error.
+      with_derivs: also return plain-f32 S'(t), S''(t) computed from the
+        hi limbs on the already-selected operands (the arbitrage
+        diagnostics only need f32 + ulp-scaled tolerances; fusing them
+        here avoids a second bracket+select pass).
 
     Returns:
-      df64 pair S(t), (..., m).
+      df64 pair S(t), (..., m) — or (S_pair, S', S'') if with_derivs.
     """
     y_hi, y_lo = y
     M_hi, M_lo = M
@@ -184,13 +202,15 @@ def eval_cubic_spline_df(x: jax.Array, y, M, t):
                                                      M_hi, M_lo)
     t_hi, t_lo = t
     idx = _bracket(x, t_hi)
-    take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
-    take1 = lambda a: jnp.take_along_axis(a, idx + 1, axis=-1)
-    x0, x1 = take(x), take1(x)
-    y0 = (take(y_hi), take(y_lo))
-    y1 = (take1(y_hi), take1(y_lo))
-    M0 = (take(M_hi), take(M_lo))
-    M1 = (take1(M_hi), take1(M_lo))
+    n = x.shape[-1]
+    iota = jnp.arange(n, dtype=idx.dtype)
+    oh0 = idx[..., :, None] == iota            # interval left knot
+    oh1 = idx[..., :, None] == (iota - 1)      # right knot (idx + 1)
+    x0, x1 = _select_onehot(oh0, x), _select_onehot(oh1, x)
+    y0 = (_select_onehot(oh0, y_hi), _select_onehot(oh0, y_lo))
+    y1 = (_select_onehot(oh1, y_hi), _select_onehot(oh1, y_lo))
+    M0 = (_select_onehot(oh0, M_hi), _select_onehot(oh0, M_lo))
+    M1 = (_select_onehot(oh1, M_hi), _select_onehot(oh1, M_lo))
 
     hh = two_sum(x1, -x0)                       # exact knot spacing
     a = df.div(df.sub(df.from_f32(x1), (t_hi, t_lo)), hh)
@@ -201,7 +221,17 @@ def eval_cubic_spline_df(x: jax.Array, y, M, t):
     cubic = df.mul(df.add(df.mul(df.sub(a3, a), M0),
                           df.mul(df.sub(b3, b), M1)), h2_6)
     lin = df.add(df.mul(a, y0), df.mul(b, y1))
-    return df.add(lin, cubic)
+    s = df.add(lin, cubic)
+    if not with_derivs:
+        return s
+    # f32 derivatives on the hi limbs — identical formulas to
+    # ops.cubic_spline.eval_cubic_spline_deriv/_second_deriv
+    ah, bh, hhh = a[0], b[0], hh[0]
+    w1 = ((y1[0] - y0[0]) / hhh
+          + ((-3.0 * ah * ah + 1.0) * M0[0]
+             + (3.0 * bh * bh - 1.0) * M1[0]) * hhh / 6.0)
+    w2 = ((x1 - t_hi) * M0[0] + (t_hi - x0) * M1[0]) / hhh
+    return s, w1, w2
 
 
 def queries_df(lo: float, hi: float, m: int):
@@ -264,16 +294,11 @@ def fit_eval_surface_compensated(k: jax.Array, iv: jax.Array,
                                q_hi.shape, w[0].shape[:-1] + (q_hi.shape[-1],))
     q = (jnp.broadcast_to(q_hi, tgt), jnp.broadcast_to(q_lo, tgt))
 
-    w_grid = eval_cubic_spline_df(k, w, M, q)
-
-    # diagnostics ride the hi limbs through the plain-f32 evaluators —
-    # flags use 1024-ulp scaled tolerances, so df64 derivatives would
-    # buy nothing (same policy as spline_matrix._grid_diagnostics)
-    from iv_interpolation_tpu.ops.cubic_spline import (
-        eval_cubic_spline_deriv, eval_cubic_spline_second_deriv)
+    # diagnostics ride the hi limbs (f32 + 1024-ulp scaled tolerances,
+    # same policy as spline_matrix._grid_diagnostics — df64 derivatives
+    # would buy nothing); fused into the eval's one-hot selection pass
     from iv_interpolation_tpu.surface.arbitrage import butterfly_g
-    w1 = eval_cubic_spline_deriv(k, w[0], M[0], q[0])
-    w2 = eval_cubic_spline_second_deriv(k, w[0], M[0], q[0])
+    w_grid, w1, w2 = eval_cubic_spline_df(k, w, M, q, with_derivs=True)
     g = butterfly_g(q[0], w_grid[0], w1, w2)
     iv_grid = jnp.sqrt(jnp.maximum(w_grid[0], 0.0) / jnp.maximum(T, 1e-12))
     eps = jnp.finfo(w_grid[0].dtype).eps
