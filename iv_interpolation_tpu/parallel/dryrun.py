@@ -25,6 +25,11 @@ Three proofs, in order:
 3. **Collectives ride the mesh.** A shard_map step whose arbitrage
    diagnostics psum over both mesh axes — the communication-backend
    proof (ICI collectives on real hardware, SURVEY.md §5.8).
+4. **Genuinely concurrent ``--shard`` processes.** Two simultaneous
+   OS processes running ``--shard {0,1}/2`` against ONE parquet store
+   must byte-match the unsharded run with disjoint un-torn manifests
+   (parallel/shardproof.py — the one concurrency mode the reference
+   actually ran, src/interpolation/batch_processor.py:234-239).
 
 ``run(n)`` assumes the calling process already has >= n devices (the
 test suite provisions 8 virtual CPU devices in conftest).
@@ -202,8 +207,18 @@ def _run_collectives(n_devices: int):
     return (d_data, d_slice), w_grid.shape, int(n_bad)
 
 
+def _run_concurrent_shards() -> dict:
+    import os
+
+    from iv_interpolation_tpu.parallel import shardproof
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "ivtpu_test_xla")
+    with tempfile.TemporaryDirectory() as td:
+        return shardproof.proof_concurrent(td, cache_dir=cache)
+
+
 def run(n_devices: int) -> None:
-    """All three proofs; raises on any failure."""
+    """All four proofs; raises on any failure."""
     devices = jax.devices()
     if len(devices) < n_devices:
         raise RuntimeError(
@@ -215,13 +230,17 @@ def run(n_devices: int) -> None:
     _run_real_pipeline(n_devices)
     methods = _run_method_parity(n_devices)
     mesh_shape, w_shape, n_bad = _run_collectives(n_devices)
+    shards = _run_concurrent_shards()
 
     print(f"dryrun_multichip ok: mesh=({mesh_shape[0]}x{mesh_shape[1]}) "
           f"platform={devices[0].platform} w_grid={w_shape} "
           f"bad_surfaces={n_bad} "
           f"pipeline_tables_sharded_vs_single_device=BYTE_IDENTICAL "
           f"method_parity_PASS={'+'.join(methods)} "
-          f"parity_vs_single_device=PASS")
+          f"parity_vs_single_device=PASS "
+          f"concurrent_shard_processes=PASS "
+          f"(2 simultaneous procs, {shards['wall_s']}s overlap, "
+          f"tables byte-equal unsharded)")
 
 
 def main(argv=None) -> None:

@@ -86,9 +86,16 @@ def build_chains(df: pd.DataFrame, min_strikes: int = 4):
         grp = (grp.groupby("strike", as_index=False)
                .agg({"iv": "mean", "S": "mean", "T": "mean"})
                .sort_values("strike"))
+        k = np.log(grp["strike"].to_numpy() / grp["S"].to_numpy())
+        # dedupe at COMPUTE precision: the solvers run f32 on device, so
+        # two x64-distinct strikes whose log-moneyness rounds to the same
+        # f32 would make a zero-width knot interval (h=0 -> inf/NaN for
+        # that surface, silently). Keep the first of each f32-equal run.
+        keep = np.concatenate([[True], np.diff(k.astype(np.float32)) > 0])
+        if not keep.all():
+            grp, k = grp[keep], k[keep]
         if len(grp) < min_strikes:
             continue
-        k = np.log(grp["strike"].to_numpy() / grp["S"].to_numpy())
         chains.append(dict(underlying=und, expiry=exp, k=k,
                            iv=grp["iv"].to_numpy(),
                            T=float(grp["T"].mean())))

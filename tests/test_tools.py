@@ -687,3 +687,28 @@ def test_compare_minute_vs_reconstructed_filters_frequency(ran_store):
         full = df[df["src_count"] == int(freq[:-3])]
         assert len(full) > 0, freq
         assert full["matches"].all(), (freq, df)
+
+
+def test_build_chains_dedupes_f32_colliding_strikes():
+    """Two x64-distinct strikes whose f32 log-moneyness collide must
+    collapse to one quote: the device solvers run f32, and a zero-width
+    knot interval infs that surface silently (round-5 chip drive)."""
+    from iv_interpolation_tpu.pipeline.surface_task import build_chains
+
+    S = 25000.0
+    # strikes at log-moneyness ~0.5 separated by 1e-9 in k: distinct in
+    # x64, identical after the f32 round (ulp(0.5) = 6e-8)
+    strikes = [22000.0, 23000.0, 24000.0,
+               S * np.exp(0.5), S * np.exp(0.5 + 1e-9), 42000.0]
+    df = pd.DataFrame({
+        "symbol": [f"btc-27mar23-{k:.6f}-c" for k in strikes],
+        "date": pd.Timestamp("2023-03-20"),
+        "iv": 0.5,
+        "underlying_price": S,
+        "time_to_maturity": 0.25,
+    })
+    chains = build_chains(df)
+    assert len(chains) == 1
+    k32 = chains[0]["k"].astype(np.float32)
+    assert (np.diff(k32) > 0).all(), k32
+    assert len(k32) == 5
