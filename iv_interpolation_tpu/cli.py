@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference pipeline_visualizer.py)")
     p.add_argument("--plot-dir", default=".",
                    help="output directory for --visualize figures")
+    p.add_argument("--plot-symbol", default=None, metavar="SYM",
+                   help="scope --visualize per-symbol figures to one "
+                        "symbol (reference check_results.py:441-447)")
+    p.add_argument("--quick", action="store_true",
+                   help="with --check: quick census only, skip the "
+                        "full per-task audits (reference --quick)")
     p.add_argument("--json", action="store_true",
                    help="machine-readable summaries")
     p.add_argument("--batch-id", type=int, default=None,
@@ -292,6 +298,8 @@ def main(argv=None) -> int:
             check_candle_results, check_interpolation_results,
             quick_summary)
         _emit(args, quick_summary(runner.store), "quick summary")
+        if args.quick:
+            return 0
         _emit(args, check_interpolation_results(runner.store),
               "task 1 audit")
         _emit(args, check_candle_results(runner.store), "task 2 audit")
@@ -302,8 +310,9 @@ def main(argv=None) -> int:
 
     if args.visualize:
         from iv_interpolation_tpu.pipeline.visualize import PipelineVisualizer
-        report = PipelineVisualizer(runner.store,
-                                    out_dir=args.plot_dir).summary_report()
+        report = PipelineVisualizer(
+            runner.store,
+            out_dir=args.plot_dir).summary_report(symbol=args.plot_symbol)
         _emit(args, report, "visualization report")
         return 0
 

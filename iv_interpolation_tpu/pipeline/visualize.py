@@ -181,16 +181,19 @@ class PipelineVisualizer:
             ax.set_title(f"{und} {title}")
         return self._save(fig, "surface_analysis.png")
 
-    def summary_report(self) -> dict:
+    def summary_report(self, symbol: Optional[str] = None) -> dict:
         """Census + generated figure paths
-        (pipeline_visualizer.py:392-439)."""
+        (pipeline_visualizer.py:392-439). ``symbol`` scopes the
+        per-symbol figures to one operator-chosen symbol (CLI
+        ``--plot-symbol``, reference check_results.py:441-447)."""
         from iv_interpolation_tpu.pipeline.check_results import quick_summary
         report = quick_summary(self.store)
         report["figures"] = [
             p for p in (
                 self.data_flow_diagram(),
-                self.interpolation_analysis(),
-                self.candle_analysis(),
+                self.interpolation_analysis(
+                    symbols=[symbol] if symbol else None),
+                self.candle_analysis(symbol=symbol),
                 self.surface_analysis(),
             ) if p
         ]

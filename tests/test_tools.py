@@ -712,3 +712,22 @@ def test_build_chains_dedupes_f32_colliding_strikes():
     k32 = chains[0]["k"].astype(np.float32)
     assert (np.diff(k32) > 0).all(), k32
     assert len(k32) == 5
+
+
+def test_cli_check_quick_emits_census_only(tmp_path, monkeypatch, capsys):
+    """--check --quick prints ONE payload (the quick census) and skips
+    the per-task audits (reference check_results.py --quick)."""
+    from iv_interpolation_tpu import cli
+    monkeypatch.chdir(tmp_path)
+    root = str(tmp_path / "data")
+    assert cli.main(["--generate-sample-tickers", "--symbols", "1",
+                     "--env", "development", "--json",
+                     "--data-root", root]) == 0
+    capsys.readouterr()
+    assert cli.main(["--check", "--quick", "--json",
+                     "--data-root", root]) == 0
+    quick = capsys.readouterr().out.strip().splitlines()
+    assert len(quick) == 1  # census only
+    assert cli.main(["--check", "--json", "--data-root", root]) == 0
+    full = capsys.readouterr().out.strip().splitlines()
+    assert len(full) == 4  # census + task1 + task2 + surface audits
