@@ -194,6 +194,14 @@ class SurfaceConfig:
     # resolution and per-slice LM budget (ops.andreasen_huge)
     ah_grid: int = 257
     ah_iters: int = 16
+    # cap on surfaces per compiled AH fit: batch scaling is measured
+    # sublinear past ~512 (794 surf/s at B=512 vs 769 at B=1024 on TPU
+    # — the sequential maturity scan x LM loop dominates, see
+    # docs/PERF.md "AH roofline") and B=1024 once blew a 590 s compile
+    # budget with the unrolled LM; larger chains are fit in <=this-size
+    # chunks instead of one giant program (a chunk may still pad up to
+    # the mesh multiple when sharded). 0/None disables the cap.
+    ah_max_batch: int | None = 512
     # parity mode (CLI --parity): run cubic-spline fit+eval on the
     # compensated double-f32 path (ops.spline_compensated) and persist
     # the df64 low limb (total_variance_lo) — the pair reproduces the

@@ -196,9 +196,23 @@ def run_surface_fit(config, store, limit: Optional[int] = None,
     def dev(a):
         return shard_rows(mesh, jnp.asarray(a))
 
+    # Andreasen-Huge compile-wall guard: AH batch scaling is sublinear
+    # past ~512 surfaces and giant batches only buy longer compiles
+    # (docs/PERF.md "AH roofline"), so big buckets are fit in
+    # <= surface.ah_max_batch chunks — identical results, bounded
+    # program size. Other methods keep the whole bucket as one batch.
+    max_b = getattr(scfg, "ah_max_batch", None) if method == "ah" else None
+    buckets = []
+    for shape, group in sorted(prepared.items()):
+        if max_b:
+            buckets += [(shape, group[i:i + max_b])
+                        for i in range(0, len(group), max_b)]
+        else:
+            buckets.append((shape, group))
+
     out_frames = []
     n_fit = 0
-    for (E_pad, n_pad), group in sorted(prepared.items()):
+    for (E_pad, n_pad), group in buckets:
         B = len(group)
         # real-quote mask: padded strikes and duplicated expiry slices
         # must not enter the fit_rmse statistic

@@ -731,3 +731,63 @@ def test_cli_check_quick_emits_census_only(tmp_path, monkeypatch, capsys):
     assert cli.main(["--check", "--json", "--data-root", root]) == 0
     full = capsys.readouterr().out.strip().splitlines()
     assert len(full) == 4  # census + task1 + task2 + surface audits
+
+
+@pytest.mark.slow
+def test_surface_task_ah_batch_cap(tmp_path, monkeypatch):
+    """surface.ah_max_batch chunks AH fits (compile-wall guard, VERDICT
+    r4 #7 / docs/PERF.md "AH roofline"): a bucket bigger than the cap is
+    fit in <=cap chunks whose persisted output matches the one-batch
+    fit; other methods are untouched by the knob."""
+    from iv_interpolation_tpu import models
+    from iv_interpolation_tpu.pipeline.surface_task import (SURFACES,
+                                                            run_surface_fit)
+    cfg = get_config("testing")
+    cfg.checkpoint.manifest_dir = str(tmp_path / "runs")
+    cfg.interpolation.min_data_points = 5
+    cfg.surface.smile_method = "ah"
+    cfg.surface.ah_grid = 33
+    cfg.surface.ah_iters = 2
+    symbols = [f"{und}-{exp}-{strike}-c"
+               for und in ("btc", "eth", "sol")
+               for exp in ("28apr23", "30jun23")
+               for strike in (20000, 22000, 24000, 26000, 28000, 30000)]
+    store = MemoryStore()
+    store.write(st.TICKERS, generate_sample_tickers(hours=8,
+                                                    symbols=symbols))
+    PipelineRunner(cfg, store=store).run_task1()
+
+    seen = []
+    real_get = models.get
+
+    def recording_get(name):
+        m = real_get(name)
+
+        def fit_eval(k, iv, T, quote_mask, scfg, dev):
+            seen.append(int(k.shape[0]))
+            return m.fit_eval(k, iv, T, quote_mask, scfg, dev=dev)
+
+        return models.SurfaceModel(name=m.name, fit_eval=fit_eval,
+                                   attach_local_vol=m.attach_local_vol)
+
+    monkeypatch.setattr(models, "get", recording_get)
+
+    def grid(df):
+        return (df.sort_values(["underlying", "expiry_t", "log_moneyness"])
+                .reset_index(drop=True))
+
+    # NB: the recorder sees post-mesh-padding batches — each <=cap chunk
+    # still pads up to the 8-virtual-device mesh multiple, so the cap
+    # shows up as the NUMBER of fit calls, not their padded width.
+    cfg.surface.ah_max_batch = 1
+    rep = run_surface_fit(cfg, store)
+    assert rep["surfaces"] == 3
+    assert len(seen) == 3, f"cap not honoured: fit calls {seen}"
+    chunked = grid(store.read(SURFACES))
+
+    seen.clear()
+    cfg.surface.ah_max_batch = None  # disabled -> whole bucket, one batch
+    rep = run_surface_fit(cfg, store)
+    assert rep["surfaces"] == 3
+    assert len(seen) == 1
+    pd.testing.assert_frame_equal(chunked, grid(store.read(SURFACES)))
